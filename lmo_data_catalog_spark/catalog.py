@@ -34,7 +34,22 @@ class Catalog:
         self.sf_dir = sf_dir.rstrip("/")
 
     def load(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+        df = self._read(f"{self.sf_dir}/{name}.parquet")
+        if name == "events":
+            df = _normalize_ns_timestamps(df)
+        return df
+
+    def _read(self, path: str) -> DataFrame:
+        try:
+            return self.spark.read.parquet(path)
+        except Exception as e:  # noqa: BLE001
+            if "TIMESTAMP(NANOS" not in str(e):
+                raise
+            # Parquet ns timestamps (events.ts) are illegal for Spark's
+            # reader by default; read them as raw longs and convert.
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            return self.spark.read.parquet(path)
+
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLES:
@@ -45,3 +60,15 @@ class Catalog:
         """Register every table as a temp view for spark.sql use."""
         for name in TABLES:
             self.load(name).createOrReplaceTempView(name)
+
+
+def _normalize_ns_timestamps(df: DataFrame) -> DataFrame:
+    """ns-long → µs timestamp. Integer `div` (not `/`): epoch-ns values
+    (~1.7e18) exceed double's exact-integer range, so float division
+    would be off by up to ~0.25 µs."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if "ts" in df.columns and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

@@ -1,0 +1,82 @@
+"""Window-function operators: ranking, lag/lead, running frames,
+gaps-and-islands sessionization (SURVEY §2.8 / §7 step 4).
+
+The reference has no window functions, but its A5 "attach group
+scalars to rows" is a window aggregate; these generalize that.
+
+Scale notes: every window here partitions by a key (never a global
+ORDER BY over the full table), so state per partition is bounded and
+the shuffle is a plain hash repartition on the key. Sessionization is
+the batch twin of Structured Streaming's ``session_window`` — same
+gap semantics, checked against it in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rank_in_group(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence,
+    *,
+    method: str = "row_number",
+    name: str = "rank",
+) -> DataFrame:
+    """row_number / rank / dense_rank within a partition.
+
+    Pass deterministic ``order_cols`` (include a unique tiebreak key)
+    so results are stable across engines and runs.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    fn = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}[
+        method
+    ]
+    return df.withColumn(name, fn().over(w))
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence,
+    k: int,
+) -> DataFrame:
+    """Grouped top-k: rank then filter — Spark pushes the limit into
+    the sort per partition (WindowGroupLimit at physical planning)."""
+    return (
+        rank_in_group(df, partition_cols, order_cols, name="__rk")
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    by: Sequence[str],
+    ts_col: str,
+    gap_seconds: int,
+    order_tiebreak: Sequence[str] = (),
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts when the
+    gap to the previous event (per ``by`` key) exceeds ``gap_seconds``.
+
+    Batch equivalent of ``F.session_window`` (streaming); two window
+    passes over the same partitioning → one shuffle.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_tiebreak]
+    w = Window.partitionBy(*by).orderBy(*order)
+    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    new_sess = F.when(
+        prev_us.isNull()
+        | (F.unix_micros(F.col(ts_col)) - prev_us > gap_seconds * 1_000_000),
+        1,
+    ).otherwise(0)
+    return df.withColumn("__new", new_sess).withColumn(
+        session_col, F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).drop("__new")

@@ -1,0 +1,701 @@
+"""Operator-breadth queries (SURVEY §7 step 4): windows, set ops,
+semi/anti/outer/as-of/range joins, rollup/cube/grouping sets, exact
+distinct + percentiles, date/string/JSON scalar surface, event
+sessionization and time-windowed aggregation.
+
+Same conventions as ``queries.core`` (rounding finer than data
+granularity; no raw timestamps — epoch µs/s BIGINT or DATE instead;
+DuckDB int-sum results cast to BIGINT to mirror Spark's types).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..operators.joins import asof_join, range_join
+from ..operators.windows import rank_in_group, sessionize, top_k_per_group
+from ..registry import query
+from .core import _yearly_flag_revenue, _YEARLY_FLAG_REVENUE_SQL
+
+
+# ------------------------------------------------------------- window: ranking
+@query(
+    "window_rank_topk",
+    oracle="""
+    SELECT o_orderpriority AS priority, o_orderkey, ROUND(o_totalprice, 2) AS total_price, rk
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+    tags=("W", "topk"),
+)
+def window_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k via row_number (unique tiebreak key ⇒
+    deterministic). Spark plans WindowGroupLimit: the per-partition
+    sort keeps only k rows — no full sort at scale."""
+    cat = Catalog(spark, sf_dir)
+    ranked = rank_in_group(
+        cat.orders,
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        name="rk",
+    )
+    return ranked.filter(F.col("rk") <= 3).select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        "rk",
+    )
+
+
+# ------------------------------------------------------------ window: lag/lead
+@query(
+    "window_lag_yoy",
+    oracle=f"""
+    SELECT grp, year,
+           ROUND(value, 4) AS value,
+           ROUND(value - LAG(value) OVER (PARTITION BY grp ORDER BY year), 4) AS yoy_delta,
+           ROUND(LEAD(value) OVER (PARTITION BY grp ORDER BY year), 4) AS next_value
+    FROM ({_YEARLY_FLAG_REVENUE_SQL}) long
+    """,
+    tags=("W",),
+)
+def window_lag_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics over an ordered partition (year-over-year
+    delta) — the time-series idiom the reference approximates with
+    wide-column arithmetic."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("grp").orderBy("year")
+    long = _yearly_flag_revenue(cat)
+    return long.select(
+        "grp",
+        "year",
+        F.round("value", 4).alias("value"),
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("yoy_delta"),
+        F.round(F.lead("value").over(w), 4).alias("next_value"),
+    )
+
+
+# ------------------------------------------------------ window: running frames
+@query(
+    "window_running_total",
+    oracle=f"""
+    SELECT grp, year,
+           ROUND(SUM(value) OVER (
+               PARTITION BY grp ORDER BY year
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_revenue
+    FROM ({_YEARLY_FLAG_REVENUE_SQL}) long
+    """,
+    tags=("W",),
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frame: cumulative revenue per group."""
+    cat = Catalog(spark, sf_dir)
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("year")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _yearly_flag_revenue(cat).select(
+        "grp", "year", F.round(F.sum("value").over(w), 4).alias("running_revenue")
+    )
+
+
+# ------------------------------------------------------------------ top-k sort
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    tags=("topk",),
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark's TakeOrderedAndProject — per-partition
+    heap + driver merge of k rows, never a full sort/shuffle."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+# --------------------------------------------------------------------- set ops
+@query(
+    "set_intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): nations having both customers and
+    suppliers."""
+    cat = Catalog(spark, sf_dir)
+    return cat.customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        cat.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
+    "set_except_custkeys",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+    tags=("setop",),
+)
+def set_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct, ``subtract``): customers with urgent orders
+    but no low-priority ones."""
+    cat = Catalog(spark, sf_dir)
+    orders = cat.orders
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.subtract(low)
+
+
+@query(
+    "union_all_tagged",
+    oracle="""
+    SELECT party, COUNT(*) AS n, CAST(SUM(nationkey) AS BIGINT) AS key_sum
+    FROM (
+        SELECT 'customer' AS party, c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT 'supplier', s_nationkey FROM supplier
+    )
+    GROUP BY party
+    """,
+    tags=("setop", "O4"),
+)
+def union_all_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL with a literal tag column (the reference's
+    row-binding / list-concat O3/O4 analog)."""
+    cat = Catalog(spark, sf_dir)
+    u = cat.customer.select(
+        F.lit("customer").alias("party"), F.col("c_nationkey").alias("nationkey")
+    ).unionByName(
+        cat.supplier.select(
+            F.lit("supplier").alias("party"), F.col("s_nationkey").alias("nationkey")
+        )
+    )
+    return u.groupBy("party").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("nationkey").cast("bigint").alias("key_sum"),
+    )
+
+
+# ---------------------------------------------------------------- semi / anti
+@query(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c_mktsegment AS segment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+    tags=("join", "semi"),
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with ≥1 order, by segment."""
+    cat = Catalog(spark, sf_dir)
+    customer, orders = cat.customer, cat.orders
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "join_anti_customers_without_urgent",
+    oracle="""
+    SELECT c_mktsegment AS segment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY 1
+    """,
+    tags=("join", "anti"),
+)
+def join_anti_customers_without_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no urgent orders."""
+    cat = Catalog(spark, sf_dir)
+    customer = cat.customer
+    urgent = cat.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ------------------------------------------------------------------ full outer
+@query(
+    "join_full_outer_nation_parties",
+    oracle="""
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(c.n_cust, 0) AS n_cust, COALESCE(s.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+    USING (nationkey)
+    """,
+    tags=("join", "outer"),
+)
+def join_full_outer_nation_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates with COALESCE'd key."""
+    cat = Catalog(spark, sf_dir)
+    c = cat.customer.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s = cat.supplier.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return c.join(s, on="nationkey", how="full_outer").select(
+        "nationkey",
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+# --------------------------------------------------------------------- as-of
+@query(
+    "join_asof_last_signup",
+    oracle="""
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+           epoch_us(r.ts) AS last_signup_us
+    FROM events l
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') r
+    ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (DuckDB ASOF semantics): each event matched to the
+    user's latest signup at-or-before it. Union+window implementation:
+    ONE shuffle on (user_id), linear in rows — the shape that survives
+    100 TB, unlike a range self-join."""
+    cat = Catalog(spark, sf_dir)
+    left = cat.events.select("event_id", "user_id", "ts")
+    right = (
+        cat.events.filter(F.col("event_type") == "signup")
+        .select("user_id", "ts", F.col("ts").alias("signup_ts"))
+    )
+    out = asof_join(left, right, on="ts", by=["user_id"], right_cols=["signup_ts"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("signup_ts_r").alias("last_signup_us"),
+    )
+
+
+# ---------------------------------------------------------------- range join
+@query(
+    "join_range_ship_window",
+    oracle="""
+    SELECT o_orderpriority AS priority, COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem l JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY 1
+    """,
+    tags=("join", "range"),
+)
+def join_range_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range predicate join (lines shipped within 90 days of
+    order) — hash join on the equi key, range as residual filter;
+    never a cartesian."""
+    cat = Catalog(spark, sf_dir)
+    li, orders = cat.lineitem, cat.orders
+    joined = range_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        orders,
+        equi_keys=["o_orderkey"],
+        lo=li.l_shipdate >= orders.o_orderdate,
+        hi=li.l_shipdate <= F.date_add(orders.o_orderdate.cast("date"), 90),
+    )
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )
+
+
+# ------------------------------------------------------------ rollup and cube
+@query(
+    "rollup_year_priority",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS year, o_orderpriority AS priority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER), o_orderpriority)
+    """,
+    tags=("rollup",),
+)
+def rollup_year_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (year → priority → grand total) — partial/
+    final agg handled by Catalyst's Expand."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.orders.select(
+            F.year("o_orderdate").alias("year"),
+            F.col("o_orderpriority").alias("priority"),
+            "o_totalprice",
+        )
+        .rollup("year", "priority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "cube_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("cube",),
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims — all 4 grouping sets in one pass."""
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "grouping_sets_sql",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("rollup", "sql"),
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the spark.sql surface."""
+    cat = Catalog(spark, sf_dir)
+    cat.lineitem.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ------------------------------------------- exact distinct count + percentile
+@query(
+    "count_distinct_customers",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+    tags=("agg",),
+)
+def count_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) — Catalyst expands to a two-stage
+    aggregate (partial distinct then merge)."""
+    cat = Catalog(spark, sf_dir)
+    return cat.orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "percentiles_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+    FROM lineitem GROUP BY 1
+    """,
+    tags=("agg", "percentile"),
+)
+def percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (linear interpolation — same
+    algorithm as DuckDB quantile_cont; verified equal). At 100 TB
+    swap to percentile_approx for one-pass sketching."""
+    cat = Catalog(spark, sf_dir)
+    return cat.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 6).alias("median_qty"),
+        F.round(F.percentile("l_quantity", 0.9), 6).alias("p90_qty"),
+    )
+
+
+# ------------------------------------------------------------- date functions
+@query(
+    "date_parts_orders",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1, 2, 3
+    """,
+    tags=("date",),
+)
+def date_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/quarter/month extraction + aggregation."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.orders.groupBy(
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "date_arith_ship_latency",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS INTEGER) AS min_days,
+           CAST(MAX(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS INTEGER) AS max_days,
+           ROUND(AVG(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))), 6) AS avg_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+    tags=("date", "join"),
+)
+def date_arith_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic (datediff) across a join: order→ship latency."""
+    cat = Catalog(spark, sf_dir)
+    days = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return (
+        cat.lineitem.join(
+            cat.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.min(days).alias("min_days"),
+            F.max(days).alias("max_days"),
+            F.round(F.avg(days), 6).alias("avg_days"),
+        )
+    )
+
+
+# ------------------------------------------------------------ string functions
+@query(
+    "string_funcs_part",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           lower(p_type) AS type_l,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           split_part(p_type, ' ', 2) AS type_mid,
+           substr(p_brand, 7) AS brand_num,
+           replace(p_brand, 'Brand#', 'B') AS brand_short,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           regexp_extract(p_name, '[0-9]+') AS first_digits
+    FROM part
+    """,
+    tags=("string",),
+)
+def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string surface (SURVEY C1-C6): case, length, split,
+    substring, replace, pad, regex extract — all codegen'd built-ins."""
+    cat = Catalog(spark, sf_dir)
+    return cat.part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.length("p_name").alias("name_len"),
+        # get() tolerates 1-word types (NULL), coalesced to '' to match
+        # DuckDB split_part's missing-field behavior
+        F.coalesce(F.get(F.split("p_type", " "), F.lit(1)), F.lit("")).alias("type_mid"),
+        F.substring("p_brand", 7, 2147483647).alias("brand_num"),
+        F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.regexp_extract("p_name", "[0-9]+", 0).alias("first_digits"),
+    )
+
+
+# -------------------------------------------------------------- JSON extraction
+@query(
+    "json_extract_events",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS k_max
+    FROM events GROUP BY 1
+    """,
+    tags=("json",),
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events.props string column."""
+    cat = Catalog(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return cat.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("bigint").alias("k_sum"),
+        F.max(k).alias("k_max"),
+    )
+
+
+# ------------------------------------------------------------ CASE WHEN buckets
+@query(
+    "case_when_price_buckets",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 200000 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           COUNT(*) AS n, ROUND(AVG(o_totalprice), 6) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+    tags=("scalar",),
+)
+def case_when_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bucketing (when/otherwise chain)."""
+    cat = Catalog(spark, sf_dir)
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 200000, "mid")
+        .otherwise("high")
+    )
+    return cat.orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+    )
+
+
+# ------------------------------------------------------- event sessionization
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH flags AS (
+        SELECT user_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM flags GROUP BY user_id
+    """,
+    tags=("session", "W"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap) — the
+    batch twin of Structured Streaming session windows; one shuffle
+    on user_id."""
+    cat = Catalog(spark, sf_dir)
+    s = sessionize(
+        cat.events,
+        by=["user_id"],
+        ts_col="ts",
+        gap_seconds=30 * 60,
+        order_tiebreak=["event_id"],
+    )
+    return s.groupBy("user_id").agg(
+        F.max("session_id").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ----------------------------------------------------- tumbling window (batch)
+@query(
+    "tumbling_hourly_events",
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("window_time", "streaming"),
+)
+def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation via F.window — identical
+    semantics batch or streaming (readStream swap-in, SURVEY §2.8)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("hour_us"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+# ------------------------------------------------------ sliding window (batch)
+@query(
+    "sliding_hourly_events",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, value,
+               CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS s30
+        FROM events
+    )
+    SELECT win_start, COUNT(*) AS n, ROUND(SUM(value), 4) AS value_sum
+    FROM (
+        SELECT s30 AS win_start, value FROM e
+        UNION ALL
+        SELECT s30 - 1800 AS win_start, value FROM e
+    )
+    GROUP BY win_start
+    """,
+    tags=("window_time", "streaming"),
+)
+def sliding_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 30 min slide): each event lands in
+    exactly two windows. Oracle reproduces Spark's epoch-aligned
+    window starts arithmetically."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("win_start"),
+            "n",
+            "value_sum",
+        )
+    )
