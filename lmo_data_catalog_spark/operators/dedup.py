@@ -1,0 +1,266 @@
+"""Deduplication operators for LLM data pipelines (SURVEY §7 E):
+exact, keyed, exact n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each variant):
+- exact/keyed: one hash-aggregate shuffle on the dedup key.
+- exact Jaccard join: shuffles on *shingle* — correct but quadratic
+  in per-shingle document frequency; fine for verification, not the
+  100 TB path.
+- MinHash+LSH: the 100 TB path. Signatures are one agg over exploded
+  shingles (map-side combined); banding turns the similarity join
+  into an equi-join on (band, band_hash) so only true candidates
+  meet; exact Jaccard then verifies candidates only. Tune
+  (n_hashes, bands) for the τ S-curve: P(candidate) = 1-(1-s^r)^b.
+- SimHash: 64-bit signature whose Hamming distance tracks cosine/
+  token similarity; chunk-match banding finds candidates with ≤k
+  differing bits without a quadratic scan.
+
+All expression-level (xxhash64 / explode / agg) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import shingles
+
+# Prime > 2^32 for affine MinHash permutations over 32-bit base hashes.
+_MERSENNE_P = 4294967311
+_HASH_SPACE = 4294967296  # 2^32
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: Sequence[str], *, tiebreak: str
+) -> DataFrame:
+    """Keep exactly one row per key — the one with MIN(tiebreak).
+
+    Deterministic (unlike ``dropDuplicates``, which keeps an arbitrary
+    row). One shuffle; at scale pre-partition by the key.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(tiebreak).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_permutations(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic affine permutation params (a, b); a < 2^30 keeps
+    a*h + b within int64 for 32-bit base hashes."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30))
+        for _ in range(n_hashes)
+    ]
+
+
+def minhash_signatures(
+    sh: DataFrame,
+    *,
+    id_col: str,
+    n_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document from a (id, shingle) table.
+
+    One groupBy(id) with n_hashes conditional MIN aggregates over the
+    affine-permuted 32-bit base hash — map-side partial aggregation
+    means the shuffle carries signatures, not shingles.
+    """
+    base = F.pmod(F.xxhash64("shingle"), F.lit(_HASH_SPACE))
+    perms = minhash_permutations(n_hashes, seed)
+    aggs = [
+        F.min(F.pmod(base * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(
+            f"mh_{i}"
+        )
+        for i, (a, b) in enumerate(perms)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, *, id_col: str, bands: int, rows: int
+) -> DataFrame:
+    """Banded LSH: docs sharing any band hash become candidate pairs
+    (id_a < id_b). The similarity join reduces to an equi-join on
+    (band_idx, band_hash) — linear shuffle, no quadratic scan."""
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            F.xxhash64(*[f"mh_{i * rows + j}" for j in range(rows)]).alias(
+                "band_hash"
+            ),
+        )
+        for i in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, "b.band_idx", "b.band_hash")
+    a = buckets.toDF("id_a", "band_idx", "band_hash")
+    b = buckets.toDF("id_b", "band_idx", "band_hash")
+    return (
+        a.join(b, on=["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(
+    pairs: DataFrame, sh: DataFrame, *, id_col: str
+) -> DataFrame:
+    """Exact Jaccard for given candidate (id_a, id_b) pairs against a
+    (id, shingle) table → (id_a, id_b, jaccard)."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sh_a = sh.toDF("id_a", "shingle")
+    sh_b = sh.toDF("id_b", "shingle")
+    common = (
+        pairs.join(sh_a, on="id_a")
+        .join(sh_b, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = sizes.toDF("id_a", "n_a")
+    nb = sizes.toDF("id_b", "n_b")
+    return (
+        common.join(na, on="id_a")
+        .join(nb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity self-join (no LSH): all pairs
+    sharing ≥1 shingle, filtered to jaccard ≥ threshold.
+
+    The verification oracle for MinHash-LSH; at 100 TB use
+    :func:`minhash_lsh_dedup_pairs` instead (this one shuffles every
+    shingle co-occurrence).
+    """
+    sh = shingles(df, id_col=id_col, text_col=text_col, n=n)
+    sh = sh.toDF("id", "shingle")
+    pairs = (
+        sh.toDF("id_a", "shingle")
+        .join(sh.toDF("id_b", "shingle"), on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_on_pairs(pairs, sh.toDF("id", "shingle"), id_col="id").filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    n_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs: shingle → MinHash → LSH bands → exact-
+    Jaccard verification of candidates only (≥ threshold).
+
+    With rows = n_hashes/bands = 4: P(candidate at s=0.8) ≈ 1-(1-0.41)^16
+    ≈ 0.9998; at s=0.3 ≈ 0.12 — the S-curve that makes 100 TB dedup
+    tractable. Output is exact (verified), LSH only prunes.
+    """
+    rows = n_hashes // bands
+    sh = shingles(df, id_col=id_col, text_col=text_col, n=n).toDF("id", "shingle")
+    sig = minhash_signatures(sh, id_col="id", n_hashes=n_hashes, seed=seed)
+    cand = lsh_candidate_pairs(sig, id_col="id", bands=bands, rows=rows)
+    return jaccard_on_pairs(cand, sh, id_col="id").filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash_64(sh: DataFrame, *, id_col: str) -> DataFrame:
+    """64-bit SimHash per document from (id, shingle): for each bit,
+    sum +1/-1 votes of each shingle's xxhash64 bit; sign → bit.
+
+    64 conditional-sum aggregates in ONE groupBy pass (map-side
+    combined). Returns (id, simhash) with the signature as int64.
+    """
+    h = F.xxhash64("shingle")
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(64)
+    ]
+    votes = sh.groupBy(id_col).agg(*bit_votes)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"v_{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    chunk_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup candidates: pairs matching on ≥1 of the 64/
+    chunk_bits signature chunks (guaranteed to catch Hamming distance
+    < 64/chunk_bits). Returns (id_a, id_b, hamming)."""
+    sh = shingles(df, id_col=id_col, text_col=text_col, n=n).toDF("id", "shingle")
+    sig = simhash_64(sh, id_col="id")
+    n_chunks = 64 // chunk_bits
+    mask = (1 << chunk_bits) - 1
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright("simhash", i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", "c.chunk_idx", "c.chunk")
+    a = chunks.toDF("id_a", "sim_a", "chunk_idx", "chunk")
+    b = chunks.toDF("id_b", "sim_b", "chunk_idx", "chunk")
+    pairs = (
+        a.join(b, on=["chunk_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+    )

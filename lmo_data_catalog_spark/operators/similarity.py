@@ -1,0 +1,146 @@
+"""Vector-similarity operators: exact cosine (bit-reproducible),
+brute-force top-k, random-hyperplane LSH bucketing for ANN.
+
+Float-determinism contract: cosine/dot products are built as
+LEFT-DEEP explicit sums over array elements (element i added in
+order), which makes Spark's result BIT-IDENTICAL to an oracle that
+evaluates the same left-deep expression — verified to 0 ulp against
+DuckDB. Never use a float32 library kernel when the result feeds a
+cross-engine comparison.
+
+Scale notes: brute-force top-k is one scan + TakeOrderedAndProject
+(fine vs a single query vector at any scale, since it's map-only +
+k-row reduce). The pairwise brute-force join is O(N²) — correctness
+baseline only; the LSH-bucketed variant is the 100 TB path (equi-join
+on bucket id).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_literal(col: str, vec: list[float]) -> Column:
+    """Left-deep ⟨array_col, literal_vec⟩ in double precision."""
+    terms = [
+        F.get(F.col(col), i).cast("double") * F.lit(float(v))
+        for i, v in enumerate(vec)
+    ]
+    return reduce(lambda a, b: a + b, terms)
+
+
+def dot_pair(col_a: str, col_b: str, dim: int) -> Column:
+    """Left-deep ⟨a, b⟩ for two array columns."""
+    terms = [
+        F.get(F.col(col_a), i).cast("double") * F.get(F.col(col_b), i).cast("double")
+        for i in range(dim)
+    ]
+    return reduce(lambda a, b: a + b, terms)
+
+
+def norm_sq(col: str, dim: int) -> Column:
+    return dot_pair(col, col, dim)
+
+
+def cosine_literal(col: str, vec: list[float]) -> Column:
+    """cos(array_col, literal_vec) — query-vector norm folded into a
+    single literal so both engines divide by the same constant."""
+    qnorm = float(np.sqrt(sum(float(v) * float(v) for v in vec)))
+    return dot_literal(col, vec) / (
+        F.sqrt(norm_sq(col, len(vec))) * F.lit(qnorm)
+    )
+
+
+def cosine_pair(col_a: str, col_b: str, dim: int) -> Column:
+    return dot_pair(col_a, col_b, dim) / (
+        F.sqrt(norm_sq(col_a, dim)) * F.sqrt(norm_sq(col_b, dim))
+    )
+
+
+def brute_force_topk(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int,
+) -> DataFrame:
+    """Exact cosine top-k vs one query vector: map-side score +
+    TakeOrderedAndProject (per-partition heap, k-row driver merge —
+    no full sort, no shuffle of the data)."""
+    scored = df.select(
+        F.col(id_col), cosine_literal(vec_col, query).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic random hyperplanes, rounded to 6 dp so the same
+    decimal literals parse to identical doubles in any engine."""
+    rng = np.random.RandomState(seed)
+    return [
+        [round(float(x), 6) for x in rng.standard_normal(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket(col: str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit i = [⟨v, plane_i⟩ ≥ 0]. Same-bucket
+    vectors are cosine-close with probability 1 - θ/π per plane."""
+    acc = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        bit = F.when(dot_literal(col, p) >= 0, F.lit(1)).otherwise(F.lit(0))
+        acc = acc + F.shiftleft(bit.cast("long"), i)
+    return acc
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    planes: list[list[float]],
+    k: int,
+) -> DataFrame:
+    """ANN: score only the query's LSH bucket. At scale the bucket id
+    is a partition/cluster key, so the scan prunes to one bucket."""
+    qbits = 0
+    for i, p in enumerate(planes):
+        dot = sum(float(a) * float(b) for a, b in zip(query, p))
+        qbits |= (1 if dot >= 0 else 0) << i
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(vec_col, planes).alias("bucket"),
+    )
+    return (
+        bucketed.filter(F.col("bucket") == qbits)
+        .select(F.col(id_col), cosine_literal(vec_col, query).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def neardup_pairs_bruteforce(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float,
+) -> DataFrame:
+    """All vector pairs with cosine ≥ threshold — O(N²) cross join;
+    the exactness baseline that verifies the LSH path."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_pair("va", "vb", dim).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

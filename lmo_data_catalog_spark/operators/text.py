@@ -1,0 +1,114 @@
+"""Text-analysis operators for LLM data pipelines: tokenization,
+shingling, quality metrics, language-ID heuristics, fingerprints.
+
+Everything is built-in JVM expressions (split/transform/sequence/
+regexp) — zero Python UDFs, full whole-stage codegen, linear scans.
+At 100 TB these are embarrassingly parallel map-side ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. Deterministic and SQL-expressible (word-set membership).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# BPE-ish pre-tokenizer: word pieces or single non-space punctuation.
+BPE_TOKEN_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def shingles(df: DataFrame, *, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Pure expression shingling: ``transform(sequence(...), slice)`` —
+    no UDF. Documents shorter than n words yield no shingles.
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    grams = toks.select(
+        id_col,
+        F.when(
+            F.size("__toks") >= n,
+            F.expr(
+                f"transform(sequence(0, size(__toks) - {n}),"
+                f" i -> concat_ws(' ', slice(__toks, i + 1, {n})))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__grams"),
+    )
+    return (
+        grams.select(id_col, F.explode("__grams").alias("shingle")).distinct()
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish pre-tokens (word pieces + punctuation)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN))
+
+
+def stopword_count(col: Column | str, stopwords=STOPWORDS) -> Column:
+    """Number of tokens that are stopwords (lambda-filter, JVM-side)."""
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*stopwords)))
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(r"[.,!?;:]"))
+
+
+def quality_metrics(col: Column | str) -> dict[str, Column]:
+    """Quality-scoring bundle: lengths and ratios used to filter
+    low-quality documents in training-data pipelines."""
+    n_tok = token_count(col)
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "n_chars": F.length(c).cast("int"),
+        "n_tokens": n_tok.cast("int"),
+        "punct_ratio": punct_count(col) / F.greatest(F.length(c), F.lit(1)),
+        "stopword_ratio": stopword_count(col) / F.greatest(n_tok, F.lit(1)),
+        "avg_token_len": (F.length(F.regexp_replace(c, r"\s+", ""))
+                          / F.greatest(n_tok, F.lit(1))),
+    }
+
+
+def lang_id(col: Column | str) -> Column:
+    """Marker-stopword language ID: first language whose markers all
+    appear in the token set; 'unk' otherwise. Deterministic, cheap,
+    SQL-mirrorable — the heuristic stand-in for a real n-gram model."""
+    toks = tokens(col)
+    expr = F.lit("unk")
+    for lang, markers in reversed(list(LANG_MARKERS.items())):
+        hit = None
+        for m in markers:
+            h = F.array_contains(toks, m)
+            hit = h if hit is None else (hit & h)
+        expr = F.when(hit, lang).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase
+    text (the canonical exact-dedup key)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))

@@ -1,1 +1,459 @@
-"""LLM-data-pipeline queries (dedup, similarity, text) — filled in next."""
+"""LLM-data-pipeline queries (SURVEY §7 E / BASELINE north star):
+dedup (exact, keyed, n-gram Jaccard, MinHash-LSH, SimHash), vector
+similarity (brute-force + hyperplane-LSH ANN), text analysis
+(quality, token counts, lang-ID, fingerprints, word frequency), and
+multimodal binary-column plumbing.
+
+Cross-engine determinism rules used here (beyond queries.core's):
+- cosine/dot products: LEFT-DEEP explicit per-element sums generated
+  from one Python loop for both engines → bit-identical doubles
+  (verified 0 ulp vs DuckDB; float32 library kernels are NOT safe).
+- Jaccard = c/(n_a+n_b-c) on exact ints → identical division result.
+- MinHash/SimHash signatures use Spark xxhash64 (not SQL-mirrorable);
+  their queries are verified by EXACT similarity oracles instead —
+  LSH only prunes candidates, the output values are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..operators import text as T
+from ..operators.dedup import (
+    exact_dedup,
+    exact_jaccard_pairs,
+    minhash_lsh_dedup_pairs,
+    simhash_candidate_pairs,
+)
+from ..operators.multimodal import decode_image_meta, with_payload
+from ..operators.similarity import (
+    cosine_pair,
+    dot_pair,
+    hyperplanes,
+    lsh_bucket,
+    norm_sq,
+)
+from ..registry import query
+
+DIM = 64  # embeddings.embedding dimensionality (TESTDATA fixture)
+
+# ---- shared DuckDB SQL fragments ------------------------------------------
+
+_SHINGLES_SQL = r"""
+    toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM idx
+    )
+"""
+
+_JACCARD_PAIRS_SQL = f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+"""
+
+
+def _sql_dot(a: str, b: str, dim: int = DIM) -> str:
+    """Left-deep explicit dot product — element order identical to
+    operators.similarity.dot_pair, hence bit-identical results."""
+    return " + ".join(
+        f"CAST({a}[{i+1}] AS DOUBLE) * CAST({b}[{i+1}] AS DOUBLE)"
+        for i in range(dim)
+    )
+
+
+def _sql_dot_literal(a: str, vec: list[float]) -> str:
+    return " + ".join(
+        f"CAST({a}[{i+1}] AS DOUBLE) * {float(v)!r}" for i, v in enumerate(vec)
+    )
+
+
+def _sql_cosine(a: str, b: str, dim: int = DIM) -> str:
+    return (
+        f"({_sql_dot(a, b, dim)}) / "
+        f"(sqrt({_sql_dot(a, a, dim)}) * sqrt({_sql_dot(b, b, dim)}))"
+    )
+
+
+# ======================================================================
+# Deduplication
+# ======================================================================
+
+
+@query(
+    "dedup_exact_fingerprint",
+    oracle=r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+           MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint (md5 of normalized text),
+    deterministically keeping MIN(doc_id). One hash-agg shuffle on the
+    fingerprint — the canonical 100 TB exact-dedup plan."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.documents.select(
+            T.fingerprint("text").alias("fingerprint"), "doc_id"
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "dedup_keyed_first_event",
+    oracle="""
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+    FROM (
+        SELECT user_id, event_type, event_id, ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("dedup", "W"),
+)
+def dedup_keyed_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup: earliest event per (user, type) — deterministic
+    ``exact_dedup`` (row_number), unlike dropDuplicates' arbitrary
+    row pick."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.withColumn("__ord", F.struct(F.col("ts"), F.col("event_id")))
+    out = exact_dedup(ev, ["user_id", "event_type"], tiebreak="__ord")
+    return out.select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=_JACCARD_PAIRS_SQL,
+    tags=("dedup", "similarity-join"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity self-join at τ=0.8 — the
+    ground-truth near-dup pair set (and the verification baseline for
+    the MinHash path)."""
+    cat = Catalog(spark, sf_dir)
+    out = exact_jaccard_pairs(
+        cat.documents, id_col="doc_id", text_col="text", n=3, threshold=0.8
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=_JACCARD_PAIRS_SQL,
+    tags=("dedup", "minhash", "lsh"),
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands × 4 rows) near-dup pairs with exact
+    Jaccard verification at τ=0.8 — the 100 TB dedup plan.
+
+    Oracle is the EXACT pair set: at τ=0.8 with this banding,
+    P(miss | s≥0.8) ≤ (1-0.8⁴)^16 ≈ 2e-4 per pair, and the fixture's
+    near-dups sit at s≈0.99 (miss prob ~1e-22), so LSH recall is 1
+    and the verified output equals the exact result.
+    """
+    cat = Catalog(spark, sf_dir)
+    out = minhash_lsh_dedup_pairs(
+        cat.documents,
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        threshold=0.8,
+        n_hashes=64,
+        bands=16,
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "simhash_candidates",
+    oracle=None,  # xxhash64-based signature: not SQL-expressible; rows-only
+    tags=("dedup", "simhash"),
+)
+def simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup candidates: pairs agreeing on ≥1 of four
+    16-bit signature chunks, with Hamming distance ≤ 8. Signature uses
+    xxhash64 (engine-native, not SQL-mirrorable) → rows-only check;
+    the *semantics* are cross-checked in tests against Jaccard truth."""
+    cat = Catalog(spark, sf_dir)
+    pairs = simhash_candidate_pairs(
+        cat.documents, id_col="doc_id", text_col="text", n=3, chunk_bits=16
+    )
+    return pairs.filter(F.col("hamming") <= 8).select("id_a", "id_b", "hamming")
+
+
+# ======================================================================
+# Vector similarity / ANN
+# ======================================================================
+
+
+@query(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.45
+    """,
+    tags=("similarity", "dedup"),
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ 0.45), brute force —
+    exactness baseline for LSH blocking; bit-identical left-deep
+    arithmetic on both engines."""
+    cat = Catalog(spark, sf_dir)
+    e = cat.embeddings
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = cosine_pair("va", "vb", DIM)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= 0.45)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    SELECT e.vec_id, ROUND({_sql_cosine('e.embedding', 'q.qv')}, 6) AS cosine
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+    ORDER BY {_sql_cosine('e.embedding', 'q.qv')} DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("similarity", "ann"),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 query vector:
+    map-side score + TakeOrderedAndProject (no shuffle of the data) —
+    the exact-ANN baseline."""
+    cat = Catalog(spark, sf_dir)
+    e = cat.embeddings
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cos = cosine_pair("embedding", "qv", DIM)
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select("vec_id", cos.alias("__cos"))
+        .orderBy(F.col("__cos").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.round("__cos", 6).alias("cosine"))
+    )
+
+
+_PLANES = hyperplanes(4, DIM, seed=7)
+
+
+def _sql_bucket(col: str) -> str:
+    bits = [
+        f"(CASE WHEN {_sql_dot_literal(col, p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_PLANES)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+@query(
+    "ann_lsh_bucket",
+    oracle=f"""
+    SELECT e.vec_id, ROUND({_sql_cosine('e.embedding', 'q.qv')}, 6) AS cosine
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+    WHERE {_sql_bucket('e.embedding')} = {_sql_bucket('q.qv')}
+    """,
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN: score only vectors in the query's sign-bit
+    bucket (4 deterministic planes → 16 buckets). At scale the bucket
+    id is the partition key, so the scan prunes to ~1/16 of the data;
+    recall tuned by planes/multi-probe."""
+    cat = Catalog(spark, sf_dir)
+    e = cat.embeddings
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    joined = e.crossJoin(F.broadcast(q))
+    return (
+        joined.filter(lsh_bucket("embedding", _PLANES) == lsh_bucket("qv", _PLANES))
+        .select(
+            "vec_id", F.round(cosine_pair("embedding", "qv", DIM), 6).alias("cosine")
+        )
+    )
+
+
+# ======================================================================
+# Text analysis
+# ======================================================================
+
+
+@query(
+    "text_quality_scores",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, text,
+               string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(len(w) AS INTEGER) AS n_tokens,
+           ROUND(len(regexp_extract_all(text, '[.,!?;:]')) * 1.0
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           ROUND(len(list_filter(w, x -> x IN
+                 ('the','a','of','and','to','in','is','it'))) * 1.0
+                 / greatest(len(w), 1), 6) AS stopword_ratio,
+           ROUND(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+                 / greatest(len(w), 1), 6) AS avg_token_len
+    FROM t
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics (length, punctuation/stopword
+    ratios, mean token length) — the filter features of a training-
+    data quality gate. Pure codegen expressions, map-only."""
+    cat = Catalog(spark, sf_dir)
+    m = T.quality_metrics("text")
+    return cat.documents.select(
+        "doc_id",
+        m["n_chars"].alias("n_chars"),
+        m["n_tokens"].alias("n_tokens"),
+        F.round(m["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(m["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(m["avg_token_len"], 6).alias("avg_token_len"),
+    )
+
+
+@query(
+    "token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS INTEGER) AS bpe_tokens
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting (regex pre-tokenizer) —
+    the size accounting pass of an LLM data pipeline."""
+    cat = Catalog(spark, sf_dir)
+    return cat.documents.select(
+        "doc_id",
+        T.token_count("text").cast("int").alias("ws_tokens"),
+        T.bpe_token_count("text").cast("int").alias("bpe_tokens"),
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE
+             WHEN list_contains(w,'the') AND list_contains(w,'and') AND list_contains(w,'of') THEN 'en'
+             WHEN list_contains(w,'el') AND list_contains(w,'la') AND list_contains(w,'de') THEN 'es'
+             WHEN list_contains(w,'le') AND list_contains(w,'la') AND list_contains(w,'et') THEN 'fr'
+             WHEN list_contains(w,'der') AND list_contains(w,'die') AND list_contains(w,'und') THEN 'de'
+             ELSE 'unk'
+           END AS lang_pred,
+           lang AS lang_label
+    FROM t
+    """,
+    tags=("text", "langid"),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID vs the fixture label — the
+    deterministic stand-in for an n-gram language model (same plan
+    shape: map-only token-set tests)."""
+    cat = Catalog(spark, sf_dir)
+    return cat.documents.select(
+        "doc_id",
+        T.lang_id("text").alias("lang_pred"),
+        F.col("lang").alias("lang_label"),
+    )
+
+
+@query(
+    "word_freq_topk",
+    oracle=r"""
+    SELECT word, COUNT(*) AS n
+    FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        FROM documents
+    )
+    GROUP BY word ORDER BY n DESC, word LIMIT 20
+    """,
+    tags=("text",),
+)
+def word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency top-20 (explode → count → top-k);
+    partial aggregation keeps the shuffle at vocabulary size."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.documents.select(F.explode(T.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+# ======================================================================
+# Multimodal plumbing
+# ======================================================================
+
+
+@query(
+    "multimodal_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST(64 + octet_length(encode(text)) % 576 AS INTEGER) AS width,
+           CAST(64 + (octet_length(encode(text)) * 7) % 416 AS INTEGER) AS height
+    FROM documents
+    """,
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: synthesize a binary payload,
+    stream it through an Arrow-batched mapInPandas 'decoder'
+    (deterministic fake — real codec stubbed per environment), emit
+    typed image metadata. The Spark side (binary schema, batching,
+    partition parallelism) is the real thing."""
+    cat = Catalog(spark, sf_dir)
+    payload = with_payload(cat.documents, text_col="text")
+    return decode_image_meta(payload, id_col="doc_id", payload_col="payload")

@@ -1,0 +1,133 @@
+"""Semantics tests for the LLM-pipeline operators (dedup/similarity/
+text/multimodal) beyond the oracle gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lmo_data_catalog_spark.catalog import Catalog
+from lmo_data_catalog_spark.operators.dedup import (
+    exact_dedup,
+    exact_jaccard_pairs,
+    minhash_lsh_dedup_pairs,
+    simhash_candidate_pairs,
+)
+from lmo_data_catalog_spark.operators.multimodal import decode_image_real
+from lmo_data_catalog_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_literal,
+    lsh_bucketed_topk,
+    hyperplanes,
+)
+from lmo_data_catalog_spark.operators.text import shingles
+
+from .conftest import SF_SMOKE
+
+
+def test_minhash_lsh_equals_exact_jaccard(spark):
+    """LSH candidates + exact verify == full exact similarity join
+    on the fixture (clear τ separation ⇒ recall 1)."""
+    docs = Catalog(spark, SF_SMOKE).documents
+    exact = {
+        (r.id_a, r.id_b)
+        for r in exact_jaccard_pairs(
+            docs, id_col="doc_id", text_col="text", threshold=0.8
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_dedup_pairs(
+            docs, id_col="doc_id", text_col="text", threshold=0.8
+        ).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0  # fixture plants near-dups; empty would be vacuous
+
+
+def test_simhash_banding_guarantee(spark):
+    """Banding pigeonhole: with 4 chunks of 16 bits, EVERY pair at
+    Hamming distance < 4 must surface as a candidate, and reported
+    Hamming must equal ground truth (recomputed from signatures).
+
+    (SimHash tracks token-frequency cosine, not Jaccard — so the
+    guarantee is stated on signature distance, not on Jaccard truth.)
+    """
+    from lmo_data_catalog_spark.operators.dedup import simhash_64
+    from lmo_data_catalog_spark.operators.text import shingles
+
+    docs = Catalog(spark, SF_SMOKE).documents
+    sh = shingles(docs, id_col="doc_id", text_col="text").toDF("id", "shingle")
+    sigs = {r.id: r.simhash for r in simhash_64(sh, id_col="id").collect()}
+    ids = sorted(sigs)
+    close = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") < 4
+    }
+    cand = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_candidate_pairs(
+            docs, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    assert close <= set(cand)
+    for (a, b), h in cand.items():
+        assert h == bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+    assert len(close) > 0  # fixture plants low-distance pairs
+
+
+def test_lsh_topk_subset_of_bruteforce_bucket(spark):
+    """Every LSH-bucket hit must carry the same cosine the brute-force
+    path computes (scores agree; bucket only prunes)."""
+    e = Catalog(spark, SF_SMOKE).embeddings
+    query = e.filter(F.col("vec_id") == 0).collect()[0].embedding
+    planes = hyperplanes(4, 64, seed=7)
+    bf = {r.vec_id: r.cosine for r in brute_force_topk(
+        e, id_col="vec_id", vec_col="embedding", query=query, k=500
+    ).collect()}
+    lsh = lsh_bucketed_topk(
+        e, id_col="vec_id", vec_col="embedding", query=query, planes=planes, k=10
+    ).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        assert abs(bf[r.vec_id] - r.cosine) < 1e-12
+    # query vector is in its own bucket with cosine 1
+    assert any(r.vec_id == 0 and abs(r.cosine - 1.0) < 1e-9 for r in lsh)
+
+
+def test_cosine_literal_self_is_one(spark):
+    e = Catalog(spark, SF_SMOKE).embeddings
+    q = e.filter(F.col("vec_id") == 3).collect()[0].embedding
+    r = (
+        e.filter(F.col("vec_id") == 3)
+        .select(cosine_literal("embedding", list(q)).alias("c"))
+        .collect()[0]
+    )
+    assert abs(r.c - 1.0) < 1e-9
+
+
+def test_exact_dedup_deterministic_and_idempotent(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 5), (3, "b", 7), (4, "a", 99)],
+        ["id", "k", "x"],
+    )
+    out = exact_dedup(df, ["k"], tiebreak="id")
+    rows = {r.k: r.id for r in out.collect()}
+    assert rows == {"a": 1, "b": 3}
+    again = exact_dedup(out, ["k"], tiebreak="id")
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "one two"), (2, "a b c d")], ["doc_id", "text"])
+    sh = shingles(df, id_col="doc_id", text_col="text", n=3)
+    got = {(r.doc_id, r.shingle) for r in sh.collect()}
+    assert got == {(2, "a b c"), (2, "b c d")}  # doc 1 too short → none
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    docs = Catalog(spark, SF_SMOKE).documents
+    with pytest.raises(NotImplementedError):
+        decode_image_real(docs)
