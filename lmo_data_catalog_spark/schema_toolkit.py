@@ -38,9 +38,22 @@ def clean_names(df: DataFrame) -> DataFrame:
     return df.toDF(*out)
 
 
+def title_case(s: str) -> str:
+    """ICU-style titlecase (stringr::str_to_title): uppercase the first
+    char of each alnum word, lowercase the rest; digit-led words stay
+    lowercase ("1st 5-year CAGR" → "1st 5-Year Cagr"), unlike
+    ``str.title()`` which yields "1St"."""
+
+    def word(m: re.Match) -> str:
+        w = m.group(0)
+        return w.lower() if w[0].isdigit() else w[0].upper() + w[1:].lower()
+
+    return re.sub(r"[0-9A-Za-z]+", word, s)
+
+
 def title_case_names(df: DataFrame) -> DataFrame:
     """``str_to_title(str_replace_all(names, "_", " "))`` (SM:112)."""
-    return df.toDF(*[c.replace("_", " ").title() for c in df.columns])
+    return df.toDF(*[title_case(c.replace("_", " ")) for c in df.columns])
 
 
 def select_by_prefix(df: DataFrame, prefix: str, *, invert: bool = False) -> list[str]:

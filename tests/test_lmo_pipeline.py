@@ -1,0 +1,149 @@
+"""End-to-end reproduction of the reference pipeline (SURVEY §3, §5.3).
+
+Generates LMO-shaped raw fixtures (banner rows, "x" NA sentinel,
+empty row/col), ingests them, builds all 10 catalog artifacts as lazy
+workbooks, and checks structural + algebraic invariants against the
+reference semantics (01_source_me.R).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lmo_data_catalog_spark.plans import fixtures
+from lmo_data_catalog_spark.plans.lmo_pipeline import (
+    ARTIFACTS,
+    LMOConfig,
+    build_all,
+    jo_by_skill_cluster,
+    load_inputs,
+)
+
+CFG = LMOConfig(fyod=2024)
+
+
+@pytest.fixture(scope="module")
+def raw_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("lmo_raw")
+    fixtures.generate(str(d), fyod=CFG.fyod, seed=7)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def inputs(spark, raw_dir):
+    inp = load_inputs(spark, raw_dir)
+    inp.employment.cache()
+    inp.job_openings.cache()
+    return inp
+
+
+@pytest.fixture(scope="module")
+def artifacts(inputs):
+    return build_all(inputs, CFG)
+
+
+def test_ingest_handles_banner_sentinel_and_empties(inputs):
+    # banner skipped → real header; empty col dropped; empty row dropped
+    emp = inputs.employment
+    assert emp.columns[:5] == [
+        "NOC", "Description", "Industry", "Variable", "Geographic Area"
+    ]
+    assert "" not in [c.strip() for c in emp.columns]  # empty col gone
+    n_expected = len(fixtures.NOCS) * len(fixtures.INDUSTRIES) * len(fixtures.AREAS)
+    assert emp.count() == n_expected  # all-empty row gone
+    # "x" NA sentinel → NULL in occ_char income
+    income = "2021 Census Median Employment Income (Employed)"
+    assert inputs.occ_char.filter(F.col(income).isNull()).count() > 0
+
+
+def test_all_ten_artifacts_build_and_materialize(artifacts):
+    assert len(artifacts) == len(ARTIFACTS) == 10
+    for name, wb in artifacts.items():
+        for sheet, df in wb.items():
+            assert df.columns, f"{name}/{sheet} has no columns"
+        first = next(iter(wb.values()))
+        assert first.limit(1).count() >= 0
+
+
+def test_tbbl1_bc_only_and_cagr_algebra(artifacts):
+    wb = artifacts["Employment by Industry and Occupation for BC"]
+    df = wb["data"]
+    rows = df.collect()
+    assert rows, "tbbl1 empty"
+    areas = {r["Geographic Area"] for r in rows}
+    assert areas == {"British Columbia"}
+    # (1+c10)^10 == (1+c5a)^5 * (1+c5b)^5 (SM:56-58 algebra)
+    for r in rows[:50]:
+        c5a, c5b, c10 = r["1st 5-Year Cagr"], r["2nd 5-Year Cagr"], r["10-Year Cagr"]
+        if None in (c5a, c5b, c10):
+            continue
+        lhs = (1 + c10) ** 10
+        rhs = (1 + c5a) ** 5 * (1 + c5b) ** 5
+        assert math.isclose(lhs, rhs, rel_tol=1e-9)
+        # CAGR anchored on raw year columns
+        v0, v5, v10 = r["2024"], r["2029"], r["2034"]
+        assert math.isclose((v5 / v0) ** 0.2 - 1, c5a, rel_tol=1e-9)
+        assert math.isclose((v10 / v0) ** 0.1 - 1, c10, rel_tol=1e-9)
+
+
+def test_tbbl2_fanout_drops_pseudo_regions(artifacts):
+    wb = artifacts["Employment by Industry for BC and Regions"]
+    sheets = set(wb) - {"data"}
+    assert sheets == {"British Columbia", *fixtures.REGIONS}
+    for pseudo in fixtures.PSEUDO_REGIONS:
+        assert pseudo not in wb
+    # region sheets drop NOC/Description/Variable (SM:142)
+    cariboo = wb["Cariboo"]
+    assert "NOC" not in cariboo.columns and "Variable" not in cariboo.columns
+    # data sheet: NOC pinned to #T (SM:124)
+    assert {r["NOC"] for r in wb["data"].select("NOC").distinct().collect()} == {"#T"}
+
+
+def test_tbbl3_sums_match_year_columns(artifacts):
+    wb = artifacts["Job Openings by Industry and Occupation for BC"]
+    rows = wb["data"].collect()
+    assert rows
+    for r in rows[:50]:
+        first5 = sum(r[str(y)] for y in range(2025, 2030))
+        second5 = sum(r[str(y)] for y in range(2030, 2035))
+        assert math.isclose(r["1st 5-Year Sum"], first5, rel_tol=1e-9)
+        assert math.isclose(r["2nd 5-Year Sum"], second5, rel_tol=1e-9)
+        assert math.isclose(r["10-Year Sum"], first5 + second5, rel_tol=1e-9)
+
+
+def test_hoo_workbook_structure_and_left_join(artifacts, inputs):
+    wb = artifacts["High Opportunity Occupations BC and Regions"]
+    sheet_names = list(wb)
+    assert sheet_names[0] == "Data Dictionary"
+    assert set(sheet_names[1:]) == {"HOO BC", *(f"HOO {r}" for r in fixtures.REGIONS)}
+    bc = wb["HOO BC"].collect()
+    # left join preserves every HOO row (SURVEY §5.4)
+    flag = f"Occ Group: HOO BC {CFG.fyod}E"
+    n_hoo = inputs.occ_char.filter(~F.col(flag).rlike("Non")).count()
+    assert len(bc) == n_hoo
+    for r in bc:
+        assert r["TEER"] == r["NOC"][2]  # 3rd char of #NNNNN (SM:76)
+        assert r[CFG.jo_label] is not None  # every NOC has openings in fixture
+
+
+def test_tbbl9_long_export_shape(artifacts, inputs):
+    df = artifacts["JO by Type, Ind and Occ for BC and Regions (long)"]["data"]
+    n_wide = inputs.job_openings.filter(
+        ~F.col("Geographic Area").isin(list(fixtures.PSEUDO_REGIONS))
+    ).count()
+    assert df.count() == n_wide * 11
+    assert df.schema["year"].dataType.simpleString() == "string"  # SM:306 keeps chr
+
+
+def test_tbbl10_flagship_join(inputs):
+    df = jo_by_skill_cluster(inputs, CFG)
+    rows = df.collect()
+    # clusters fixture covers NOCS[1:-2] → inner join returns exactly those
+    assert len(rows) == len(fixtures.NOCS) - 3
+    assert df.columns == [
+        "NOC", "Description", "Occ Group: Skills Cluster", CFG.jo_label
+    ]
+    assert all(r["NOC"].startswith("#") for r in rows)
