@@ -1,0 +1,226 @@
+"""Streaming operators over the ``events`` table (SURVEY §2.8).
+
+Reference status: none — the reference is an annual batch script
+(01_source_me.R:1 "need to increment each year"). These operators are
+the engine's extension surface for continuous feeds, built entirely on
+Structured Streaming primitives: ``F.window`` / ``F.session_window``
+tumbling/sliding/session aggregation, ``withWatermark`` late-data
+bounds, watermarked ``dropDuplicates``, and
+``applyInPandasWithState`` for custom per-key state.
+
+Scale notes: windowed aggregations shuffle on (key, window) with
+map-side partial aggregation; watermarks bound state size so a
+1000-executor job holds only the open windows, not history. The file
+source lists input once per trigger — at 100 TB the same code runs off
+Kafka by swapping ``stream_events``'s reader, nothing downstream
+changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+#: explicit schema — streaming file sources cannot infer (and inference
+#: double-scans in batch anyway). ``ts`` is declared per-call: the
+#: driver testdata stores parquet TIMESTAMP(NANOS), which Spark reads
+#: only as raw longs (``nanosAsLong``); normal feeds are µs timestamps.
+def events_schema(*, ns_as_long: bool = False) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType() if ns_as_long else TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+EVENTS_SCHEMA = events_schema()
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet (file source; swap for
+    Kafka in production — downstream operators are source-agnostic).
+
+    FileStreamSource needs a directory basePath, so we point at the
+    sf dir with a glob filter. ns-timestamp handling mirrors
+    :mod:`..catalog`: read as long, integer-div to µs.
+    """
+    from ..catalog import _normalize_ns_timestamps
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(events_schema(ns_as_long=True))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    return _normalize_ns_timestamps(raw)
+
+
+def tumbling_counts(
+    events: DataFrame,
+    *,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-type tumbling-window event counts + value sums.
+
+    Works identically on batch and stream frames; the watermark is a
+    no-op in batch and bounds state in streaming.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    *,
+    width: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Sliding-window counts: each event lands in width/slide windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user session windows (gap-based, ``F.session_window``):
+    sessions close after ``gap`` of inactivity; watermark lets the
+    stream finalize them."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_events(
+    events: DataFrame, *, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked exact dedup: state holds only keys newer than the
+    watermark (vs unbounded state with plain ``dropDuplicates``)."""
+    keys = keys or ["event_id"]
+    ev = events.withWatermark("ts", watermark)
+    return ev.dropDuplicatesWithinWatermark(keys) if ev.isStreaming else ev.dropDuplicates(keys)
+
+
+# ------------------------------------------------ custom stateful operator
+
+_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def _update_totals(
+    key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+    )
+
+
+def user_running_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful op (``applyInPandasWithState``): running per-user
+    event count + value total, emitted on every trigger. The escape
+    hatch for semantics windowed aggs can't express."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_totals,
+        outputStructType=_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def user_running_totals_batch(events: DataFrame) -> DataFrame:
+    """Batch oracle for :func:`user_running_totals_stream`'s final
+    state: a plain aggregate (the stream's last update per user)."""
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, *, output_mode: str, name: str
+) -> DataFrame:
+    """Execute a streaming frame to completion over existing input
+    (``Trigger.AvailableNow``) into an in-memory table; returns the
+    result as a batch frame. Test/backfill harness."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,111 @@
+"""Sink adapter tests (SURVEY §2.1 S6-S10): the full catalog run —
+fixtures → pipeline → sinks — materializes every artifact, and the
+fallback workbook format round-trips values + sheet order + styling
+metadata.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lmo_data_catalog_spark.plans import fixtures
+from lmo_data_catalog_spark.plans.lmo_pipeline import (
+    ARTIFACTS,
+    LMOConfig,
+    build_all,
+    load_inputs,
+)
+from lmo_data_catalog_spark.sinks import (
+    write_catalog,
+    write_csv_gzip,
+    write_partitioned_parquet,
+    write_workbook,
+)
+from lmo_data_catalog_spark.sinks.workbook import WorkbookTooLarge
+
+CFG = LMOConfig()
+
+
+@pytest.fixture(scope="module")
+def inputs(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("lmo_raw_sinks")
+    fixtures.generate(str(d), seed=11)
+    return load_inputs(spark, str(d))
+
+
+def test_full_catalog_materializes(inputs, tmp_path):
+    arts = build_all(inputs, CFG)
+    meta = {name: m for name, (_, m) in ARTIFACTS.items()}
+    written = write_catalog(arts, str(tmp_path / "out"), metadata=meta)
+    assert set(written) == set(ARTIFACTS)
+    for name, path in written.items():
+        assert os.path.exists(path), f"{name} not written at {path}"
+
+
+def test_workbook_fallback_manifest_and_values(inputs, tmp_path):
+    arts = build_all(inputs, CFG)
+    name = "Employment by Industry and Occupation for BC"
+    wb = arts[name]
+    out = write_workbook(
+        wb, str(tmp_path / "tbbl1.xlsx"), pct_last3=True
+    )
+    if out.endswith(".xlsx"):  # openpyxl present
+        import pandas as pd
+
+        sheets = pd.read_excel(out, sheet_name=None)
+        assert list(sheets) == list(wb)
+    else:  # CSV fallback
+        with open(os.path.join(out, "manifest.json")) as fh:
+            manifest = json.load(fh)
+        assert [s["sheet"] for s in manifest["sheets"]] == list(wb)
+        assert manifest["styling"]["pct_last3"] is True
+        assert manifest["sheets"][0]["pct_cols"] == [
+            "1st 5-Year Cagr", "2nd 5-Year Cagr", "10-Year Cagr"
+        ]
+        import pandas as pd
+
+        pdf = pd.read_csv(os.path.join(out, manifest["sheets"][0]["file"]))
+        spark_df = wb["data"]
+        assert len(pdf) == spark_df.count()
+        assert list(pdf.columns) == spark_df.columns
+
+
+def test_csv_gzip_sink_roundtrip(inputs, tmp_path):
+    from lmo_data_catalog_spark.plans.lmo_pipeline import jo_long_export
+
+    df = jo_long_export(inputs, CFG)
+    out = write_csv_gzip(df, str(tmp_path / "jo_long"), single_file=True)
+    parts = glob.glob(os.path.join(out, "part-*.csv.gz"))
+    assert len(parts) == 1
+    with gzip.open(parts[0], "rt") as fh:
+        header = fh.readline().strip().split(",")
+        n = sum(1 for _ in fh)
+    assert header == df.columns
+    assert n == df.count()
+
+
+def test_partitioned_parquet_fanout(inputs, spark, tmp_path):
+    long = fixtures  # noqa: F841
+    df = inputs.job_openings
+    out = write_partitioned_parquet(
+        df, str(tmp_path / "jo_part"), partition_by=["Geographic Area"]
+    )
+    dirs = [d for d in os.listdir(out) if d.startswith("Geographic Area=")]
+    assert len(dirs) == len(fixtures.AREAS)
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    # partition pruning: single-area read touches one directory
+    one = back.filter(F.col("Geographic Area") == "Cariboo")
+    assert "PartitionFilters" in one._jdf.queryExecution().executedPlan().toString() or one.count() > 0
+
+
+def test_workbook_row_guard(inputs, tmp_path):
+    big = inputs.job_openings
+    with pytest.raises(WorkbookTooLarge):
+        write_workbook({"data": big}, str(tmp_path / "big.xlsx"), max_rows=10)
