@@ -26,7 +26,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import shingles
+from .text import hashed_shingles
 
 # Prime > 2^32 for affine MinHash permutations over 32-bit base hashes.
 _MERSENNE_P = 4294967311
@@ -72,7 +72,10 @@ def minhash_signatures(
     affine-permuted 32-bit base hash — map-side partial aggregation
     means the shuffle carries signatures, not shingles.
     """
-    base = F.pmod(F.xxhash64("shingle"), F.lit(_HASH_SPACE))
+    # sh is a hashed (id, h) table; reduce to the 32-bit base space
+    # once — the 64 MIN aggs then reuse one long column.
+    hashed = sh.select(id_col, F.pmod(F.col("h"), F.lit(_HASH_SPACE)).alias("__h"))
+    base = F.col("__h")
     perms = minhash_permutations(n_hashes, seed)
     aggs = [
         F.min(F.pmod(base * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(
@@ -80,7 +83,7 @@ def minhash_signatures(
         )
         for i, (a, b) in enumerate(perms)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -117,11 +120,11 @@ def jaccard_on_pairs(
     """Exact Jaccard for given candidate (id_a, id_b) pairs against a
     (id, shingle) table → (id_a, id_b, jaccard)."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    sh_a = sh.toDF("id_a", "shingle")
-    sh_b = sh.toDF("id_b", "shingle")
+    sh_a = sh.toDF("id_a", "h")
+    sh_b = sh.toDF("id_b", "h")
     common = (
         pairs.join(sh_a, on="id_a")
-        .join(sh_b, on=["id_b", "shingle"])
+        .join(sh_b, on=["id_b", "h"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -155,17 +158,48 @@ def exact_jaccard_pairs(
     :func:`minhash_lsh_dedup_pairs` instead (this one shuffles every
     shingle co-occurrence).
     """
-    sh = shingles(df, id_col=id_col, text_col=text_col, n=n)
-    sh = sh.toDF("id", "shingle")
-    pairs = (
-        sh.toDF("id_a", "shingle")
-        .join(sh.toDF("id_b", "shingle"), on="shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    # the shingle table feeds sizes, the df≥2 prune, AND both sides
+    # of the self-join — persist it or the tokenize/hash/distinct
+    # lineage re-executes once per branch (4×, seen in profiles).
+    sh = (
+        hashed_shingles(df, id_col=id_col, text_col=text_col, n=n)
+        .toDF("id", "h")
+        .persist()
     )
-    return jaccard_on_pairs(pairs, sh.toDF("id", "shingle"), id_col="id").filter(
-        F.col("jaccard") >= threshold
+    # count common shingles directly off the shingle self-join — one
+    # shuffle-join + one agg, instead of distinct-pairs then two more
+    # shingle joins (3× the work, seen in profiles). Shingles appearing
+    # in a single document (the vast majority) cannot produce a pair;
+    # pruning them before the self-join cuts its input by ~the unique-
+    # shingle fraction while sizes stay exact (computed pre-prune).
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h")
+    )
+    sh2 = sh.join(shared, on="h")
+    common = (
+        sh2.toDF("h", "id_a")
+        .join(sh2.toDF("h", "id_b"), on="h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = sizes.toDF("id_a", "n_a")
+    nb = sizes.toDF("id_b", "n_b")
+    return (
+        common.join(na, on="id_a")
+        .join(nb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -188,8 +222,14 @@ def minhash_lsh_dedup_pairs(
     tractable. Output is exact (verified), LSH only prunes.
     """
     rows = n_hashes // bands
-    sh = shingles(df, id_col=id_col, text_col=text_col, n=n).toDF("id", "shingle")
-    sig = minhash_signatures(sh, id_col="id", n_hashes=n_hashes, seed=seed)
+    # persist shared intermediates: sh feeds signatures + verify (3
+    # branches), sig feeds both sides of the banding self-join.
+    sh = (
+        hashed_shingles(df, id_col=id_col, text_col=text_col, n=n)
+        .toDF("id", "h")
+        .persist()
+    )
+    sig = minhash_signatures(sh, id_col="id", n_hashes=n_hashes, seed=seed).persist()
     cand = lsh_candidate_pairs(sig, id_col="id", bands=bands, rows=rows)
     return jaccard_on_pairs(cand, sh, id_col="id").filter(
         F.col("jaccard") >= threshold
@@ -201,16 +241,17 @@ def simhash_64(sh: DataFrame, *, id_col: str) -> DataFrame:
     sum +1/-1 votes of each shingle's xxhash64 bit; sign → bit.
 
     64 conditional-sum aggregates in ONE groupBy pass (map-side
-    combined). Returns (id, simhash) with the signature as int64.
+    combined). Takes a hashed (id, h) shingle table.
     """
-    h = F.xxhash64("shingle")
+    hashed = sh.select(id_col, "h")
+    h = F.col("h")
     bit_votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v_{i}")
         for i in range(64)
     ]
-    votes = sh.groupBy(id_col).agg(*bit_votes)
+    votes = hashed.groupBy(id_col).agg(*bit_votes)
     sig = None
     for i in range(64):
         bit = F.when(F.col(f"v_{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
@@ -230,8 +271,12 @@ def simhash_candidate_pairs(
     """SimHash near-dup candidates: pairs matching on ≥1 of the 64/
     chunk_bits signature chunks (guaranteed to catch Hamming distance
     < 64/chunk_bits). Returns (id_a, id_b, hamming)."""
-    sh = shingles(df, id_col=id_col, text_col=text_col, n=n).toDF("id", "shingle")
-    sig = simhash_64(sh, id_col="id")
+    sh = hashed_shingles(df, id_col=id_col, text_col=text_col, n=n).toDF(
+        "id", "h"
+    )
+    # sig feeds both sides of the chunk-match self-join — persist so
+    # the shingle+vote lineage runs once.
+    sig = simhash_64(sh, id_col="id").persist()
     n_chunks = 64 // chunk_bits
     mask = (1 << chunk_bits) - 1
     chunks = sig.select(

@@ -24,22 +24,32 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _fold_sum(products: Column) -> Column:
+    """Left-to-right double-precision fold — the same addition order as
+    an explicit left-deep ``t0 + t1 + ...`` sum, so results stay
+    bit-identical to an oracle evaluating the unrolled expression,
+    while the Spark expression tree stays O(1) instead of O(dim)
+    (whole-stage codegen compiles in ms, not seconds, at dim=64+)."""
+    return F.aggregate(products, F.lit(0.0), lambda acc, x: acc + x)
+
+
 def dot_literal(col: str, vec: list[float]) -> Column:
     """Left-deep ⟨array_col, literal_vec⟩ in double precision."""
-    terms = [
-        F.get(F.col(col), i).cast("double") * F.lit(float(v))
-        for i, v in enumerate(vec)
-    ]
-    return reduce(lambda a, b: a + b, terms)
+    lit_vec = F.array(*[F.lit(float(v)) for v in vec])
+    return _fold_sum(
+        F.zip_with(F.col(col), lit_vec, lambda x, v: x.cast("double") * v)
+    )
 
 
 def dot_pair(col_a: str, col_b: str, dim: int) -> Column:
     """Left-deep ⟨a, b⟩ for two array columns."""
-    terms = [
-        F.get(F.col(col_a), i).cast("double") * F.get(F.col(col_b), i).cast("double")
-        for i in range(dim)
-    ]
-    return reduce(lambda a, b: a + b, terms)
+    return _fold_sum(
+        F.zip_with(
+            F.col(col_a),
+            F.col(col_b),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        )
+    )
 
 
 def norm_sq(col: str, dim: int) -> Column:
@@ -126,6 +136,81 @@ def lsh_bucketed_topk(
     )
 
 
+def neardup_pairs_gemm(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via GEMM tiles + exact
+    re-verification — same output as :func:`neardup_pairs_bruteforce`,
+    orders of magnitude faster.
+
+    Stage 1 (candidates): the build side is gathered like a broadcast-
+    join build side (numpy matrix, sc.broadcast); each partition of the
+    probe side computes an Arrow-batched ``A @ Bᵀ`` and emits pairs
+    scoring ≥ threshold−eps. float64 GEMM differs from left-deep
+    summation by ≲1e-13 at dim≈64, so the eps band loses nothing.
+    Stage 2 (exact): candidates — a tiny set — are re-scored with the
+    left-deep expression arithmetic and filtered at the true threshold,
+    making the output bit-identical to the brute-force/oracle result.
+
+    At 100 TB the build side exceeds one broadcast: shard B into
+    column blocks and union the candidate stages (same code per block);
+    stage 2 is unchanged.
+    """
+    import pandas as pd  # noqa: F401 (executor-side import below)
+
+    spark = df.sparkSession
+    side = df.select(id_col, vec_col).toPandas()
+    ids_b = side[id_col].to_numpy()
+    B = np.stack(side[vec_col].to_numpy()).astype(np.float64)
+    nb = np.sqrt((B * B).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids_b, B, nb))
+    cut = threshold - eps
+
+    def gen(batches):
+        import pandas as pd
+
+        ids_b_, B_, nb_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ida = pdf[id_col].to_numpy()
+            na = np.sqrt((A * A).sum(axis=1))
+            S = (A @ B_.T) / np.outer(na, nb_)
+            ia, ib = np.nonzero((S >= cut) & (ida[:, None] < ids_b_[None, :]))
+            yield pd.DataFrame({"id_a": ida[ia], "id_b": ids_b_[ib]})
+
+    cand = df.select(id_col, vec_col).mapInPandas(gen, "id_a bigint, id_b bigint")
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.sqrt(norm_sq(vec_col, dim)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.sqrt(norm_sq(vec_col, dim)).alias("nb"),
+    )
+    return (
+        cand.join(a, on="id_a")
+        .join(b, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (dot_pair("va", "vb", dim) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def neardup_pairs_bruteforce(
     df: DataFrame,
     *,
@@ -135,12 +220,31 @@ def neardup_pairs_bruteforce(
     threshold: float,
 ) -> DataFrame:
     """All vector pairs with cosine ≥ threshold — O(N²) cross join;
-    the exactness baseline that verifies the LSH path."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    the exactness baseline that verifies the LSH path.
+
+    Norms are computed once per ROW before the join (N sqrt's, not
+    N²·3 dot products per pair), and the cosine expression is aliased
+    before the threshold filter so it's evaluated once per pair.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.sqrt(norm_sq(vec_col, dim)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.sqrt(norm_sq(vec_col, dim)).alias("nb"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_pair("va", "vb", dim).alias("cosine"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot_pair("va", "vb", dim) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
     )

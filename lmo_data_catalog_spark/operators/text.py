@@ -38,7 +38,7 @@ def shingles(df: DataFrame, *, id_col: str, text_col: str, n: int = 3) -> DataFr
     Pure expression shingling: ``transform(sequence(...), slice)`` —
     no UDF. Documents shorter than n words yield no shingles.
     """
-    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    toks = _spread(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
     grams = toks.select(
         id_col,
         F.when(
@@ -54,6 +54,42 @@ def shingles(df: DataFrame, *, id_col: str, text_col: str, n: int = 3) -> DataFr
     return (
         grams.select(id_col, F.explode("__grams").alias("shingle")).distinct()
     )
+
+
+def hashed_shingles(
+    df: DataFrame, *, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document, as 64-bit hashes:
+    (id, h). The set-similarity workhorse representation — all
+    downstream shuffles/joins carry 8-byte longs instead of shingle
+    strings, and xxhash64 collisions (~|shingles|²/2⁶⁵) are far below
+    any measurable effect on Jaccard counts.
+    """
+    toks = _spread(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
+    grams = toks.select(
+        id_col,
+        F.when(
+            F.size("__toks") >= n,
+            F.expr(
+                f"transform(sequence(0, size(__toks) - {n}),"
+                f" i -> xxhash64(concat_ws(' ', slice(__toks, i + 1, {n}))))"
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("__grams"),
+    )
+    return grams.select(id_col, F.explode("__grams").alias("h")).distinct()
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition ahead of row-expanding work when the scan produced
+    fewer partitions than cores (small single-file inputs park the
+    whole explode on one task). Inputs already split — the 100 TB
+    case — pass through untouched."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
 
 
 def token_count(col: Column | str) -> Column:

@@ -30,10 +30,9 @@ from ..operators.dedup import (
 from ..operators.multimodal import decode_image_meta, with_payload
 from ..operators.similarity import (
     cosine_pair,
-    dot_pair,
     hyperplanes,
     lsh_bucket,
-    norm_sq,
+    neardup_pairs_gemm,
 )
 from ..registry import query
 
@@ -228,20 +227,18 @@ def simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "dedup"),
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs (cosine ≥ 0.45), brute force —
-    exactness baseline for LSH blocking; bit-identical left-deep
-    arithmetic on both engines."""
+    """Embedding near-duplicate pairs (cosine ≥ 0.45): GEMM-tiled
+    candidates + exact left-deep re-verification — output bit-identical
+    to the all-pairs oracle at a fraction of the cost."""
     cat = Catalog(spark, sf_dir)
-    e = cat.embeddings
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    cos = cosine_pair("va", "vb", DIM)
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cos >= 0.45)
-        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+    out = neardup_pairs_gemm(
+        cat.embeddings,
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=DIM,
+        threshold=0.45,
     )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 @query(
@@ -300,10 +297,15 @@ def ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall tuned by planes/multi-probe."""
     cat = Catalog(spark, sf_dir)
     e = cat.embeddings
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    # the query's bucket is computed ONCE on the 1-row broadcast side,
+    # not re-derived per scanned row
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        lsh_bucket("embedding", _PLANES).alias("qb"),
+    )
     joined = e.crossJoin(F.broadcast(q))
     return (
-        joined.filter(lsh_bucket("embedding", _PLANES) == lsh_bucket("qv", _PLANES))
+        joined.filter(lsh_bucket("embedding", _PLANES) == F.col("qb"))
         .select(
             "vec_id", F.round(cosine_pair("embedding", "qv", DIM), 6).alias("cosine")
         )

@@ -54,10 +54,10 @@ def test_simhash_banding_guarantee(spark):
     guarantee is stated on signature distance, not on Jaccard truth.)
     """
     from lmo_data_catalog_spark.operators.dedup import simhash_64
-    from lmo_data_catalog_spark.operators.text import shingles
+    from lmo_data_catalog_spark.operators.text import hashed_shingles
 
     docs = Catalog(spark, SF_SMOKE).documents
-    sh = shingles(docs, id_col="doc_id", text_col="text").toDF("id", "shingle")
+    sh = hashed_shingles(docs, id_col="doc_id", text_col="text").toDF("id", "h")
     sigs = {r.id: r.simhash for r in simhash_64(sh, id_col="id").collect()}
     ids = sorted(sigs)
     close = {
