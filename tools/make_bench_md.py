@@ -1,0 +1,108 @@
+"""Produce BENCH.md + per-query physical-plan archive (BASELINE.md's
+engine measurement protocol: repeated timed runs, best-of, plans
+archived for plan-regression review).
+
+Usage: python tools/make_bench_md.py [sf_dir]
+Writes BENCH.md at the repo root and explains/<query>.txt.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from lmo_data_catalog_spark.registry import REGISTRY  # noqa: E402
+from lmo_data_catalog_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    bench = json.loads(out.stdout.strip().splitlines()[-1])
+
+    spark = get_spark("explain")
+    spark.sparkContext.setLogLevel("ERROR")
+    exp_dir = os.path.join(ROOT, "explains")
+    os.makedirs(exp_dir, exist_ok=True)
+    notes: dict[str, str] = {}
+    for name, spec in REGISTRY.items():
+        try:
+            df = spec.builder(spark, sf_dir)
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        except Exception as e:  # noqa: BLE001
+            plan = f"EXPLAIN FAILED: {e}"
+        with open(os.path.join(exp_dir, f"{name}.txt"), "w") as fh:
+            fh.write(plan)
+        notes[name] = _plan_notes(plan)
+    spark.stop()
+
+    lines = [
+        "# BENCH — engine wall-clock at sf={}".format(bench["sf"]),
+        "",
+        "Generated {} by tools/make_bench_md.py; protocol per BASELINE.md:".format(
+            time.strftime("%Y-%m-%d %H:%M:%S")
+        ),
+        "noop-sink execution (no driver transfer), 1 warm-up + best of 2",
+        "timed runs per query, AQE on, local[*]. Physical plans archived",
+        "in `explains/<query>.txt`.",
+        "",
+        f"**Suite total: {bench['value']} s** across {len(bench['queries'])} queries.",
+        "",
+        "| query | sec | plan notes |",
+        "|---|---|---|",
+    ]
+    for name, sec in sorted(bench["queries"].items(), key=lambda kv: -kv[1]):
+        lines.append(f"| {name} | {sec} | {notes.get(name, '')} |")
+    lines += [
+        "",
+        "Plan-note legend: `WSC n` = whole-stage-codegen spans; `bhj/smj` =",
+        "broadcast-hash / sort-merge joins; `px` = exchanges (shuffles);",
+        "`pushed` = parquet scan has pushed filters.",
+        "",
+    ]
+    with open(os.path.join(ROOT, "BENCH.md"), "w") as fh:
+        fh.write("\n".join(lines))
+    print("wrote BENCH.md and", len(notes), "plans")
+
+
+def _plan_notes(plan: str) -> str:
+    import re
+    from collections import Counter
+
+    nodes = Counter(re.findall(r"^\(\d+\) (\w+)", plan, re.M))
+    n_ex = nodes.get("Exchange", 0)
+    bhj = nodes.get("BroadcastHashJoin", 0)
+    smj = nodes.get("SortMergeJoin", 0)
+    bnl = nodes.get("BroadcastNestedLoopJoin", 0)
+    pushed = bool(re.search(r"PushedFilters: \[[^\]]", plan))
+    bits = [f"px {n_ex}"]
+    if bhj:
+        bits.append(f"bhj {bhj}")
+    if smj:
+        bits.append(f"smj {smj}")
+    if bnl:
+        bits.append(f"bnlj {bnl}")
+    if pushed:
+        bits.append("pushed")
+    return ", ".join(bits)
+
+
+if __name__ == "__main__":
+    main()
