@@ -1,0 +1,235 @@
+"""Training-data pipeline queries beyond the LLM basics (SURVEY §7 E):
+IVF-style ANN, TF-IDF term extraction, benchmark-contamination
+screening, and deterministic stratified sampling.
+
+Determinism rules follow queries.llm: rational arithmetic only (no
+libm log/exp whose ulp could differ across engines), explicit
+tie-breaks on every rank/top-k, and the left-deep cosine contract
+from operators.similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..operators import text as T
+from ..operators.similarity import cosine_pair
+from ..registry import query
+from .llm import DIM, _sql_cosine
+
+# ---------------------------------------------------------------------- IVF ANN
+
+_IVF_SQL = f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cvec
+        FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+    ),
+    assign AS (
+        SELECT e.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC, c.cent_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    a1 AS (SELECT vec_id, cent_id FROM assign WHERE rn = 1),
+    qc AS (SELECT cent_id FROM a1 WHERE vec_id = 0),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, ROUND({_sql_cosine('e.embedding', 'q.qv')}, 6) AS cosine
+    FROM embeddings e
+    JOIN a1 ON a1.vec_id = e.vec_id
+    JOIN qc ON a1.cent_id = qc.cent_id
+    CROSS JOIN q
+    ORDER BY {_sql_cosine('e.embedding', 'q.qv')} DESC, e.vec_id
+    LIMIT 10
+"""
+
+
+@query("ann_ivf_topk", oracle=_IVF_SQL, tags=("similarity", "ann", "ivf"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: assign every vector to its nearest of
+    8 deterministic centroids (vec_id 1-8), then search only the
+    query's cell. The scale path: the assignment is a broadcast join +
+    one window, the cell is ~1/8 of the data (a partition key at
+    100 TB), and the final top-k is TakeOrderedAndProject."""
+    cat = Catalog(spark, sf_dir)
+    e = cat.embeddings
+    cents = F.broadcast(
+        e.filter(F.col("vec_id").between(1, 8)).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__cos").desc(), F.col("cent_id").asc()
+    )
+    # assign feeds both the query-cell lookup and the cell filter —
+    # persist so the crossJoin+window lineage runs once
+    assign = (
+        e.crossJoin(cents)
+        .select(
+            "vec_id",
+            "cent_id",
+            cosine_pair("embedding", "cvec", DIM).alias("__cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+        .persist()
+    )
+    qc = F.broadcast(
+        assign.filter(F.col("vec_id") == 0).select(
+            F.col("cent_id").alias("qcent")
+        )
+    )
+    cell = assign.join(qc, assign.cent_id == qc.qcent).select("vec_id")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    return (
+        e.join(cell, on="vec_id")
+        .crossJoin(q)
+        .select("vec_id", cosine_pair("embedding", "qv", DIM).alias("__cos"))
+        .orderBy(F.col("__cos").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.round("__cos", 6).alias("cosine"))
+    )
+
+
+# ----------------------------------------------------------------------- TF-IDF
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               (tf.tf * (n.n + 1.0)) / (dfreq.df + 1.0) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term
+               ) AS rk
+        FROM scored
+    )
+    SELECT doc_id, term, ROUND(score, 6) AS score, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by rational TF-IDF
+    (tf·(N+1)/(df+1) — no log, so the score is cross-engine exact).
+    Two shuffles: term-frequency agg and the per-doc rank window;
+    document frequency is a broadcast-joined dimension."""
+    cat = Catalog(spark, sf_dir)
+    toks = cat.documents.select(
+        "doc_id", F.explode(T.tokens("text")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    n = cat.documents.select(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            ((F.col("tf") * (F.col("n") + F.lit(1.0))) / (F.col("df") + F.lit(1.0))).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.round("score", 6).alias("score"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+# ---------------------------------------------------------- contamination screen
+
+#: fixed probe phrases (shared literal list → both engines test the
+#: same membership); realistic use: eval-benchmark n-grams.
+PROBES = ["hash value table", "window merge spark", "vector table fast"]
+
+
+def _probes_values_sql() -> str:
+    return ", ".join(f"('{p}')" for p in PROBES)
+
+
+@query(
+    "contamination_screen",
+    oracle=f"""
+    SELECT p.probe, d.doc_id
+    FROM documents d
+    CROSS JOIN (VALUES {_probes_values_sql()}) AS p(probe)
+    WHERE position(p.probe IN d.text) > 0
+    """,
+    tags=("text", "contamination"),
+)
+def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: which documents contain any of
+    a fixed set of probe phrases (exact substring). Map-only scan ×
+    |probes| — at 100 TB, pre-filter with a Bloom/Aho-Corasick pass
+    per partition; the output contract stays (probe, doc_id)."""
+    cat = Catalog(spark, sf_dir)
+    probes = F.array(*[F.lit(p) for p in PROBES])
+    return (
+        cat.documents.select(
+            "doc_id", F.explode(probes).alias("probe"), "text"
+        )
+        .filter(F.expr("position(probe IN text) > 0"))
+        .select("probe", "doc_id")
+    )
+
+
+# ------------------------------------------------------------- stratified sample
+
+_KNUTH = 2654435761  # Fibonacci-hash multiplier
+_M32 = 4294967296
+
+
+@query(
+    "stratified_sample_langs",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE (doc_id * {_KNUTH}) % {_M32} <
+          CASE WHEN lang = 'en' THEN {_M32 // 2} ELSE {_M32} END
+    """,
+    tags=("sampling",),
+)
+def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: keep ~50% of the
+    dominant language (en), 100% of the rest — the language-rebalance
+    step of a corpus build. The keep decision is pure integer
+    arithmetic on the key (Fibonacci multiplicative hash), so it is
+    reproducible across engines, runs, and partitionings — unlike
+    ``df.sample`` whose output depends on partition layout."""
+    cat = Catalog(spark, sf_dir)
+    bucket = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_M32)
+    cutoff = F.when(F.col("lang") == "en", F.lit(_M32 // 2)).otherwise(
+        F.lit(_M32)
+    )
+    return cat.documents.filter(bucket < cutoff).select("doc_id", "lang")
