@@ -205,6 +205,83 @@ def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------ chunking
+
+CHUNK_SIZE = 128
+CHUNK_STEP = 96  # size - overlap(32)
+
+
+@query(
+    "chunk_documents",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split_regex(lower(trim(text)), '\s+')) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(s / {CHUNK_STEP} AS INTEGER) AS chunk_idx,
+           CAST(s AS INTEGER) AS start_tok,
+           CAST(least(s + {CHUNK_SIZE}, n) AS INTEGER) AS end_tok
+    FROM t, unnest(generate_series(0, n - 1, {CHUNK_STEP})) AS u(s)
+    """,
+    tags=("text", "chunking"),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (128-token windows, 32-token
+    overlap) — the context-length packing step before tokenization.
+    Pure sequence+explode: chunk boundaries are computed from token
+    counts, no per-row Python; at 100 TB this is a map-only stage."""
+    cat = Catalog(spark, sf_dir)
+    n = F.size(T.tokens("text"))
+    starts = F.sequence(F.lit(0), n - 1, F.lit(CHUNK_STEP))
+    return (
+        cat.documents.select(
+            "doc_id", n.alias("n"), F.explode(starts).alias("s")
+        )
+        .select(
+            "doc_id",
+            (F.col("s") / CHUNK_STEP).cast("int").alias("chunk_idx"),
+            F.col("s").cast("int").alias("start_tok"),
+            F.least(F.col("s") + CHUNK_SIZE, F.col("n")).cast("int").alias(
+                "end_tok"
+            ),
+        )
+    )
+
+
+# ------------------------------------------------------------------ array funcs
+
+
+@query(
+    "array_funcs_embeddings",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           CAST(list_min(embedding) AS DOUBLE) AS v_min,
+           CAST(list_max(embedding) AS DOUBLE) AS v_max,
+           CAST(embedding[1] AS DOUBLE) AS v_first,
+           CAST(embedding[len(embedding)] AS DOUBLE) AS v_last
+    FROM embeddings
+    """,
+    tags=("array",),
+)
+def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over the embedding column: size, min,
+    max, first/last element — order-independent extractions that are
+    exact in both engines (no float summation involved)."""
+    cat = Catalog(spark, sf_dir)
+    e = F.col("embedding")
+    return cat.embeddings.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.array_min(e).cast("double").alias("v_min"),
+        F.array_max(e).cast("double").alias("v_max"),
+        F.get(e, 0).cast("double").alias("v_first"),
+        F.element_at(e, F.size(e)).cast("double").alias("v_last"),
+    )
+
+
 # ------------------------------------------------------------- stratified sample
 
 _KNUTH = 2654435761  # Fibonacci-hash multiplier
