@@ -83,6 +83,46 @@ def asof_join(
     return out.filter(F.col("__is_left") == 1).drop("__is_left")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: Sequence[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: split each hot key across
+    ``salt_buckets`` tasks.
+
+    The probe (left) side gets a deterministic per-row salt (uniform
+    hash of the whole row); the build (right) side is replicated once
+    per salt value; the join key becomes (keys…, salt). A key holding
+    50% of all rows then occupies ``salt_buckets`` parallel tasks
+    instead of one straggler. Results are identical to the unsalted
+    join for inner/left joins (each left row meets each matching right
+    row exactly once — in its own salt bucket).
+
+    AQE's skew-join split handles moderate skew at runtime; reach for
+    explicit salting when one key exceeds what a single task can hold
+    even after AQE splitting, or when the skew is known at build time.
+    Replication multiplies the build side ×salt_buckets — keep it the
+    smaller input.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)
+    ).cast("int")
+    l_salted = left.withColumn("__salt", salt)
+    r_salted = right.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    return l_salted.join(
+        r_salted, on=[*on, "__salt"], how=how
+    ).drop("__salt")
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -282,6 +282,54 @@ def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- quality gate
+
+
+@query(
+    "corpus_quality_gate",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(w) AS INTEGER) AS n_tokens,
+           ROUND(len(list_filter(w, x -> x IN
+                 ('the','a','of','and','to','in','is','it'))) * 1.0
+                 / greatest(len(w), 1), 6) AS stopword_ratio
+    FROM t
+    WHERE len(w) >= 30
+      AND len(list_filter(w, x -> x IN
+          ('the','a','of','and','to','in','is','it'))) * 1.0
+          / greatest(len(w), 1) >= 0.02
+    """,
+    tags=("text", "quality", "filter"),
+)
+def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end quality gate: keep documents passing minimum length
+    AND stopword-ratio thresholds (the composed filter step that sits
+    between scoring and training-set write). Map-only; the predicate
+    is pure codegen expressions so at 100 TB it rides the scan."""
+    cat = Catalog(spark, sf_dir)
+    m = T.quality_metrics("text")
+    scored = cat.documents.select(
+        "doc_id",
+        "lang",
+        m["n_tokens"].cast("int").alias("n_tokens"),
+        m["stopword_ratio"].alias("__swr"),
+    )
+    return (
+        scored.filter((F.col("n_tokens") >= 30) & (F.col("__swr") >= 0.02))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round("__swr", 6).alias("stopword_ratio"),
+        )
+    )
+
+
 # ------------------------------------------------------------- stratified sample
 
 _KNUTH = 2654435761  # Fibonacci-hash multiplier
