@@ -59,6 +59,95 @@ def decode_image_meta(
     )
 
 
+RESIZED_SCHEMA = (
+    "doc_id long, width int, height int, out_width int, out_height int, "
+    "scale double"
+)
+
+
+def resize_image_meta(
+    df: DataFrame,
+    *,
+    target: int = 224,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize plumbing: compute output geometry (aspect-preserving,
+    short side → ``target``) per image via mapInPandas.
+
+    Deterministic fake dimensions (same rule as decode_image_meta);
+    the pixel resample itself is the stubbed codec step — geometry,
+    schema, and batch flow are the real Spark surface.
+    """
+    import pandas as pd
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            n = pdf[payload_col].apply(len)
+            w = 64 + n % 576
+            h = 64 + (n * 7) % 416
+            scale = target / pd.concat([w, h], axis=1).min(axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": w,
+                    "height": h,
+                    "out_width": (w * scale).round().astype("int64"),
+                    "out_height": (h * scale).round().astype("int64"),
+                    "scale": scale,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        resize, schema=RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, ts_ms long, frame binary"
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    n_frames: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-sampling plumbing: one input 'video' row → ``n_frames``
+    output rows (uniformly spaced), each carrying a frame payload
+    slice — the 1→N batch shape of real video decode.
+
+    Fake duration/frames are derived from payload length; a real
+    decoder replaces the slicing with codec output, nothing else
+    changes. At scale this explodes row counts — size
+    ``arrow.maxRecordsPerBatch`` for the OUTPUT rows, not the input.
+    """
+    import pandas as pd
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "ts_ms": [],
+                "frame": [],
+            }
+            for _, row in pdf.iterrows():
+                payload = row[payload_col]
+                dur_ms = 1000 + (len(payload) * 13) % 9000  # fake duration
+                step = max(1, len(payload) // n_frames)
+                for i in range(n_frames):
+                    out["doc_id"].append(row[id_col])
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * dur_ms // n_frames)
+                    out["frame"].append(payload[i * step : (i + 1) * step])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        sample, schema=FRAME_SCHEMA
+    )
+
+
 def decode_image_real(df: DataFrame, **kwargs) -> DataFrame:
     """Real image decode — requires an image codec library.
 

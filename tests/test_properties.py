@@ -1,0 +1,170 @@
+"""Property tests (SURVEY §5.4) — hypothesis-generated inputs, small
+example counts (each example is a Spark job), invariants from the
+reference's algebra:
+
+- unpivot∘pivot = identity on year-columned tables
+- CAGR chain rule: (1+c10)^10 == (1+c5a)^5 · (1+c5b)^5
+- exact n-gram Jaccard against a pure-Python ground truth
+- clean_names idempotence + collision dedupe
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from lmo_data_catalog_spark import schema_toolkit as stk
+from lmo_data_catalog_spark.operators.dedup import exact_jaccard_pairs
+from lmo_data_catalog_spark.operators.metrics import cagr_expr, value_at_year
+from lmo_data_catalog_spark.operators.reshape import pivot_years, unpivot_years
+
+YEARS = [2024, 2025, 2026]
+
+prop = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+values = st.floats(
+    min_value=0.1, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@prop
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c", "d"]), values, values, values),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_unpivot_pivot_roundtrip(spark, rows):
+    df = spark.createDataFrame(
+        [(k, *vs) for k, *vs in rows], ["k"] + [str(y) for y in YEARS]
+    )
+    long = unpivot_years(df, ["k"])
+    wide = pivot_years(long, ["k"], YEARS)
+    got = {r["k"]: tuple(r[str(y)] for y in YEARS) for r in wide.collect()}
+    want = {k: tuple(vs) for k, *vs in rows}
+    assert set(got) == set(want)
+    for k in want:
+        for g, w in zip(got[k], want[k]):
+            assert math.isclose(g, w, rel_tol=1e-12)
+
+
+@prop
+@given(
+    v=st.tuples(values, values, values),
+)
+def test_cagr_chain_rule(spark, v):
+    v0, v5, v10 = v
+    df = spark.createDataFrame(
+        [("g", 2024, v0), ("g", 2029, v5), ("g", 2034, v10)],
+        ["k", "year", "value"],
+    )
+    row = df.groupBy("k").agg(
+        cagr_expr(
+            value_at_year("year", "value", 2024),
+            value_at_year("year", "value", 2029),
+            5,
+        ).alias("c5a"),
+        cagr_expr(
+            value_at_year("year", "value", 2029),
+            value_at_year("year", "value", 2034),
+            5,
+        ).alias("c5b"),
+        cagr_expr(
+            value_at_year("year", "value", 2024),
+            value_at_year("year", "value", 2034),
+            10,
+        ).alias("c10"),
+    ).first()
+    lhs = (1 + row["c10"]) ** 10
+    rhs = (1 + row["c5a"]) ** 5 * (1 + row["c5b"]) ** 5
+    assert math.isclose(lhs, rhs, rel_tol=1e-9)
+    assert math.isclose(1 + row["c5a"], (v5 / v0) ** 0.2, rel_tol=1e-9)
+
+
+words = st.sampled_from("alpha beta gamma delta epsilon zeta".split())
+
+
+@prop
+@given(
+    docs=st.lists(
+        st.lists(words, min_size=3, max_size=12),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_exact_jaccard_matches_python(spark, docs):
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in exact_jaccard_pairs(
+            df, id_col="doc_id", text_col="text", n=3, threshold=0.0
+        ).collect()
+    }
+
+    def sh(toks):
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = sh(docs[i]), sh(docs[j])
+            inter = len(a & b)
+            if inter:
+                want[(i, j)] = inter / len(a | b)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert math.isclose(got[k], v, rel_tol=1e-12)
+        assert 0.0 < got[k] <= 1.0
+
+
+@given(
+    names=st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd"),
+                whitelist_characters=" _-%",
+            ),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_clean_name_idempotent_and_distinct(names):
+    cleaned = []
+    seen = {}
+    for n in names:
+        base = stk.clean_name(n)
+        assert stk.clean_name(base) == base  # idempotent
+        k = seen.get(base, 0)
+        seen[base] = k + 1
+        cleaned.append(base if k == 0 else f"{base}_{k+1}")
+    assert len(set(cleaned)) == len(cleaned)  # dedupe produces unique names
+
+
+def test_title_case_matches_stringr_examples():
+    cases = {
+        "1st 5-year CAGR": "1st 5-Year Cagr",
+        "geographic area": "Geographic Area",
+        "10-year CAGR": "10-Year Cagr",
+        "noc": "Noc",
+    }
+    for raw, want in cases.items():
+        assert stk.title_case(raw) == want
