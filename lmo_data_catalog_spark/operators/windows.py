@@ -54,6 +54,40 @@ def top_k_per_group(
     )
 
 
+def zscore_window(
+    df: DataFrame, *, keys: Sequence[str], value_col: str, out_col: str = "z"
+) -> DataFrame:
+    """Per-group z-score via window aggregates — the native plan for
+    'attach group statistics to every row' (SURVEY A5 plan b)."""
+    w = Window.partitionBy(*keys)
+    mean = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    return df.withColumn(out_col, (F.col(value_col) - mean) / sd)
+
+
+def zscore_grouped_map(
+    df: DataFrame, *, keys: Sequence[str], value_col: str, out_col: str = "z"
+) -> DataFrame:
+    """Per-group z-score via ``applyInPandas`` — the documented escape
+    hatch (SURVEY §2.8) for group logic Spark expressions can't say.
+    Kept semantically identical to :func:`zscore_window` and
+    cross-checked in tests; prefer the window form in production
+    (codegen, no Python workers)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+
+    def fn(pdf):
+        v = pdf[value_col]
+        pdf = pdf.copy()
+        pdf[out_col] = (v - v.mean()) / v.std(ddof=1)
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(fn, schema=schema)
+
+
 def sessionize(
     df: DataFrame,
     *,

@@ -15,9 +15,10 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from ..operators import text as T
-from ..operators.similarity import cosine_pair
+from ..operators.dedup import minhash_lsh_dedup_pairs
+from ..operators.similarity import cosine_pair, norm_sq
 from ..registry import query
-from .llm import DIM, _sql_cosine
+from .llm import _SHINGLES_SQL, DIM, _sql_cosine, _sql_dot
 
 # ---------------------------------------------------------------------- IVF ANN
 
@@ -279,6 +280,117 @@ def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(e).cast("double").alias("v_max"),
         F.get(e, 0).cast("double").alias("v_first"),
         F.element_at(e, F.size(e)).cast("double").alias("v_last"),
+    )
+
+
+# -------------------------------------------------------- embedding transforms
+
+
+@query(
+    "normalize_embeddings",
+    oracle=f"""
+    SELECT vec_id, CAST(u.i - 1 AS INTEGER) AS i,
+           ROUND(CAST(embedding[u.i] AS DOUBLE)
+                 / sqrt({_sql_dot('embedding', 'embedding')}), 6) AS unit
+    FROM embeddings, unnest(generate_series(1, {DIM})) AS u(i)
+    """,
+    tags=("embedding", "transform"),
+)
+def normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize embeddings (unit vectors for cosine-as-dot
+    retrieval), emitted element-wise. The norm is the left-deep fold
+    (bit-identical cross-engine); one map-only stage."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.embeddings.select(
+            "vec_id",
+            F.sqrt(norm_sq("embedding", DIM)).alias("__n"),
+            F.posexplode("embedding").alias("i", "__x"),
+        )
+        .select(
+            "vec_id",
+            F.col("i").cast("int").alias("i"),
+            F.round(F.col("__x").cast("double") / F.col("__n"), 6).alias(
+                "unit"
+            ),
+        )
+    )
+
+
+@query(
+    "quantize_embeddings_int8",
+    oracle=f"""
+    WITH m AS (
+        SELECT vec_id, embedding,
+               CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+                   AS mx
+        FROM embeddings
+    )
+    SELECT vec_id, CAST(u.i - 1 AS INTEGER) AS i,
+           CAST(ROUND(127.0 * CAST(embedding[u.i] AS DOUBLE) / mx)
+                AS INTEGER) AS q
+    FROM m, unnest(generate_series(1, {DIM})) AS u(i)
+    """,
+    tags=("embedding", "quantization"),
+)
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (per-vector absmax scale) — the
+    storage/ANN compression step; 4× smaller vectors with exact
+    integer reconstruction rules. Map-only; the scale is an array max
+    (order-independent, exact)."""
+    cat = Catalog(spark, sf_dir)
+    mx = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x))).cast(
+        "double"
+    )
+    return (
+        cat.embeddings.select(
+            "vec_id", mx.alias("__mx"), F.posexplode("embedding").alias("i", "__x")
+        )
+        .select(
+            "vec_id",
+            F.col("i").cast("int").alias("i"),
+            F.round(F.lit(127.0) * F.col("__x").cast("double") / F.col("__mx"))
+            .cast("int")
+            .alias("q"),
+        )
+    )
+
+
+# ------------------------------------------------------------ dedup keep-list
+
+_KEEP_SQL = f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    removed AS (
+        SELECT DISTINCT id_b FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id_b FROM removed)
+"""
+
+
+@query("neardup_keep_list", oracle=_KEEP_SQL, tags=("dedup", "keep-list"))
+def neardup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy near-dup keep-list: drop every document that has a
+    near-duplicate (Jaccard ≥ 0.8) with a smaller doc_id — the
+    keep-first policy of corpus dedup. One anti-join off the
+    MinHash-LSH verified pair set; the oracle uses the exact pair set
+    (LSH recall ≈ 1 at this banding, see minhash_lsh_pairs)."""
+    cat = Catalog(spark, sf_dir)
+    pairs = minhash_lsh_dedup_pairs(
+        cat.documents, id_col="doc_id", text_col="text", threshold=0.8
+    )
+    removed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return cat.documents.join(removed, on="doc_id", how="left_anti").select(
+        "doc_id"
     )
 
 

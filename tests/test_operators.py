@@ -118,3 +118,29 @@ def test_asof_join(spark):
     out = asof_join(left, right, on="t", by=["uid"])
     got = {(r.uid, r.t): r.tag_r for r in out.collect()}
     assert got == {(1, 10): "a", (1, 25): "b", (1, 5): None, (2, 10): None}
+
+
+def test_zscore_dual_plan_crosscheck(spark):
+    """SURVEY §5.2: the applyInPandas escape hatch must agree with the
+    native window plan (same group stats, per-row)."""
+    import math
+
+    from lmo_data_catalog_spark.operators.windows import (
+        zscore_grouped_map,
+        zscore_window,
+    )
+
+    df = spark.createDataFrame(
+        [(k, float(v)) for k in "ab" for v in range(1, 8)], ["k", "v"]
+    )
+    via_window = {
+        (r.k, r.v): r.z
+        for r in zscore_window(df, keys=["k"], value_col="v").collect()
+    }
+    via_pandas = {
+        (r.k, r.v): r.z
+        for r in zscore_grouped_map(df, keys=["k"], value_col="v").collect()
+    }
+    assert set(via_window) == set(via_pandas)
+    for key, z in via_window.items():
+        assert math.isclose(z, via_pandas[key], rel_tol=1e-12)
