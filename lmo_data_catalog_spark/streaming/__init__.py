@@ -10,6 +10,7 @@ which is exactly how batch-equivalence is tested
 
 from .ops import (  # noqa: F401
     dedup_events,
+    incremental_parquet_sink,
     run_available_now,
     session_counts,
     sliding_counts,

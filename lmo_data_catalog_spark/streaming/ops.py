@@ -209,6 +209,36 @@ def user_running_totals_batch(events: DataFrame) -> DataFrame:
     )
 
 
+def incremental_parquet_sink(
+    stream_df: DataFrame,
+    path: str,
+    *,
+    checkpoint: str,
+    await_termination: bool = True,
+):
+    """Incremental ETL landing via ``foreachBatch``: each micro-batch
+    overwrites its own ``batch=<id>`` partition, so a replayed batch
+    (failure/restart) rewrites the same directory instead of
+    duplicating — idempotent sink semantics on top of the checkpoint's
+    exactly-once offsets. Read the result back with a plain
+    ``spark.read.parquet(path)`` (``batch`` appears as a partition
+    column; drop it for consumers).
+    """
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
 def run_available_now(
     stream_df: DataFrame, *, output_mode: str, name: str
 ) -> DataFrame:

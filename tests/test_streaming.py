@@ -118,3 +118,27 @@ def test_stateful_running_totals_final_state(batch_events, stream_src):
     )
     want = ops.user_running_totals_batch(batch_events)
     assert _rows(final, "user_id") == _rows(want, "user_id")
+
+
+def test_incremental_parquet_sink_idempotent(spark, batch_events, tmp_path):
+    """foreachBatch landing: streamed output equals the batch
+    transform, and re-running the finished stream (same checkpoint)
+    adds nothing."""
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    src = ops.stream_events(spark, SF)
+    derived = src.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+    ops.incremental_parquet_sink(derived, out, checkpoint=ckpt)
+    landed = spark.read.parquet(out).drop("batch")
+    want = batch_events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+    assert sorted(map(tuple, landed.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # replay with the same checkpoint: no new input -> no new rows
+    ops.incremental_parquet_sink(derived, out, checkpoint=ckpt)
+    again = spark.read.parquet(out).drop("batch")
+    assert again.count() == want.count()
