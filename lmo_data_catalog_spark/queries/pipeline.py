@@ -442,6 +442,62 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------- PII scrub
+
+
+@query(
+    "pii_scrub_preview",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+               AS n_emails
+    FROM documents
+    """,
+    tags=("text", "pii"),
+)
+def pii_scrub_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails, phone numbers → placeholder tokens)
+    plus a per-doc match count for audit — the scrub step of a corpus
+    release. Map-only regexp_replace, rides the scan at any scale."""
+    cat = Catalog(spark, sf_dir)
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+    return cat.documents.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all("text", F.lit(email))).alias("n_emails"),
+    )
+
+
+# ------------------------------------------------------------- SQL interface
+
+_SRC_SUMMARY_SQL = """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(n_chars), 6) AS avg_chars
+    FROM documents
+    GROUP BY source
+"""
+
+
+@query("sql_interface_source_summary", oracle=_SRC_SUMMARY_SQL, tags=("sql",))
+def sql_interface_source_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL surface: Catalog.register_all() exposes every
+    table as a view and the SAME ANSI text runs through spark.sql —
+    one aggregation, identical in both engines by construction."""
+    Catalog(spark, sf_dir).register_all()
+    return spark.sql(_SRC_SUMMARY_SQL)
+
+
 # ------------------------------------------------------------- stratified sample
 
 _KNUTH = 2654435761  # Fibonacci-hash multiplier
