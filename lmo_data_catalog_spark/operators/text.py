@@ -51,8 +51,10 @@ def shingles(df: DataFrame, *, id_col: str, text_col: str, n: int = 3) -> DataFr
         .otherwise(F.array().cast("array<string>"))
         .alias("__grams"),
     )
-    return (
-        grams.select(id_col, F.explode("__grams").alias("shingle")).distinct()
+    # dedupe is WITHIN-doc (set semantics per document), so
+    # array_distinct does it map-side — no shuffle, unlike .distinct()
+    return grams.select(
+        id_col, F.explode(F.array_distinct("__grams")).alias("shingle")
     )
 
 
@@ -78,7 +80,8 @@ def hashed_shingles(
         .otherwise(F.array().cast("array<bigint>"))
         .alias("__grams"),
     )
-    return grams.select(id_col, F.explode("__grams").alias("h")).distinct()
+    # per-doc set semantics via array_distinct: map-side, no shuffle
+    return grams.select(id_col, F.explode(F.array_distinct("__grams")).alias("h"))
 
 
 def _spread(df: DataFrame) -> DataFrame:

@@ -147,3 +147,18 @@ def test_tbbl10_flagship_join(inputs):
         "NOC", "Description", "Occ Group: Skills Cluster", CFG.jo_label
     ]
     assert all(r["NOC"].startswith("#") for r in rows)
+
+
+def test_read_csv_skip_multifile_glob(spark, tmp_path):
+    """S1 banner-skip applies PER FILE when the path is a glob — a
+    2-file vendor drop must lose both banners, not just the first."""
+    from lmo_data_catalog_spark.sources.ingest import read_csv_skip
+
+    for i, rows in enumerate([["a,1", "b,2"], ["c,3"]]):
+        (tmp_path / f"part{i}.csv").write_text(
+            "banner line\nsecond banner\n\nk,v\n" + "\n".join(rows) + "\n"
+        )
+    df = read_csv_skip(spark, str(tmp_path / "part*.csv"), skip_rows=3)
+    got = sorted((r["k"], r["v"]) for r in df.collect())
+    assert df.columns == ["k", "v"]
+    assert got == [("a", 1), ("b", 2), ("c", 3)]
