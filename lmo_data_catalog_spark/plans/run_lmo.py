@@ -24,10 +24,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--demo", action="store_true", help="generate synthetic raw fixtures first"
     )
+    ap.add_argument(
+        "--parquet",
+        action="store_true",
+        help="engine-native output: partitioned parquet per sheet instead "
+        "of workbook files (the data-plane path for beyond-catalog sizes)",
+    )
     args = ap.parse_args(argv)
 
     from ..session import get_spark
-    from ..sinks import write_catalog
+    from ..sinks import write_catalog, write_partitioned_parquet
     from .lmo_pipeline import ARTIFACTS, LMOConfig, build_all, load_inputs
 
     if args.demo:
@@ -43,7 +49,14 @@ def main(argv: list[str] | None = None) -> int:
     inputs.job_openings.cache()
     artifacts = build_all(inputs, cfg)
     meta = {name: m for name, (_, m) in ARTIFACTS.items()}
-    written = write_catalog(artifacts, args.out_dir, metadata=meta)
+    if args.parquet:
+        written = {}
+        for name, wb in artifacts.items():
+            for sheet, df in wb.items():
+                path = f"{args.out_dir}/{name}/{sheet}"
+                written[f"{name}/{sheet}"] = write_partitioned_parquet(df, path)
+    else:
+        written = write_catalog(artifacts, args.out_dir, metadata=meta)
     for name, path in written.items():
         print(f"wrote {name} -> {path}")
     spark.stop()

@@ -442,6 +442,43 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------- range-frame window
+
+
+@query(
+    "window_trailing_30d_revenue",
+    oracle="""
+    SELECT o_custkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE)
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ), 4) AS trailing_30d
+    FROM orders
+    """,
+    tags=("window", "range-frame"),
+)
+def window_trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-customer 30-day trailing revenue —
+    the frame is value-based (date distance), not row-count-based.
+    Spark expresses it as rangeBetween over epoch-day ordinals."""
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, 0)
+    )
+    return cat.orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.round(F.sum("o_totalprice").over(w), 4).alias("trailing_30d"),
+    )
+
+
 # ----------------------------------------------------------------- PII scrub
 
 
