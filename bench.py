@@ -28,7 +28,10 @@ def force(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0  # non-conventional dir name; still benchmark
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -43,6 +46,10 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             print(f"bench error {name}: {e}", file=sys.stderr)
+        finally:
+            # operators persist() shared intermediates per invocation;
+            # drop them between queries so cache doesn't accumulate
+            spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t > 0), 4)
     print(

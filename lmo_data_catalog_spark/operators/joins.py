@@ -57,17 +57,27 @@ def asof_join(
         c for c in right.columns if c != on and c not in by
     ]
     by = list(by)
+    # Carry the right side as ONE struct so last(ignorenulls) picks the
+    # latest right ROW atomically — per-column last() would resurrect
+    # an older row's value wherever the latest row holds NULL, emitting
+    # a composite row that never existed.
+    rstruct = F.struct(*[F.col(c) for c in rcols])
+    null_struct = F.lit(None).cast(
+        "struct<" + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}" for c in rcols
+        ) + ">"
+    )
     lpart = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in rcols],
+        null_struct.alias("__r"),
     )
     rpart = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in by and c != on],
         *[F.col(b) for b in by],
         F.col(on),
         F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
+        rstruct.alias("__r"),
     ).select(*lpart.columns)  # align column order
     unioned = lpart.unionByName(rpart)
     # Right rows sort before left rows at the same timestamp so a
@@ -77,10 +87,16 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = unioned
-    for c in rcols:
-        out = out.withColumn(f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w))
-    return out.filter(F.col("__is_left") == 1).drop("__is_left")
+    matched = unioned.withColumn(
+        "__r", F.last("__r", ignorenulls=True).over(w)
+    )
+    return (
+        matched.filter(F.col("__is_left") == 1)
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[F.col("__r").getField(c).alias(f"{c}{suffix}") for c in rcols],
+        )
+    )
 
 
 def salted_join(

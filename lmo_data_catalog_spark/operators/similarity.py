@@ -162,10 +162,17 @@ def neardup_pairs_gemm(
     column blocks and union the candidate stages (same code per block);
     stage 2 is unchanged.
     """
-    import pandas as pd  # noqa: F401 (executor-side import below)
-
     spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
     side = df.select(id_col, vec_col).toPandas()
+    if len(side) == 0:
+        return (
+            df.select(
+                F.col(id_col).alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0.0).alias("cosine"),
+            ).limit(0)
+        )
     ids_b = side[id_col].to_numpy()
     B = np.stack(side[vec_col].to_numpy()).astype(np.float64)
     nb = np.sqrt((B * B).sum(axis=1))
@@ -186,7 +193,9 @@ def neardup_pairs_gemm(
             ia, ib = np.nonzero((S >= cut) & (ida[:, None] < ids_b_[None, :]))
             yield pd.DataFrame({"id_a": ida[ia], "id_b": ids_b_[ib]})
 
-    cand = df.select(id_col, vec_col).mapInPandas(gen, "id_a bigint, id_b bigint")
+    cand = df.select(id_col, vec_col).mapInPandas(
+        gen, f"id_a {id_type}, id_b {id_type}"
+    )
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),

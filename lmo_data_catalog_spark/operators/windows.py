@@ -62,7 +62,10 @@ def zscore_window(
     w = Window.partitionBy(*keys)
     mean = F.avg(value_col).over(w)
     sd = F.stddev_samp(value_col).over(w)
-    return df.withColumn(out_col, (F.col(value_col) - mean) / sd)
+    # guard: constant group → sd = 0.0, which ERRORS under ANSI mode
+    # (Spark 4 default) instead of yielding NULL; single-row → sd NULL
+    z = F.when(sd != 0, (F.col(value_col) - mean) / sd)
+    return df.withColumn(out_col, z)
 
 
 def zscore_grouped_map(
@@ -82,7 +85,11 @@ def zscore_grouped_map(
     def fn(pdf):
         v = pdf[value_col]
         pdf = pdf.copy()
-        pdf[out_col] = (v - v.mean()) / v.std(ddof=1)
+        z = (v - v.mean()) / v.std(ddof=1)
+        # single-row / constant groups: 0/0 -> pandas NaN, but the
+        # window plan emits NULL (divide-by-zero/NULL stddev) — align.
+        # object dtype so None survives Arrow as NULL, not NaN.
+        pdf[out_col] = z.astype(object).where(z.notna(), None)
         return pdf
 
     return df.groupBy(*keys).applyInPandas(fn, schema=schema)
@@ -98,10 +105,13 @@ def sessionize(
     session_col: str = "session_id",
 ) -> DataFrame:
     """Gaps-and-islands sessionization: a new session starts when the
-    gap to the previous event (per ``by`` key) exceeds ``gap_seconds``.
+    gap to the previous event (per ``by`` key) EXCEEDS ``gap_seconds``.
 
-    Batch equivalent of ``F.session_window`` (streaming); two window
-    passes over the same partitioning → one shuffle.
+    Boundary verified against ``F.session_window`` empirically
+    (tests): Spark MERGES adjacent session windows, so an event
+    exactly ``gap_seconds`` after its predecessor belongs to the SAME
+    session — strict ``>`` here matches. Two window passes over the
+    same partitioning → one shuffle.
     """
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_tiebreak]
     w = Window.partitionBy(*by).orderBy(*order)

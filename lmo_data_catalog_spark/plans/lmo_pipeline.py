@@ -176,7 +176,12 @@ def _split_by_region(
     """O2 fan-out: the combined table first, then one sheet per region
     (SM:140-145). Regions are a driver-side distinct on an already
     aggregated (small) table; each per-region sheet is a lazy filter —
-    at scale this is the ``partitionBy`` write path instead."""
+    at scale this is the ``partitionBy`` write path instead.
+
+    ``df`` is persisted: the sinks materialize each sheet
+    independently, and without the cache the upstream unpivot +
+    aggregate would re-execute once per region."""
+    df = df.persist()
     regions = [
         r[0]
         for r in df.select("Geographic Area").distinct().orderBy(
@@ -336,7 +341,9 @@ def high_opportunity_occupations(
         for c in hoo_cols
     }
     income = "2021 Census Median Employment Income (Employed)"
-    jo_by_region = F.broadcast(regional_jo_by_occ(inp, cfg))
+    # persist: each of the 8 per-region sheets re-executes the
+    # broadcast build side otherwise (once per sheet materialization)
+    jo_by_region = F.broadcast(regional_jo_by_occ(inp, cfg).persist())
 
     wb: Workbook = {"Data Dictionary": data_dictionary(inp.employment.sparkSession, cfg)}
     for sheet in sheets:

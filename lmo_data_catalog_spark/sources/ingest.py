@@ -71,7 +71,14 @@ def read_csv_skip(
     reader = spark.read.option("header", header)
     if na_values:
         # Spark CSV supports a single nullValue token; the reference
-        # needs exactly one ("x", 01_source_me.R:97).
+        # needs exactly one ("x", 01_source_me.R:97). Reject silently
+        # ignoring extras.
+        if len(list(na_values)) > 1:
+            raise ValueError(
+                "read_csv_skip supports exactly one NA sentinel "
+                f"(got {list(na_values)!r}); pre-normalize the file or "
+                "post-process with replace()"
+            )
         reader = reader.option("nullValue", list(na_values)[0])
     if schema is not None:
         reader = reader.schema(schema)

@@ -65,7 +65,7 @@ def test_all_ten_artifacts_build_and_materialize(artifacts):
         for sheet, df in wb.items():
             assert df.columns, f"{name}/{sheet} has no columns"
         first = next(iter(wb.values()))
-        assert first.limit(1).count() >= 0
+        assert first.limit(1).count() > 0, f"{name}: first sheet empty"
 
 
 def test_tbbl1_bc_only_and_cagr_algebra(artifacts):

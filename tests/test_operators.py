@@ -144,3 +144,70 @@ def test_zscore_dual_plan_crosscheck(spark):
     assert set(via_window) == set(via_pandas)
     for key, z in via_window.items():
         assert math.isclose(z, via_pandas[key], rel_tol=1e-12)
+
+
+def test_asof_join_latest_row_wins_even_with_nulls(spark):
+    """The latest right row must win ATOMICALLY: its NULL attributes
+    stay NULL instead of resurrecting older rows' values (DuckDB ASOF
+    semantics)."""
+    from lmo_data_catalog_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 25)], ["k", "t"])
+    right = spark.createDataFrame(
+        [(1, 10, "a", 100.0), (1, 20, None, None)],
+        "k long, t long, tag string, score double",
+    )
+    out = asof_join(left, right, on="t", by=["k"]).collect()
+    assert len(out) == 1
+    assert out[0]["tag_r"] is None and out[0]["score_r"] is None
+    # and a left row before any right row keeps NULLs
+    early = spark.createDataFrame([(1, 5)], ["k", "t"])
+    out2 = asof_join(early, right, on="t", by=["k"]).collect()
+    assert out2[0]["tag_r"] is None
+
+
+def test_sessionize_boundary_matches_session_window(spark):
+    """Boundary semantics verified against F.session_window: Spark
+    MERGES adjacent session windows, so an event exactly gap seconds
+    after its predecessor is the SAME session (strict >), and one a
+    microsecond later is a NEW session."""
+    import datetime
+
+    from lmo_data_catalog_spark.operators.windows import sessionize
+
+    t0 = datetime.datetime(2024, 1, 1)
+    for extra_us, want in ((0, 1), (1, 2)):
+        rows = [
+            (1, t0),
+            (
+                1,
+                t0
+                + datetime.timedelta(seconds=1800, microseconds=extra_us),
+            ),
+            (1, t0 + datetime.timedelta(seconds=1900)),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts"])
+        s = sessionize(df, by=["user_id"], ts_col="ts", gap_seconds=1800)
+        n_sessions = s.agg(F.max("session_id")).first()[0]
+        via_sw = (
+            df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .count()
+            .count()
+        )
+        assert n_sessions == via_sw == want, (extra_us, n_sessions, via_sw)
+
+
+def test_zscore_grouped_map_null_on_constant_group(spark):
+    """Constant/single-row groups: both plans must emit NULL (not
+    NaN) so the escape hatch is a drop-in for the window plan."""
+    from lmo_data_catalog_spark.operators.windows import (
+        zscore_grouped_map,
+        zscore_window,
+    )
+
+    df = spark.createDataFrame(
+        [("const", 5.0), ("const", 5.0), ("single", 1.0)], ["k", "v"]
+    )
+    for plan in (zscore_window, zscore_grouped_map):
+        rows = plan(df, keys=["k"], value_col="v").collect()
+        assert all(r.z is None for r in rows), (plan.__name__, rows)

@@ -18,7 +18,9 @@ def test_query_matches_oracle(name, spark, duck):
     df = spec.builder(spark, SF_SMOKE)
     s_cols, s_rows = normalize([tuple(r) for r in df.collect()], df.columns)
     if spec.oracle is None:
-        assert len(s_rows) >= 0  # rows-only check (non-SQL-expressible op)
+        # rows-only check (non-SQL-expressible op) — mirror the
+        # driver's rows>0 gate, not a vacuous >=0
+        assert len(s_rows) > 0, f"{name}: rows-only query returned 0 rows"
         return
     res = duck.execute(spec.oracle)
     d_cols = [d[0] for d in res.description]

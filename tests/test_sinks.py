@@ -100,9 +100,13 @@ def test_partitioned_parquet_fanout(inputs, spark, tmp_path):
     assert len(dirs) == len(fixtures.AREAS)
     back = spark.read.parquet(out)
     assert back.count() == df.count()
-    # partition pruning: single-area read touches one directory
+    # partition pruning: the predicate must land in PartitionFilters
     one = back.filter(F.col("Geographic Area") == "Cariboo")
-    assert "PartitionFilters" in one._jdf.queryExecution().executedPlan().toString() or one.count() > 0
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "Geographic Area" in pf, f"predicate not pushed to partitions: {pf}"
+    assert one.count() == df.filter(F.col("Geographic Area") == "Cariboo").count()
 
 
 def test_workbook_row_guard(inputs, tmp_path):

@@ -109,6 +109,9 @@ def main() -> None:
         t_gemm = time.time() - t0
         results.append((k, k * n_docs, t_minhash, n_pairs, k * n_vecs, t_gemm, n_near))
         print(results[-1])
+        spark.catalog.clearCache()  # drop per-round persisted intermediates
+        docs.cache().count()
+        vecs.cache().count()
 
     lines = [
         "# SCALING — operator growth curves",
