@@ -236,6 +236,56 @@ def minhash_lsh_dedup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    *,
+    id_col: str = "id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by min-label propagation: every node ends
+    with ``cluster_id`` = the smallest id reachable through ``pairs``
+    edges. The clustering step that turns near-dup PAIRS into dedup
+    GROUPS (keep one per cluster).
+
+    Iterative Spark: each round joins labels across edges and takes
+    the min; ``localCheckpoint`` truncates lineage so plans don't grow
+    unboundedly. Rounds needed = graph diameter ≤ O(log n) for
+    near-dup clusters (which are tiny, usually cliques — 1-2 rounds).
+    Early-exits when a round changes nothing.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(id_col).alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def simhash_64(sh: DataFrame, *, id_col: str) -> DataFrame:
     """64-bit SimHash per document from (id, shingle): for each bit,
     sum +1/-1 votes of each shingle's xxhash64 bit; sign → bit.

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from ..operators import text as T
-from ..operators.dedup import minhash_lsh_dedup_pairs
+from ..operators.dedup import connected_components, minhash_lsh_dedup_pairs
 from ..operators.similarity import cosine_pair, norm_sq
 from ..registry import query
 from .llm import _SHINGLES_SQL, DIM, _sql_cosine, _sql_dot
@@ -392,6 +392,50 @@ def neardup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.documents.join(removed, on="doc_id", how="left_anti").select(
         "doc_id"
     )
+
+
+# -------------------------------------------------------- dedup clustering
+
+_CLUSTERS_SQL = f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM documents
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+@query("neardup_cluster_ids", oracle=_CLUSTERS_SQL, tags=("dedup", "iterative"))
+def neardup_cluster_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the verified
+    MinHash pair graph, cluster_id = min doc_id in the component —
+    the iterative-algorithm showcase (min-label propagation with
+    localCheckpoint lineage truncation), oracle'd by a recursive-CTE
+    transitive closure."""
+    cat = Catalog(spark, sf_dir)
+    pairs = minhash_lsh_dedup_pairs(
+        cat.documents, id_col="doc_id", text_col="text", threshold=0.8
+    )
+    return connected_components(pairs, cat.documents, id_col="doc_id")
 
 
 # --------------------------------------------------------------- quality gate

@@ -131,3 +131,38 @@ def test_multimodal_real_decode_is_stubbed(spark):
     docs = Catalog(spark, SF_SMOKE).documents
     with pytest.raises(NotImplementedError):
         decode_image_real(docs)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation vs a driver-side union-find on the same
+    edge list — including singleton nodes and a 3-node chain (needs
+    >1 propagation round)."""
+    from lmo_data_catalog_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (3, 9)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 11)], ["id"])
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(pairs, nodes, id_col="id").collect()
+    }
+
+    parent = {i: i for i in range(1, 11)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in [(1, 2), (2, 3), (5, 6), (8, 9), (3, 9)]:
+        parent[find(a)] = find(b)
+    comp = {}
+    for i in parent:
+        root = find(i)
+        comp.setdefault(root, []).append(i)
+    want = {i: min(comp[find(i)]) for i in parent}
+    assert got == want
+    assert got[9] == 1  # chain 1-2-3-9-8 collapses to min id 1
+    assert got[4] == 4 and got[10] == 10  # singletons keep own id
