@@ -486,6 +486,101 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- analytic query shapes
+
+
+@query(
+    "analytic_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < DATE '1997-03-15'
+      AND l_shipdate > DATE '1997-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, order_date, l_orderkey
+    LIMIT 10
+    """,
+    tags=("analytic", "multi-join"),
+)
+def analytic_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way selective join → grouped revenue → top-k.
+    Catalyst pushes both date filters to the scans, broadcasts the
+    filtered customer dim, and the top-k is TakeOrderedAndProject —
+    the plan to check in explains/."""
+    cat = Catalog(spark, sf_dir)
+    cust = cat.customer.filter(F.col("c_mktsegment") == "BUILDING")
+    orders = cat.orders.filter(F.col("o_orderdate") < "1997-03-15")
+    li = cat.lineitem.filter(F.col("l_shipdate") > "1997-03-15")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 4).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "order_date", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "analytic_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("analytic", "multi-join"),
+)
+def analytic_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (two facts, four dims) with the
+    local-supplier co-nationality predicate. Dims broadcast; the one
+    real shuffle pair is lineitem⨝orders; Catalyst prunes region→
+    nation before either fact is touched."""
+    cat = Catalog(spark, sf_dir)
+    region = cat.region.filter(F.col("r_name") == "ASIA")
+    nation = cat.nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    orders = cat.orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        cat.lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cat.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
 # ----------------------------------------------------------- range-frame window
 
 
