@@ -254,36 +254,63 @@ def connected_components(
     near-dup clusters (which are tiny, usually cliques — 1-2 rounds).
     Early-exits when a round changes nothing.
     """
+    # checkpoint edges: every propagation round joins against them, and
+    # without it the upstream pair computation (MinHash etc.) would
+    # re-execute once per iteration.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .persist()
     )
-    labels = nodes.select(F.col(id_col).alias("id")).distinct().withColumn(
-        "label", F.col("id")
-    )
-    labels = labels.localCheckpoint()
+    # propagate only over nodes that HAVE edges — singletons (the vast
+    # majority of a deduped corpus) can't change label and rejoin at
+    # the end via coalesce.
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn(
+            "label", F.col("id")
+        )
+    ).persist()
+    label_type = labels.schema["label"].dataType
+    prev_cache = labels
     for _ in range(max_iter):
+        # one aggregation carries BOTH the propagated min-label and the
+        # node's previous label (tagged rows), so the convergence count
+        # is the same job that materializes the round — no separate
+        # old-vs-new join. Caching every round keeps the growing
+        # lineage from ever re-executing (bounded by max_iter).
+        own = labels.select("id", "label", F.col("label").alias("own"))
         prop = (
             edges.join(labels, edges.dst == labels.id)
-            .select(F.col("src").alias("id"), "label")
+            .select(
+                F.col("src").alias("id"),
+                "label",
+                F.lit(None).cast(label_type).alias("own"),
+            )
         )
-        new_labels = (
-            labels.unionByName(prop)
+        rolled = (
+            own.unionByName(prop)
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .agg(
+                F.min("label").alias("label"),
+                F.first("own", ignorenulls=True).alias("own"),
+            )
+            .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = rolled.filter(F.col("label") != F.col("own")).count()
+        prev_cache.unpersist()
+        prev_cache = rolled
+        labels = rolled.select("id", "label")
         if changed == 0:
             break
-    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    all_nodes = nodes.select(F.col(id_col).alias("id")).distinct()
+    return (
+        all_nodes.join(labels, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("label", "id").alias("cluster_id"),
+        )
+    )
 
 
 def simhash_64(sh: DataFrame, *, id_col: str) -> DataFrame:

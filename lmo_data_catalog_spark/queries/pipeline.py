@@ -618,6 +618,93 @@ def window_trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------- validity intervals
+
+
+@query(
+    "event_validity_intervals",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           )) AS valid_to_us
+    FROM events
+    """,
+    tags=("window", "scd"),
+)
+def event_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2-style validity intervals: each event's state is valid
+    until the user's next event (NULL = current) — lead() over the
+    per-user timeline, one shuffle."""
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return cat.events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+    )
+
+
+# ------------------------------------------------------------ sequence packing
+
+PACK_BUDGET = 2048
+
+
+@query(
+    "pack_documents_into_bins",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tok,
+               SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM t
+    )
+    SELECT doc_id, source, CAST(n_tok AS INTEGER) AS n_tok,
+           CAST(FLOOR((cum - n_tok) / {PACK_BUDGET}) AS INTEGER) AS bin_id
+    FROM c
+    """,
+    tags=("packing",),
+)
+def pack_documents_into_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: per source, documents fill
+    token-budget bins in doc_id order (bin = floor of the running
+    total BEFORE the doc / budget) — the context-window packing step
+    before training, reproducible across partitionings because the
+    order is a data column, not arrival order."""
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    n_tok = F.size(T.tokens("text"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cat.documents.select("doc_id", "source", n_tok.alias("n_tok"))
+        .withColumn("cum", F.sum("n_tok").over(w))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tok").cast("int").alias("n_tok"),
+            F.floor((F.col("cum") - F.col("n_tok")) / PACK_BUDGET)
+            .cast("int")
+            .alias("bin_id"),
+        )
+    )
+
+
 # ----------------------------------------------------------------- PII scrub
 
 
