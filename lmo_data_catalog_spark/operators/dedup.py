@@ -254,31 +254,46 @@ def connected_components(
     near-dup clusters (which are tiny, usually cliques — 1-2 rounds).
     Early-exits when a round changes nothing.
     """
-    # checkpoint edges: every propagation round joins against them, and
-    # without it the upstream pair computation (MinHash etc.) would
-    # re-execute once per iteration.
+    # localCheckpoint (eager) both materializes the pair computation
+    # ONCE and truncates the logical plan — without truncation every
+    # round re-ANALYZES the whole upstream MinHash lineage in Catalyst
+    # (driver-side planning grows per round and dominates: measured
+    # ~2 s/round on a 256-edge graph with persist() alone, which caches
+    # execution but keeps the full logical plan).
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
+    n_edges = edges.count()
+    # Size the propagation partitioning from the MEASURED edge count:
+    # AQE can't coalesce across checkpoint boundaries, so a tiny graph
+    # would otherwise pay spark.sql.shuffle.partitions-task shuffles
+    # every round. ~500k edges/partition, capped at the cluster's
+    # parallelism so huge graphs still fan out.
+    parallelism = pairs.sparkSession.sparkContext.defaultParallelism
+    n_parts = max(1, min(parallelism, n_edges // 500_000 + 1))
+    if n_parts != edges.rdd.getNumPartitions():
+        edges = edges.repartition(n_parts, "dst").localCheckpoint()
     # propagate only over nodes that HAVE edges — singletons (the vast
     # majority of a deduped corpus) can't change label and rejoin at
     # the end via coalesce.
     labels = (
-        edges.select(F.col("src").alias("id")).distinct().withColumn(
-            "label", F.col("id")
-        )
-    ).persist()
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
     label_type = labels.schema["label"].dataType
-    prev_cache = labels
     for _ in range(max_iter):
         # one aggregation carries BOTH the propagated min-label and the
         # node's previous label (tagged rows), so the convergence count
         # is the same job that materializes the round — no separate
-        # old-vs-new join. Caching every round keeps the growing
-        # lineage from ever re-executing (bounded by max_iter).
+        # old-vs-new join. The explicit repartition(n_parts, id) feeds
+        # the agg already hash-partitioned on the grouping key, so
+        # EnsureRequirements inserts no further exchange: the round's
+        # one shuffle has n_parts tasks.
         own = labels.select("id", "label", F.col("label").alias("own"))
         prop = (
             edges.join(labels, edges.dst == labels.id)
@@ -290,22 +305,24 @@ def connected_components(
         )
         rolled = (
             own.unionByName(prop)
+            .repartition(n_parts, "id")
             .groupBy("id")
             .agg(
                 F.min("label").alias("label"),
                 F.first("own", ignorenulls=True).alias("own"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = rolled.filter(F.col("label") != F.col("own")).count()
-        prev_cache.unpersist()
-        prev_cache = rolled
         labels = rolled.select("id", "label")
         if changed == 0:
             break
     all_nodes = nodes.select(F.col(id_col).alias("id")).distinct()
+    # the label map is |nodes-with-edges| ≤ 2·|pairs| rows — broadcast
+    # it for modest graphs so the full corpus never shuffles here.
+    final_labels = F.broadcast(labels) if n_edges < 5_000_000 else labels
     return (
-        all_nodes.join(labels, on="id", how="left")
+        all_nodes.join(final_labels, on="id", how="left")
         .select(
             F.col("id").alias(id_col),
             F.coalesce("label", "id").alias("cluster_id"),
