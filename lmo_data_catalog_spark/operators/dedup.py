@@ -236,6 +236,109 @@ def minhash_lsh_dedup_pairs(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowed rolling-hash document fingerprints → (id, fp).
+
+    Winnowing (Schleimer et al., SIGMOD 2003 — the MOSS algorithm):
+    hash every word k-gram, slide a window of ``w`` consecutive hashes,
+    keep each window's minimum. Guarantees any shared run of at least
+    ``w + k - 1`` tokens yields a shared fingerprint, while storing
+    only ~2/(w+1) of the k-gram hashes — the local-fingerprint
+    counterpart to MinHash's global signature.
+
+    Entirely map-side: the ordered k-gram hash sequence and the
+    per-window minima are array expressions inside ONE projection
+    (``transform(sequence(...))`` + ``array_min(slice(...))``), so the
+    first shuffle in any consumer is the fingerprint equi-join itself.
+    Docs shorter than ``k`` tokens fall back to one whole-text hash;
+    hash sequences shorter than ``w`` winnow to their single minimum.
+    """
+    from .text import _spread, tokens
+
+    toks = _spread(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
+    hashes = toks.select(
+        id_col,
+        F.when(
+            F.size("__toks") >= k,
+            F.expr(
+                f"transform(sequence(0, size(__toks) - {k}),"
+                f" i -> xxhash64(concat_ws(' ', slice(__toks, i + 1, {k}))))"
+            ),
+        )
+        .otherwise(F.array(F.xxhash64(F.concat_ws(" ", F.col("__toks")))))
+        .alias("__hs"),
+    )
+    wins = hashes.select(
+        id_col,
+        F.when(
+            F.size("__hs") > w,
+            F.expr(
+                f"transform(sequence(0, size(__hs) - {w}),"
+                f" j -> array_min(slice(__hs, j + 1, {w})))"
+            ),
+        )
+        .otherwise(F.array(F.array_min("__hs")))
+        .alias("__wins"),
+    )
+    return wins.select(
+        id_col, F.explode(F.array_distinct("__wins")).alias("fp")
+    )
+
+
+def winnow_dedup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 5,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs by winnowed-fingerprint candidates + exact
+    verification: docs sharing any winnowed fingerprint meet in an
+    equi-join (linear shuffle on fp, like LSH banding), then exact
+    n-gram Jaccard filters to ≥ threshold.
+
+    Same contract as :func:`minhash_lsh_dedup_pairs`; winnowing's
+    guarantee is substring-shaped (any shared ≥ w+k-1 token run is
+    caught) where MinHash's is set-shaped, so it excels on documents
+    that embed long verbatim spans."""
+    fps = winnow_fingerprints(
+        df, id_col=id_col, text_col=text_col, k=k, w=w
+    ).toDF("id", "fp")
+    # fingerprints present in a single doc can't form a pair — prune
+    # before the self-join (same df>=2 trick as exact_jaccard_pairs).
+    fps = fps.persist()
+    shared = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("fp")
+    )
+    fp2 = fps.join(shared, on="fp")
+    cand = (
+        fp2.toDF("fp", "id_a")
+        .join(fp2.toDF("fp", "id_b"), on="fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = hashed_shingles(df, id_col=id_col, text_col=text_col, n=n).toDF(
+        "id", "h"
+    )
+    return jaccard_on_pairs(cand, sh, id_col="id").filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,

@@ -26,6 +26,7 @@ from ..operators.dedup import (
     exact_jaccard_pairs,
     minhash_lsh_dedup_pairs,
     simhash_candidate_pairs,
+    winnow_dedup_pairs,
 )
 from ..operators.multimodal import decode_image_meta, with_payload
 from ..operators.similarity import (
@@ -190,6 +191,34 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.8,
         n_hashes=64,
         bands=16,
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "winnow_fingerprint_pairs",
+    oracle=_JACCARD_PAIRS_SQL,
+    tags=("dedup", "fingerprint", "winnowing"),
+)
+def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing, MOSS): shared
+    winnowed k-gram hashes generate candidates, exact Jaccard verifies
+    at τ=0.8.
+
+    Oracle is the EXACT pair set: winnowing guarantees a shared
+    fingerprint for any common run of ≥ w+k-1 = 8 tokens, and τ=0.8
+    near-dups of these document lengths always share such a run, so
+    candidate recall is 1 and the verified output equals the exact
+    result."""
+    cat = Catalog(spark, sf_dir)
+    out = winnow_dedup_pairs(
+        cat.documents,
+        id_col="doc_id",
+        text_col="text",
+        k=4,
+        w=5,
+        n=3,
+        threshold=0.8,
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 

@@ -166,3 +166,59 @@ def test_connected_components_matches_union_find(spark):
     assert got == want
     assert got[9] == 1  # chain 1-2-3-9-8 collapses to min id 1
     assert got[4] == 4 and got[10] == 10  # singletons keep own id
+
+
+def test_winnow_fingerprint_guarantee_and_locality(spark):
+    """Winnowing guarantees: identical docs share ALL fingerprints; a
+    doc embedding a >= w+k-1 token run of another shares >= 1; docs
+    with disjoint vocabulary share none. Short docs (< k tokens)
+    still fingerprint (whole-text fallback)."""
+    from lmo_data_catalog_spark.operators.dedup import winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    embed = "unrelated preamble words here " + base + " trailing suffix tokens"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),
+            (3, embed),
+            (4, "совершенно другой словарь без общих слов вообще"),
+            (5, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(docs, id_col="doc_id", text_col="text", k=4, w=5)
+    by_doc = {
+        r.doc_id: set(r.fps)
+        for r in fps.groupBy("doc_id").agg(
+            F.collect_set("fp").alias("fps")
+        ).collect()
+    }
+    assert by_doc[1] == by_doc[2]  # identical -> identical fingerprint sets
+    assert by_doc[1] & by_doc[3]  # embedded long run -> shared fingerprint
+    assert not (by_doc[1] & by_doc[4])  # disjoint vocab -> no overlap
+    assert len(by_doc[5]) == 1  # < k tokens -> single whole-text hash
+    # winnowing compresses: keeps well under half of the k-gram hashes
+    n_grams = len(base.split()) - 4 + 1
+    assert len(by_doc[1]) < n_grams / 2
+
+
+def test_winnow_pairs_equal_exact_jaccard(spark):
+    """Winnow-candidate + exact-verify == full exact similarity join
+    on the fixture corpus (near-dups share long runs ⇒ recall 1)."""
+    from lmo_data_catalog_spark.operators.dedup import winnow_dedup_pairs
+
+    docs = Catalog(spark, SF_SMOKE).documents
+    exact = {
+        (r.id_a, r.id_b)
+        for r in exact_jaccard_pairs(
+            docs, id_col="doc_id", text_col="text", threshold=0.8
+        ).collect()
+    }
+    win = {
+        (r.id_a, r.id_b)
+        for r in winnow_dedup_pairs(
+            docs, id_col="doc_id", text_col="text", threshold=0.8
+        ).collect()
+    }
+    assert win == exact
