@@ -789,3 +789,147 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_M32)
     )
     return cat.documents.filter(bucket < cutoff).select("doc_id", "lang")
+
+
+# ------------------------------------------------------- deterministic splits
+
+
+@query(
+    "train_val_test_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                     THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e7'
+                     THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("sampling", "split"),
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    id hash (~80/10/10 via the first md5 byte): reproducible across
+    runs, partitionings, and engines — no RNG state, no global sort.
+    Map-only; at 100 TB this is the split that never needs a shuffle
+    and survives incremental corpus growth (old docs keep their
+    split)."""
+    cat = Catalog(spark, sf_dir)
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return cat.documents.select(
+        "doc_id",
+        F.when(b < "cd", "train").when(b < "e7", "val").otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "reservoir_per_lang",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang FROM r WHERE rn <= 25
+    """,
+    tags=("sampling", "reservoir"),
+)
+def reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-key sample (25 docs per language), deterministic
+    reservoir-equivalent: rank by id hash within each key, keep the
+    first k. One shuffle on the key; the hash order is uniform like a
+    reservoir but reproducible. At scale, pre-aggregate with a
+    per-partition top-k (rank pushes the sort map-side) rather than
+    collecting whole keys."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        cat.documents.select("doc_id", "lang")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 25)
+        .drop("__rn")
+    )
+
+
+# ----------------------------------------------------------- column profiling
+
+
+@query(
+    "profile_orders_columns",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(o_custkey) AS custkey_nonnull,
+           COUNT(DISTINCT o_custkey) AS custkey_distinct,
+           COUNT(DISTINCT o_orderstatus) AS status_distinct,
+           ROUND(MIN(o_totalprice), 4) AS price_min,
+           ROUND(MAX(o_totalprice), 4) AS price_max,
+           ROUND(SUM(o_totalprice), 4) AS price_sum,
+           CAST(MIN(o_orderdate) AS DATE) AS date_min,
+           CAST(MAX(o_orderdate) AS DATE) AS date_max
+    FROM orders
+    """,
+    tags=("profiling", "catalog"),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-style column profile in ONE scan: row count, null
+    counts, distinct cardinalities, numeric min/max/sum, date range —
+    the stats block a data catalog publishes per table. Exact distinct
+    here for the oracle; at 100 TB swap in approx_count_distinct (the
+    plan shape is identical: single hash-agg, map-side partials)."""
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("custkey_nonnull"),
+        F.countDistinct("o_custkey").alias("custkey_distinct"),
+        F.countDistinct("o_orderstatus").alias("status_distinct"),
+        F.round(F.min("o_totalprice"), 4).alias("price_min"),
+        F.round(F.max("o_totalprice"), 4).alias("price_max"),
+        F.round(F.sum("o_totalprice"), 4).alias("price_sum"),
+        F.min(F.col("o_orderdate").cast("date")).alias("date_min"),
+        F.max(F.col("o_orderdate").cast("date")).alias("date_max"),
+    )
+
+
+# ---------------------------------------------------------- incremental dedup
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=r"""
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        FROM documents
+    )
+    SELECT n.doc_id, n.f AS fingerprint
+    FROM fp n
+    WHERE n.source = 'src0'
+      AND NOT EXISTS (
+          SELECT 1 FROM fp e WHERE e.source <> 'src0' AND e.f = n.f
+      )
+    """,
+    tags=("dedup", "incremental"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: keep only new-batch docs (source
+    'src0') whose content fingerprint is absent from the existing
+    corpus — a LEFT ANTI join on the 16-byte fingerprint, so the
+    shuffle carries hashes, not text. The per-batch plan for a corpus
+    that grows daily; at 100 TB the existing side is a bucketed
+    fingerprint index, making the anti-join co-located."""
+    cat = Catalog(spark, sf_dir)
+    fp = cat.documents.select(
+        "doc_id", "source", T.fingerprint("text").alias("fingerprint")
+    )
+    new = fp.filter(F.col("source") == "src0")
+    old = fp.filter(F.col("source") != "src0").select("fingerprint")
+    return new.join(old, on="fingerprint", how="left_anti").select(
+        "doc_id", "fingerprint"
+    )
