@@ -254,3 +254,49 @@ def run_available_now(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+# ------------------------------------------------ stream-stream interval join
+
+
+def click_purchase_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    *,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to same-user
+    clicks in the preceding ``horizon``.
+
+    In streaming, BOTH sides carry a watermark and the join condition
+    bounds event-time distance, so state for either side is evictable
+    once the other side's watermark passes ``ts + horizon`` — without
+    the time bound Spark would (correctly) refuse an inner
+    stream-stream join as unbounded-state. Works identically on batch
+    frames, where it plans as a plain range join.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return c.join(p, cond).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )

@@ -142,3 +142,27 @@ def test_incremental_parquet_sink_idempotent(spark, batch_events, tmp_path):
     ops.incremental_parquet_sink(derived, out, checkpoint=ckpt)
     again = spark.read.parquet(out).drop("batch")
     assert again.count() == want.count()
+
+
+def test_stream_stream_interval_join_equals_batch(batch_events, stream_src):
+    """Watermarked stream-stream interval join (click -> purchase
+    within 1h per user) emits exactly the batch range-join rows:
+    inner join results emit on match, so a finite AvailableNow run
+    yields the complete set."""
+
+    def split(ev):
+        return (
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+        )
+
+    want = ops.click_purchase_attribution(*split(batch_events))
+    want_rows = {tuple(r) for r in want.collect()}
+    assert want_rows, "fixture has no click->purchase pairs within horizon"
+
+    got = ops.run_available_now(
+        ops.click_purchase_attribution(*split(stream_src)),
+        output_mode="append",
+        name="t_ssjoin",
+    )
+    assert {tuple(r) for r in got.collect()} == want_rows
