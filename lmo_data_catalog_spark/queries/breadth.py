@@ -699,3 +699,34 @@ def sliding_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+# ------------------------------------------------------------- variant (Spark 4)
+
+
+@query(
+    "variant_json_topk",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ORDER BY k DESC, event_id
+    LIMIT 20
+    """,
+    tags=("json", "variant"),
+)
+def variant_json_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction via Spark 4 VariantType: parse_json
+    decodes the JSON text ONCE into a binary variant, then typed
+    try_variant_get paths read it without re-parsing — the 100 TB plan
+    when multiple paths hit the same column (get_json_object re-parses
+    per path). Top-20 events by the extracted value, id tie-break."""
+    cat = Catalog(spark, sf_dir)
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        cat.events.select("event_id", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .orderBy(F.desc("k"), "event_id")
+        .limit(20)
+    )
