@@ -933,3 +933,118 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new.join(old, on="fingerprint", how="left_anti").select(
         "doc_id", "fingerprint"
     )
+
+
+# ------------------------------------------------------- resample / gap-fill
+
+
+@query(
+    "resample_daily_orders",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+               CAST(MAX(o_orderdate) AS DATE) AS hi
+        FROM orders
+    ),
+    days AS (
+        SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM b
+    ),
+    pr AS (SELECT DISTINCT o_orderpriority AS priority FROM orders),
+    spine AS (SELECT day, priority FROM days CROSS JOIN pr),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               o_orderpriority AS priority,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 4) AS rev
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT s.day, s.priority,
+           COALESCE(d.n, 0) AS n_orders,
+           COALESCE(d.rev, 0) AS revenue,
+           COALESCE(LAST_VALUE(d.rev IGNORE NULLS) OVER (
+               PARTITION BY s.priority ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 0) AS revenue_ffill
+    FROM spine s LEFT JOIN daily d ON s.day = d.day AND s.priority = d.priority
+    """,
+    tags=("timeseries", "resample"),
+)
+def resample_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to a dense daily grid: build the
+    (day x priority) spine with sequence()+explode (no driver loop),
+    left-join the daily aggregate, zero-fill counts, and forward-fill
+    revenue with last(ignorenulls) over the per-key timeline. The
+    spine is generated, never shuffled at input scale; the one big
+    shuffle is the daily aggregate itself. Gap-fill pattern for any
+    downsampled feed."""
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders.withColumn("day", F.col("o_orderdate").cast("date"))
+    bounds = o.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    priorities = o.select(
+        F.col("o_orderpriority").alias("priority")
+    ).distinct()
+    spine = days.crossJoin(F.broadcast(priorities))
+    daily = o.groupBy("day", F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("rev"),
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(daily, on=["day", "priority"], how="left")
+        .select(
+            "day",
+            "priority",
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+            F.coalesce("rev", F.lit(0.0)).alias("revenue"),
+            F.coalesce(
+                F.last("rev", ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("revenue_ffill"),
+        )
+    )
+
+
+# ------------------------------------------------------ distribution ranking
+
+
+@query(
+    "customer_spend_quartiles",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS total
+        FROM orders GROUP BY 1
+    )
+    SELECT o_custkey, total,
+           NTILE(4) OVER (ORDER BY total DESC, o_custkey) AS quartile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY total DESC, o_custkey), 6)
+               AS pct_rank
+    FROM spend
+    """,
+    tags=("window", "ranking"),
+)
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global distribution ranking: ntile quartiles + percent_rank over
+    per-customer spend. The unpartitioned window forces a single-task
+    sort — correct for catalog-sized outputs; at 100 TB use the
+    percentile-bucket variant (join against approx quantile bounds)
+    instead of a global window."""
+    cat = Catalog(spark, sf_dir)
+    spend = cat.orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("total")
+    )
+    w = Window.orderBy(F.desc("total"), F.asc("o_custkey"))
+    return spend.select(
+        "o_custkey",
+        "total",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
