@@ -124,3 +124,35 @@ def sessionize(
     return df.withColumn("__new", new_sess).withColumn(
         session_col, F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     ).drop("__new")
+
+
+def distributed_ntile(
+    df: DataFrame,
+    *,
+    col: str,
+    n: int,
+    out_col: str = "bucket",
+    relative_error: float = 0.0,
+) -> DataFrame:
+    """Scale-path ntile: assign each row to one of ``n`` quantile
+    buckets WITHOUT a global window sort.
+
+    ``F.ntile`` over an unpartitioned window funnels every row through
+    ONE task — correct at catalog scale, fatal at 100 TB. Here the
+    bucket bounds come from ``approxQuantile`` (Greenwald-Khanna, one
+    distributed pass, driver holds only n-1 cut points), and
+    assignment is a map-side comparison against the broadcast bounds —
+    zero shuffles beyond the stats pass.
+
+    Differences from exact ntile, by construction: bucket POPULATIONS
+    are approximate (bounded by ``relative_error``; 0.0 means exact
+    quantiles at extra cost), and rows tied on the cut value land in
+    the same bucket (exact ntile splits ties to equalize counts).
+    """
+    bounds = df.approxQuantile(
+        col, [i / n for i in range(1, n)], relative_error
+    )
+    expr = F.lit(n)
+    for i in range(n - 1, 0, -1):
+        expr = F.when(F.col(col) <= F.lit(bounds[i - 1]), i).otherwise(expr)
+    return df.withColumn(out_col, expr)

@@ -211,3 +211,34 @@ def test_zscore_grouped_map_null_on_constant_group(spark):
     for plan in (zscore_window, zscore_grouped_map):
         rows = plan(df, keys=["k"], value_col="v").collect()
         assert all(r.z is None for r in rows), (plan.__name__, rows)
+
+
+def test_distributed_ntile_tracks_exact(spark):
+    """Bucket bounds from approxQuantile(err=0) agree with exact NTILE
+    everywhere except ties on cut values; buckets are monotone in the
+    value and populations are near-equal."""
+    from pyspark.sql import Window
+
+    from lmo_data_catalog_spark.operators.windows import distributed_ntile
+
+    df = spark.range(1, 1001).select(
+        F.col("id"), (F.col("id") * 7 % 997).cast("double").alias("v")
+    )
+    got = distributed_ntile(df, col="v", n=4, relative_error=0.0)
+    exact = df.withColumn(
+        "exact_b", F.ntile(4).over(Window.orderBy(F.asc("v"), F.asc("id")))
+    )
+    j = got.join(exact, on=["id", "v"]).cache()
+    # monotone: a higher value never lands in a lower bucket
+    pairs = (
+        j.alias("a")
+        .join(j.alias("b"), F.col("a.v") < F.col("b.v"))
+        .filter(F.col("a.bucket") > F.col("b.bucket"))
+    )
+    assert pairs.count() == 0
+    # near-equal populations (997 distinct values, 1000 rows)
+    sizes = [r.n for r in j.groupBy("bucket").agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) == 4 and max(sizes) - min(sizes) <= 6
+    # agreement with exact ntile away from cut-value ties
+    mismatch = j.filter(F.col("bucket") != F.col("exact_b")).count()
+    assert mismatch <= 12  # only boundary ties may differ
