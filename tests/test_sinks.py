@@ -113,3 +113,40 @@ def test_workbook_row_guard(inputs, tmp_path):
     big = inputs.job_openings
     with pytest.raises(WorkbookTooLarge):
         write_workbook({"data": big}, str(tmp_path / "big.xlsx"), max_rows=10)
+
+
+def test_clustered_parquet_rowgroup_stats_are_selective(spark, tmp_path):
+    """Range-clustered output: per-file key ranges are non-overlapping
+    (pyarrow row-group min/max), so a point predicate can skip all but
+    one file; the scan pushes the filter down."""
+    import pyarrow.parquet as pq
+
+    from lmo_data_catalog_spark.sinks.workbook import write_clustered_parquet
+
+    df = spark.range(0, 100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    out = write_clustered_parquet(
+        df, str(tmp_path / "clustered"), cluster_by=["k"], target_partitions=8
+    )
+    files = [
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    ]
+    assert len(files) > 1
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "k"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "file key ranges overlap — clustering broken"
+    back = spark.read.parquet(out).filter(F.col("k") == 54_321)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "k" in plan.split("PushedFilters", 1)[1]
+    assert back.count() == 1
