@@ -730,3 +730,29 @@ def variant_json_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("k"), "event_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------- scalar subquery
+
+
+@query(
+    "orders_above_avg_price",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 4) AS price
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    """,
+    tags=("subquery",),
+)
+def orders_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery shape: filter against a whole-table aggregate.
+    Expressed as a 1-row aggregate broadcast-joined into the scan (what
+    Catalyst plans for an uncorrelated scalar subquery) — the big side
+    streams map-only, no shuffle."""
+    cat = Catalog(spark, sf_dir)
+    avg = cat.orders.agg(F.avg("o_totalprice").alias("__avg"))
+    return (
+        cat.orders.crossJoin(F.broadcast(avg))
+        .filter(F.col("o_totalprice") > F.col("__avg"))
+        .select("o_orderkey", F.round("o_totalprice", 4).alias("price"))
+    )
