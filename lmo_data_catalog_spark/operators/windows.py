@@ -126,6 +126,77 @@ def sessionize(
     ).drop("__new")
 
 
+def global_row_number(
+    df: DataFrame,
+    *,
+    value_col: str,
+    ascending: bool = True,
+    tiebreak_cols: Sequence[str] = (),
+    name: str = "row_number",
+    num_buckets: int = 32,
+    relative_error: float = 0.001,
+    total_col: str | None = None,
+) -> DataFrame:
+    """EXACT global row numbering without a global window sort.
+
+    ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY funnels
+    the whole table through one task. This computes the identical
+    ranks in three bounded passes:
+
+    1. ``approxQuantile`` on ``value_col`` → ``num_buckets - 1`` cut
+       points (deterministic Greenwald–Khanna sketch; the bounds only
+       need to be CONSISTENT between passes, not exact —
+       ``relative_error`` merely balances bucket sizes).
+    2. ``groupBy(bucket).count()`` → the driver folds ``num_buckets``
+       rows into cumulative offsets.
+    3. ``row_number()`` over ``Window.partitionBy(bucket)`` plus the
+       broadcast per-bucket offset — each task sorts only its bucket.
+
+    Rows tied on a cut value always land in one bucket (strict
+    inequality on the boundary), so ``tiebreak_cols`` never straddle
+    buckets and the result is bit-identical to the global window for
+    any deterministic total order. ``value_col`` must be non-null.
+    ``total_col``, if set, attaches the (driver-known) total row count
+    as a literal — callers needing N avoid a fourth pass.
+    """
+    bounds = df.approxQuantile(
+        value_col, [i / num_buckets for i in range(1, num_buckets)], relative_error
+    )
+    v = F.col(value_col)
+    bucket = F.lit(num_buckets)
+    # when-chains are monotone with the requested order: bucket 1 first.
+    if ascending:
+        for i in range(num_buckets - 1, 0, -1):
+            bucket = F.when(v <= F.lit(bounds[i - 1]), i).otherwise(bucket)
+    else:
+        for i in range(num_buckets - 1, 0, -1):
+            bucket = F.when(v > F.lit(bounds[num_buckets - 1 - i]), i).otherwise(
+                bucket
+            )
+    b = df.withColumn("__bucket", bucket)
+    counts = {
+        r["__bucket"]: r["count"]
+        for r in b.groupBy("__bucket").count().collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    off = F.lit(0)
+    for p, o in offsets.items():
+        off = F.when(F.col("__bucket") == p, F.lit(o)).otherwise(off)
+    direction = F.asc if ascending else F.desc
+    w = Window.partitionBy("__bucket").orderBy(
+        direction(value_col), *[F.asc(c) for c in tiebreak_cols]
+    )
+    out = b.withColumn(name, (F.row_number().over(w) + off).cast("int")).drop(
+        "__bucket"
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(acc))
+    return out
+
+
 def distributed_ntile(
     df: DataFrame,
     *,

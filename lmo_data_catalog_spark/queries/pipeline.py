@@ -17,6 +17,7 @@ from ..catalog import Catalog
 from ..operators import text as T
 from ..operators.dedup import connected_components, minhash_lsh_dedup_pairs
 from ..operators.similarity import cosine_pair, norm_sq
+from ..operators.windows import global_row_number
 from ..registry import query
 from .llm import _SHINGLES_SQL, DIM, _sql_cosine, _sql_dot
 
@@ -1033,18 +1034,41 @@ def resample_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global distribution ranking: ntile quartiles + percent_rank over
-    per-customer spend. The unpartitioned window forces a single-task
-    sort — correct for catalog-sized outputs; at 100 TB use the
-    percentile-bucket variant (join against approx quantile bounds)
-    instead of a global window."""
+    per-customer spend — WITHOUT the single-task global window.
+
+    ``global_row_number`` range-buckets on approx-quantile bounds, ranks
+    within buckets, and adds broadcast offsets, so every task sorts only
+    ~1/32 of the customers; NTILE and PERCENT_RANK are then pure
+    arithmetic on the exact global rank (the (total, custkey) order is a
+    total order, so rank == row_number and the result is bit-identical
+    to the oracle's global window)."""
     cat = Catalog(spark, sf_dir)
     spend = cat.orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 4).alias("total")
     )
-    w = Window.orderBy(F.desc("total"), F.asc("o_custkey"))
-    return spend.select(
+    ranked = global_row_number(
+        spend,
+        value_col="total",
+        ascending=False,
+        tiebreak_cols=["o_custkey"],
+        name="__r",
+        total_col="__n",
+    )
+    # NTILE(k): first (N mod k) buckets get ceil(N/k) rows, rest floor.
+    k = 4
+    r, n = F.col("__r"), F.col("__n")
+    q = (n / k).cast("long")
+    rem = n % k
+    big = rem * (q + 1)
+    quartile = (
+        F.when(r <= big, ((r - 1) / (q + 1)).cast("long"))
+        .otherwise(rem + ((r - 1 - big) / F.greatest(q, F.lit(1))).cast("long"))
+        + 1
+    ).cast("int")
+    pct = (r - 1).cast("double") / F.greatest(n - 1, F.lit(1)).cast("double")
+    return ranked.select(
         "o_custkey",
         "total",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        quartile.alias("quartile"),
+        F.round(pct, 6).alias("pct_rank"),
     )

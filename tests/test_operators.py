@@ -242,3 +242,40 @@ def test_distributed_ntile_tracks_exact(spark):
     # agreement with exact ntile away from cut-value ties
     mismatch = j.filter(F.col("bucket") != F.col("exact_b")).count()
     assert mismatch <= 12  # only boundary ties may differ
+
+
+def test_global_row_number_matches_global_window(spark):
+    """Two-phase bucketed ranking is bit-identical to the global-window
+    row_number for a deterministic total order — both directions, with
+    heavy ties and skew so cut-value rows straddle bucket math."""
+    from pyspark.sql import Window
+
+    from lmo_data_catalog_spark.operators.windows import global_row_number
+
+    df = spark.range(1, 2001).select(
+        F.col("id"),
+        # skewed + heavily tied: 60% of rows share 5 values
+        F.when(F.col("id") % 5 < 3, (F.col("id") % 5).cast("double"))
+        .otherwise((F.col("id") * 13 % 401).cast("double"))
+        .alias("v"),
+    )
+    for ascending in (True, False):
+        got = global_row_number(
+            df,
+            value_col="v",
+            ascending=ascending,
+            tiebreak_cols=["id"],
+            name="r",
+            num_buckets=8,
+            total_col="n",
+        )
+        direction = F.asc("v") if ascending else F.desc("v")
+        w = Window.orderBy(direction, F.asc("id"))
+        exact = df.withColumn("r_exact", F.row_number().over(w))
+        bad = (
+            got.join(exact, on=["id", "v"])
+            .filter(F.col("r") != F.col("r_exact"))
+            .count()
+        )
+        assert bad == 0, f"ascending={ascending}"
+        assert got.select("n").first()[0] == 2000
