@@ -4,7 +4,13 @@
 Protocol (BASELINE.md): one warm-up pass (JVM + codegen warm), then
 N_RUNS timed passes per query, best-of taken; execution is forced via
 the noop sink so driver-transfer cost doesn't pollute engine timings.
-Prints exactly ONE JSON line.
+
+Output contract: prints exactly ONE JSON line to stdout, guaranteed
+<= LINE_BUDGET chars (the driver keeps only the last 2000 chars of
+stdout — round 1's full per-query dict overflowed that and failed to
+parse). The stdout line carries the suite total plus the slowest
+queries that fit the budget; the COMPLETE per-query timing map is
+written to BENCH_FULL.json at the repo root.
 """
 
 from __future__ import annotations
@@ -14,16 +20,24 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 from lmo_data_catalog_spark.registry import REGISTRY  # noqa: E402
 from lmo_data_catalog_spark.session import get_spark  # noqa: E402
 
 N_RUNS = 2
+LINE_BUDGET = 1900  # driver tail capture is 2000 chars; leave headroom
 
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _timed(builder, spark, sf_dir) -> float:
+    t0 = time.time()
+    force(builder(spark, sf_dir))
+    return time.time() - t0
 
 
 def main() -> None:
@@ -47,29 +61,47 @@ def main() -> None:
             timings[name] = -1.0
             print(f"bench error {name}: {e}", file=sys.stderr)
         finally:
-            # operators persist() shared intermediates per invocation;
+            # operators may persist() shared intermediates per invocation;
             # drop them between queries so cache doesn't accumulate
             spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t > 0), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "registry_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+
+    full = {
+        "metric": "registry_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "n_queries": len(timings),
+        "errors": sorted(n for n, t in timings.items() if t < 0),
+    }
+    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    # stdout line: total + slowest queries that fit the budget
+    base = {
+        "metric": "registry_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "detail": "BENCH_FULL.json",
+        "queries": {},
+    }
+    by_time = sorted(timings.items(), key=lambda kv: -kv[1])
+    line = json.dumps(base, separators=(",", ":"))
+    for name, t in by_time:
+        base["queries"][name] = t
+        candidate = json.dumps(base, separators=(",", ":"))
+        if len(candidate) > LINE_BUDGET:
+            del base["queries"][name]
+            break
+        line = candidate
+    print(line)
     spark.stop()
-
-
-def _timed(builder, spark, sf_dir) -> float:
-    t0 = time.time()
-    force(builder(spark, sf_dir))
-    return time.time() - t0
 
 
 if __name__ == "__main__":
