@@ -23,6 +23,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+from lmo_data_catalog_spark import cache  # noqa: E402
 from lmo_data_catalog_spark.registry import REGISTRY  # noqa: E402
 from lmo_data_catalog_spark.session import get_spark  # noqa: E402
 
@@ -61,9 +62,10 @@ def main() -> None:
             timings[name] = -1.0
             print(f"bench error {name}: {e}", file=sys.stderr)
         finally:
-            # operators may persist() shared intermediates per invocation;
-            # drop them between queries so cache doesn't accumulate
-            spark.catalog.clearCache()
+            # operators persist() shared intermediates per invocation
+            # (tracked via cache.track); release between queries so
+            # executor storage doesn't accumulate across the suite
+            cache.release_all()
 
     total = round(sum(t for t in timings.values() if t > 0), 4)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")

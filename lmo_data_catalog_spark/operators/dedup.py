@@ -26,6 +26,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .. import cache
 from .text import hashed_shingles
 
 # Prime > 2^32 for affine MinHash permutations over 32-bit base hashes.
@@ -162,9 +163,10 @@ def exact_jaccard_pairs(
     # of the self-join — persist it or the tokenize/hash/distinct
     # lineage re-executes once per branch (4×, seen in profiles).
     sh = (
-        hashed_shingles(df, id_col=id_col, text_col=text_col, n=n)
-        .toDF("id", "h")
-        .persist()
+        cache.track(
+            hashed_shingles(df, id_col=id_col, text_col=text_col, n=n)
+            .toDF("id", "h")
+        )
     )
     # count common shingles directly off the shingle self-join — one
     # shuffle-join + one agg, instead of distinct-pairs then two more
@@ -225,11 +227,14 @@ def minhash_lsh_dedup_pairs(
     # persist shared intermediates: sh feeds signatures + verify (3
     # branches), sig feeds both sides of the banding self-join.
     sh = (
-        hashed_shingles(df, id_col=id_col, text_col=text_col, n=n)
-        .toDF("id", "h")
-        .persist()
+        cache.track(
+            hashed_shingles(df, id_col=id_col, text_col=text_col, n=n)
+            .toDF("id", "h")
+        )
     )
-    sig = minhash_signatures(sh, id_col="id", n_hashes=n_hashes, seed=seed).persist()
+    sig = cache.track(
+        minhash_signatures(sh, id_col="id", n_hashes=n_hashes, seed=seed)
+    )
     cand = lsh_candidate_pairs(sig, id_col="id", bands=bands, rows=rows)
     return jaccard_on_pairs(cand, sh, id_col="id").filter(
         F.col("jaccard") >= threshold
@@ -316,7 +321,7 @@ def winnow_dedup_pairs(
     ).toDF("id", "fp")
     # fingerprints present in a single doc can't form a pair — prune
     # before the self-join (same df>=2 trick as exact_jaccard_pairs).
-    fps = fps.persist()
+    fps = cache.track(fps)
     shared = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -473,7 +478,7 @@ def simhash_candidate_pairs(
     )
     # sig feeds both sides of the chunk-match self-join — persist so
     # the shingle+vote lineage runs once.
-    sig = simhash_64(sh, id_col="id").persist()
+    sig = cache.track(simhash_64(sh, id_col="id"))
     n_chunks = 64 // chunk_bits
     mask = (1 << chunk_bits) - 1
     chunks = sig.select(

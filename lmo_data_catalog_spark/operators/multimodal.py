@@ -20,13 +20,13 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 IMAGE_META_SCHEMA = "doc_id long, n_bytes int, width int, height int"
 
 
-def with_payload(df: DataFrame, *, text_col: str, payload_col: str = "payload") -> Column:
+def with_payload(df: DataFrame, *, text_col: str, payload_col: str = "payload") -> DataFrame:
     """Attach a synthetic binary payload column (UTF-8 bytes of the
     text) — the stand-in for real image/audio bytes in fixtures."""
     return df.withColumn(payload_col, F.encode(F.col(text_col), "UTF-8"))

@@ -144,6 +144,7 @@ def neardup_pairs_gemm(
     dim: int,
     threshold: float,
     eps: float = 1e-9,
+    max_build_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold via GEMM tiles + exact
     re-verification — same output as :func:`neardup_pairs_bruteforce`,
@@ -164,7 +165,17 @@ def neardup_pairs_gemm(
     """
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
-    side = df.select(id_col, vec_col).toPandas()
+    # the build side is gathered to the driver like a broadcast-join
+    # build side — bound it (same contract as sinks.workbook) instead
+    # of risking a driver OOM on an unexpectedly large input
+    side = df.select(id_col, vec_col).limit(max_build_rows + 1).toPandas()
+    if len(side) > max_build_rows:
+        raise ValueError(
+            f"neardup_pairs_gemm build side exceeds max_build_rows="
+            f"{max_build_rows}; shard the build side into column blocks "
+            "and union the candidate stages (see docstring), or raise "
+            "max_build_rows if the driver has the memory"
+        )
     if len(side) == 0:
         return (
             df.select(

@@ -27,6 +27,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import cache
 from ..operators import filters
 from ..operators.reshape import unpivot_years
 from ..schema_toolkit import (
@@ -181,7 +182,7 @@ def _split_by_region(
     ``df`` is persisted: the sinks materialize each sheet
     independently, and without the cache the upstream unpivot +
     aggregate would re-execute once per region."""
-    df = df.persist()
+    df = cache.track(df)
     regions = [
         r[0]
         for r in df.select("Geographic Area").distinct().orderBy(
@@ -343,12 +344,27 @@ def high_opportunity_occupations(
     income = "2021 Census Median Employment Income (Employed)"
     # persist: each of the 8 per-region sheets re-executes the
     # broadcast build side otherwise (once per sheet materialization)
-    jo_by_region = F.broadcast(regional_jo_by_occ(inp, cfg).persist())
+    jo_by_region = F.broadcast(cache.track(regional_jo_by_occ(inp, cfg)))
+    # validate sheet→region resolution against the data: an unmatched
+    # token (e.g. the vendor's year suffix drifting from cfg.fyod)
+    # would otherwise left-join to nothing and silently emit an
+    # all-NULL openings column — the failure class the explicit
+    # mapping (vs SM:189's positional zip) exists to eliminate
+    known_regions = {
+        r[0] for r in jo_by_region.select("Geographic Area").distinct().collect()
+    }
 
     wb: Workbook = {"Data Dictionary": data_dictionary(inp.employment.sparkSession, cfg)}
     for sheet in sheets:
         flag_col = col_for_sheet[sheet]
         region = _sheet_region(sheet, cfg)
+        if region not in known_regions:
+            raise ValueError(
+                f"HOO sheet {sheet!r} resolved to region {region!r}, not a "
+                f"Geographic Area in the openings data "
+                f"({sorted(known_regions)}); check cfg.fyod / "
+                "cfg.region_aliases against the vendor's column naming"
+            )
         hoo = (
             occ.filter(filters.not_rlike(flag_col, "Non"))  # SM:74
             .select(

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import cache
 from ..catalog import Catalog
 from ..operators import text as T
 from ..operators.dedup import connected_components, minhash_lsh_dedup_pairs
@@ -78,8 +79,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cent_id")
-        .persist()
     )
+    assign = cache.track(assign)
     qc = F.broadcast(
         assign.filter(F.col("vec_id") == 0).select(
             F.col("cent_id").alias("qcent")

@@ -18,6 +18,7 @@ from lmo_data_catalog_spark.plans.lmo_pipeline import (
     ARTIFACTS,
     LMOConfig,
     build_all,
+    high_opportunity_occupations,
     jo_by_skill_cluster,
     load_inputs,
 )
@@ -162,3 +163,21 @@ def test_read_csv_skip_multifile_glob(spark, tmp_path):
     got = sorted((r["k"], r["v"]) for r in df.collect())
     assert df.columns == ["k", "v"]
     assert got == [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_hoo_unresolvable_sheet_region_raises(inputs):
+    # a sheet token the aliases don't cover must fail loudly, not
+    # left-join to nothing and emit an all-NULL openings column
+    bad_cfg = LMOConfig(fyod=CFG.fyod, region_aliases={})
+    with pytest.raises(ValueError, match="Geographic Area"):
+        high_opportunity_occupations(inputs, bad_cfg)
+
+
+def test_cache_release_all_unpersists(spark):
+    from lmo_data_catalog_spark import cache
+
+    df = cache.track(spark.range(10))
+    assert df.storageLevel.useMemory
+    assert cache.release_all() >= 1
+    assert not df.storageLevel.useMemory
+    assert cache.release_all() == 0  # idempotent, registry cleared
