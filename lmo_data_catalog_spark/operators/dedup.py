@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import cache
-from .text import hashed_shingles
+from .text import hashed_shingles, shingles
 
 # Prime > 2^32 for affine MinHash permutations over 32-bit base hashes.
 _MERSENNE_P = 4294967311
@@ -460,6 +460,108 @@ def simhash_64(sh: DataFrame, *, id_col: str) -> DataFrame:
         term = F.shiftleft(bit, i)
         sig = term if sig is None else sig.bitwiseXOR(term)
     return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+# Two independent 30-bit polynomial-hash channels for the portable
+# SimHash: (multiplier, prime just above 2^30). Mod-per-step keeps the
+# accumulator < 2^35, safe in BIGINT on both engines (DuckDB errors on
+# int64 overflow where the JVM would silently wrap).
+_POLY_CHANNELS = ((31, 1073741827), (131, 1073741831))
+_POLY_INIT = 7
+
+
+def poly_hash(col: Column | str, mult: int, prime: int) -> Column:
+    """Polynomial rolling hash over a string's code points, mod prime —
+    fold(chars, acc -> (acc*mult + codepoint) % prime). Deterministic
+    and engine-portable: DuckDB's ``list_reduce`` over
+    ``string_split(s, '')`` computes the identical value (verified
+    byte-for-byte), so plans built on it are differential-testable
+    against a SQL oracle, unlike xxhash64."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        F.split(c, ""),
+        F.lit(_POLY_INIT).cast("long"),
+        lambda acc, ch: F.pmod(acc * F.lit(mult) + F.ascii(ch), F.lit(prime)),
+    )
+
+
+def portable_simhash_candidate_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    chunk_bits: int = 15,
+) -> DataFrame:
+    """SimHash candidates on a 60-bit oracle-portable signature:
+    bits 0-29 vote on poly-hash channel 1, bits 30-59 on channel 2.
+    Pairs agree on ≥1 of the 60/chunk_bits signature chunks
+    (guaranteed to catch Hamming distance < 60/chunk_bits); returns
+    (id_a, id_b, hamming).
+
+    Same plan shape as :func:`simhash_candidate_pairs` (the xxhash64
+    scale path): shingle → one groupBy with 60 conditional-sum votes
+    (map-side combined) → chunk-explode equi-join. The poly hash costs
+    one fold per shingle char vs xxhash64's native call — the price of
+    a value-exact DuckDB differential oracle."""
+    sh = shingles(df, id_col=id_col, text_col=text_col, n=n)
+    (m1, p1), (m2, p2) = _POLY_CHANNELS
+    hs = sh.select(
+        F.col(id_col),
+        poly_hash("shingle", m1, p1).alias("h1"),
+        poly_hash("shingle", m2, p2).alias("h2"),
+    )
+    bit_votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h1" if i < 30 else "h2"), i % 30)
+                .bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(60)
+    ]
+    votes = hs.groupBy(id_col).agg(*bit_votes)
+    sig = None
+    for i in range(60):
+        bit = F.when(F.col(f"v_{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    sig_df = cache.track(votes.select(F.col(id_col), sig.alias("simhash")))
+
+    n_chunks = 60 // chunk_bits
+    mask = (1 << chunk_bits) - 1
+    chunks = sig_df.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright("simhash", i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk_idx", "c.chunk")
+    a = chunks.toDF("id_a", "sim_a", "chunk_idx", "chunk")
+    b = chunks.toDF("id_b", "sim_b", "chunk_idx", "chunk")
+    pairs = (
+        a.join(b, on=["chunk_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+    )
 
 
 def simhash_candidate_pairs(

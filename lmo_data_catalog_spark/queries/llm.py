@@ -22,10 +22,12 @@ from pyspark.sql import functions as F
 from ..catalog import Catalog
 from ..operators import text as T
 from ..operators.dedup import (
+    _POLY_CHANNELS,
+    _POLY_INIT,
     exact_dedup,
     exact_jaccard_pairs,
     minhash_lsh_dedup_pairs,
-    simhash_candidate_pairs,
+    portable_simhash_candidate_pairs,
     winnow_dedup_pairs,
 )
 from ..operators.multimodal import decode_image_meta, with_payload
@@ -223,21 +225,83 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _simhash_oracle_sql() -> str:
+    """DuckDB mirror of portable_simhash_candidate_pairs: identical
+    tokenization, 3-gram shingling, two-channel poly hash, 60-bit
+    vote signature, 15-bit chunk banding, hamming ≤ 8."""
+    (m1, p1), (m2, p2) = _POLY_CHANNELS
+
+    def poly(mult: int, prime: int) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST({_POLY_INIT} AS BIGINT), "
+            "list_transform(string_split(shingle, ''), "
+            "c -> CAST(ascii(c) AS BIGINT))), "
+            f"(acc, x) -> (acc * {mult} + x) % {prime})"
+        )
+
+    votes = ", ".join(
+        f"SUM(CASE WHEN ((h{1 if i < 30 else 2} >> {i % 30}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(60)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v_{i} > 0 THEN CAST({1 << i} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for i in range(60)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 3
+          THEN list_transform(range(1, len(t) - 1),
+                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
+          ELSE [] END)) AS shingle
+      FROM toks
+    ), hs AS (
+      SELECT doc_id, {poly(m1, p1)} AS h1, {poly(m2, p2)} AS h2 FROM grams
+    ), votes AS (
+      SELECT doc_id, {votes} FROM hs GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, {sig} AS s FROM votes
+    ), chunks AS (
+      SELECT doc_id, s, r.i AS chunk_idx, (s >> (r.i * 15)) & 32767 AS chunk
+      FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) r
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.s AS sa, b.s AS sb
+      FROM chunks a JOIN chunks b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM pairs WHERE bit_count(xor(sa, sb)) <= 8
+    """
+
+
 @query(
     "simhash_candidates",
-    oracle=None,  # xxhash64-based signature: not SQL-expressible; rows-only
+    oracle=_simhash_oracle_sql(),
     tags=("dedup", "simhash"),
 )
 def simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup candidates: pairs agreeing on ≥1 of four
-    16-bit signature chunks, with Hamming distance ≤ 8. Signature uses
-    xxhash64 (engine-native, not SQL-mirrorable) → rows-only check;
-    the *semantics* are cross-checked in tests against Jaccard truth."""
+    """SimHash near-dup candidates: pairs agreeing on ≥1 of four
+    15-bit chunks of a 60-bit signature, Hamming distance ≤ 8.
+
+    Uses the oracle-portable two-channel polynomial signature
+    (operators.dedup.portable_simhash_candidate_pairs) so DuckDB
+    differential-checks the full pipeline value-exactly; the xxhash64
+    variant (simhash_candidate_pairs) is the faster engine-native
+    path with identical plan shape, cross-checked in tests."""
     cat = Catalog(spark, sf_dir)
-    pairs = simhash_candidate_pairs(
-        cat.documents, id_col="doc_id", text_col="text", n=3, chunk_bits=16
+    pairs = portable_simhash_candidate_pairs(
+        cat.documents, id_col="doc_id", text_col="text", n=3, chunk_bits=15
     )
-    return pairs.filter(F.col("hamming") <= 8).select("id_a", "id_b", "hamming")
+    return pairs.filter(F.col("hamming") <= 8).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 # ======================================================================

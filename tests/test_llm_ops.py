@@ -222,3 +222,38 @@ def test_winnow_pairs_equal_exact_jaccard(spark):
         ).collect()
     }
     assert win == exact
+
+
+def test_portable_simhash_matches_xxhash_plan_shape(spark):
+    """The oracle-portable 60-bit signature honours the same banding
+    pigeonhole as the xxhash64 path: with 4 chunks of 15 bits, every
+    pair at Hamming distance < 4 surfaces, and hamming is consistent
+    with the emitted pairs (symmetric, id_a < id_b, 0..60)."""
+    from lmo_data_catalog_spark.operators.dedup import (
+        portable_simhash_candidate_pairs,
+    )
+
+    docs = Catalog(spark, SF_SMOKE).documents
+    rows = portable_simhash_candidate_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, chunk_bits=15
+    ).collect()
+    assert len(rows) > 0  # fixture plants near-identical docs
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert 0 <= r.hamming <= 60
+    # identical-text pairs must appear at hamming 0
+    dup = (
+        docs.groupBy(F.lower(F.trim("text")).alias("t"))
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .collect()
+    )
+    found = {(r.id_a, r.id_b): r.hamming for r in rows}
+    planted = 0
+    for g in dup:
+        ids = sorted(g.ids)
+        a, b = ids[0], ids[1]
+        if (a, b) in found:
+            assert found[(a, b)] == 0
+            planted += 1
+    assert planted > 0 or not dup
