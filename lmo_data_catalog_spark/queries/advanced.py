@@ -1,0 +1,490 @@
+"""Advanced warehouse + training-pipeline query shapes, round 2:
+Gopher-style quality gating, market-basket co-occurrence, funnel
+conversion, time-series gap interpolation, snapshot upsert (MERGE
+shape), sketch aggregates with bound-check oracles, systematic
+sampling, and point-in-time (as-of) snapshots.
+
+Cross-engine determinism follows registry.py's conventions; sketch
+queries (HLL, quantile summaries) emit the EXACT value plus a boolean
+asserting the sketch landed within its error bound — the oracle emits
+the exact value and literal TRUE, so the hash comparison proves the
+bound held without requiring the engines' sketches to agree bit-wise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..operators.text import tokens
+from ..registry import query
+
+# ---------------------------------------------------------------- quality
+
+
+@query(
+    "gopher_quality_flags",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS t,
+             length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS n_ch
+      FROM documents
+    ), base AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             n_ch / greatest(len(t), 1) AS mwl
+      FROM toks
+    ), bg AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 2
+          THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+          ELSE [] END) AS bg
+      FROM toks
+    ), per AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2
+    ), stats AS (
+      SELECT doc_id, MAX(c) AS maxc, SUM(c) AS total FROM per GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS INT) AS n_tokens,
+           ROUND(b.mwl, 6) AS mean_word_len,
+           ROUND(COALESCE(s.maxc / s.total, 0.0), 6) AS max_bigram_frac,
+           (b.n_tokens >= 5 AND b.n_tokens <= 10000
+            AND b.mwl >= 2 AND b.mwl <= 12
+            AND COALESCE(s.maxc / s.total, 0.0) <= 0.2) AS quality_pass
+    FROM base b LEFT JOIN stats s USING (doc_id)
+    """,
+    tags=("text", "quality", "gopher"),
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/shape quality gate (Rae et al. 2021
+    §A1.1 class of signals): token count, mean word length, and the
+    fraction of the document covered by its most frequent bigram
+    (repetition signal), combined into a pass flag.
+
+    One scan + one bigram-explode aggregation; everything map-side
+    combinable, no UDFs — at 100 TB this is the canonical
+    embarrassingly-parallel quality sweep before dedup."""
+    docs = Catalog(spark, sf_dir).documents
+    t = tokens("text")
+    base = docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        (
+            F.length(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", ""))
+            / F.greatest(F.size(t), F.lit(1))
+        ).alias("mwl"),
+    )
+    bigrams = docs.select(
+        "doc_id",
+        F.when(
+            F.size(t) >= 2,
+            F.expr(
+                "transform(sequence(0, size(split(lower(trim(text)), '\\\\s+')) - 2),"
+                " i -> concat_ws(' ', slice(split(lower(trim(text)), '\\\\s+'), i + 1, 2)))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("bgs"),
+    ).select("doc_id", F.explode("bgs").alias("bg"))
+    per = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    stats = per.groupBy("doc_id").agg(
+        F.max("c").alias("maxc"), F.sum("c").alias("total")
+    )
+    frac = F.coalesce(F.col("maxc") / F.col("total"), F.lit(0.0))
+    return base.join(stats, on="doc_id", how="left").select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.round("mwl", 6).alias("mean_word_len"),
+        F.round(frac, 6).alias("max_bigram_frac"),
+        (
+            (F.col("n_tokens") >= 5)
+            & (F.col("n_tokens") <= 10000)
+            & (F.col("mwl") >= 2)
+            & (F.col("mwl") <= 12)
+            & (frac <= 0.2)
+        ).alias("quality_pass"),
+    )
+
+
+# ------------------------------------------------------------ market basket
+
+
+@query(
+    "cooccurrence_part_pairs",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 100
+    """,
+    tags=("join", "self_join", "basket"),
+)
+def cooccurrence_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top part pairs bought in the same
+    order. Per-order distinct first bounds the self-join fan-out to
+    C(items_per_order, 2) ≈ 21 pairs/order; the self-join shuffles
+    once on orderkey (both sides co-partitioned), the pair count is
+    map-side combinable, and the top-100 is a TakeOrdered (no global
+    sort materialization). Skewed mega-orders would salt the orderkey."""
+    li = (
+        Catalog(spark, sf_dir)
+        .lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.toDF("l_orderkey", "part_a")
+    b = li.toDF("l_orderkey", "part_b")
+    return (
+        a.join(b, on="l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+# ----------------------------------------------------------------- funnel
+
+
+@query(
+    "funnel_view_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), conv AS (
+      SELECT v.user_id, MIN(p.ts) AS first_purchase
+      FROM v JOIN events p
+        ON p.user_id = v.user_id
+       AND p.event_type = 'purchase' AND p.ts > v.first_view
+      GROUP BY v.user_id
+    )
+    SELECT v.user_id, CAST(v.first_view AS DATE) AS first_view_day,
+           (conv.user_id IS NOT NULL) AS converted
+    FROM v LEFT JOIN conv USING (user_id)
+    """,
+    tags=("funnel", "events"),
+)
+def funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel (view → later purchase) per user: the ordered-
+    event-sequence shape behind conversion analytics. Two grouped MINs
+    and one range-predicated join, all shuffling on user_id — one
+    partitioning reused across every step (no re-shuffle between
+    stages at scale)."""
+    ev = Catalog(spark, sf_dir).events
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    conv = (
+        v.join(p, on="user_id")
+        .filter(F.col("pts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("first_purchase"))
+    )
+    return v.join(conv, on="user_id", how="left").select(
+        "user_id",
+        F.col("first_view").cast("date").alias("first_view_day"),
+        F.col("first_purchase").isNotNull().alias("converted"),
+    )
+
+
+# ------------------------------------------------------- gap interpolation
+
+
+@query(
+    "gap_fill_interpolate",
+    oracle="""
+    WITH known AS (
+      SELECT CAST(ts AS DATE) AS day, ROUND(SUM(value), 4) AS v
+      FROM events
+      WHERE event_type = 'purchase' AND user_id % 50 = 0
+      GROUP BY 1
+    ), bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ), joined AS (
+      SELECT s.day, k.v FROM spine s LEFT JOIN known k USING (day)
+    ), ctx AS (
+      SELECT day, v,
+        last_value(v IGNORE NULLS) OVER
+          (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        first_value(v IGNORE NULLS) OVER
+          (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM joined
+    )
+    SELECT day, (v IS NOT NULL) AS observed,
+      ROUND(CASE
+        WHEN v IS NOT NULL THEN v
+        WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+          pv + (nv - pv) * (day - pd) / (nd - pd)
+        ELSE COALESCE(pv, nv) END, 6) AS value_interp
+    FROM ctx
+    """,
+    tags=("timeseries", "interpolate"),
+)
+def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with LINEAR interpolation between the
+    nearest observed days (nearest-value fill at the edges) — the
+    resample/interpolate step of feature pipelines, entirely in window
+    functions (last/first IGNORE NULLS), no UDFs.
+
+    The demo series is one global spine (≤ a few hundred rows after
+    the daily aggregate, so the single-partition window is fine); the
+    at-scale form adds the series key to every PARTITION BY and the
+    spine is sequence() per key — same expressions, keyed windows."""
+    ev = Catalog(spark, sf_dir).events
+    known = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") % 50 == 0))
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("v"))
+    )
+    bounds = ev.select(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    joined = spine.join(known, on="day", how="left")
+    wp = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    day_if_known = F.when(F.col("v").isNotNull(), F.col("day"))
+    ctx = joined.select(
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(day_if_known, ignorenulls=True).over(wp).alias("pd"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(day_if_known, ignorenulls=True).over(wn).alias("nd"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * F.datediff("day", "pd")
+            / F.datediff("nd", "pd"),
+        )
+        .otherwise(F.coalesce("pv", "nv"))
+    )
+    return ctx.select(
+        "day",
+        F.col("v").isNotNull().alias("observed"),
+        F.round(interp, 6).alias("value_interp"),
+    )
+
+
+# ------------------------------------------------------------ upsert/MERGE
+
+
+@query(
+    "upsert_latest_snapshot",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, value, CAST(ts AS DATE) AS as_of
+      FROM (
+        SELECT user_id, value, ts, ROW_NUMBER() OVER
+          (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-16'
+      ) WHERE rn = 1
+    ), upd AS (
+      SELECT user_id, value, CAST(ts AS DATE) AS as_of
+      FROM (
+        SELECT user_id, value, ts, ROW_NUMBER() OVER
+          (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE CAST(ts AS DATE) >= DATE '2024-01-16'
+          AND event_type = 'purchase'
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(b.user_id, u.user_id) AS user_id,
+           ROUND(COALESCE(u.value, b.value), 4) AS value,
+           COALESCE(u.as_of, b.as_of) AS as_of,
+           (u.user_id IS NOT NULL) AS updated
+    FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id
+    """,
+    tags=("merge", "upsert"),
+)
+def upsert_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert shape without a table format: a per-key snapshot
+    (latest event before Jan 16) full-outer-joined with an update
+    batch (latest later purchase); updates win via COALESCE. Both
+    sides shuffle once on the merge key — at scale, bucketing the
+    snapshot by user_id makes the recurring merge co-located, which
+    is exactly what Delta/Iceberg MERGE does under the hood."""
+    ev = Catalog(spark, sf_dir).events
+    d = F.col("ts").cast("date")
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "value", d.alias("as_of"))
+        )
+
+    base = latest(ev.filter(d < F.lit("2024-01-16").cast("date")))
+    upd = latest(
+        ev.filter(
+            (d >= F.lit("2024-01-16").cast("date"))
+            & (F.col("event_type") == "purchase")
+        )
+    )
+    b = base.toDF("user_id", "b_value", "b_as_of")
+    u = upd.toDF("u_user_id", "u_value", "u_as_of")
+    return b.join(
+        u, b.user_id == u.u_user_id, how="full_outer"
+    ).select(
+        F.coalesce("user_id", "u_user_id").alias("user_id"),
+        F.round(F.coalesce("u_value", "b_value"), 4).alias("value"),
+        F.coalesce("u_as_of", "b_as_of").alias("as_of"),
+        F.col("u_user_id").isNotNull().alias("updated"),
+    )
+
+
+# ------------------------------------------------------- sketch aggregates
+
+
+@query(
+    "approx_distinct_bounded",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+    tags=("sketch", "hll"),
+)
+def approx_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ count-distinct with its error bound ASSERTED in-query:
+    emits the exact distinct count plus approx_ok = |approx−exact| ≤
+    5%·exact. The oracle emits literal TRUE, so the hash gate proves
+    the sketch landed in-bound without demanding bit-equal sketches
+    across engines. HLL registers merge by max → the approx value is
+    partition-order independent (deterministic under AQE re-plans).
+
+    At 100 TB the sketch IS the point: one map-side-combinable pass,
+    no distinct shuffle of raw user_ids per group."""
+    ev = Catalog(spark, sf_dir).events
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02).cast("double")
+                - F.count_distinct("user_id")
+            )
+            <= 0.05 * F.count_distinct("user_id")
+        ).alias("approx_ok"),
+    )
+
+
+@query(
+    "percentile_sketch_bounded",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("sketch", "quantile"),
+)
+def percentile_sketch_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-summary sketch with asserted bound: exact interpolated
+    median per group (4 dp — finer than the avg-of-two-cents 3 dp
+    granularity, so no rounding ties) plus approx_ok = the
+    percentile_approx(accuracy=10000) estimate within 1% of exact.
+    Same bound-check-oracle pattern as approx_distinct_bounded: the
+    sketch path (mergeable summaries, no global sort) is the 100 TB
+    plan; the exact path exists to certify it."""
+    li = Catalog(spark, sf_dir).lineitem
+    exact = F.expr("percentile(l_extendedprice, 0.5)")
+    approx = F.expr("percentile_approx(l_extendedprice, 0.5, 10000)")
+    return li.groupBy("l_returnflag").agg(
+        F.round(exact, 4).alias("exact_median"),
+        (F.abs(approx - exact) <= 0.01 * exact).alias("approx_ok"),
+    )
+
+
+# -------------------------------------------------------------- sampling
+
+
+@query(
+    "systematic_sample_orders",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_sampled,
+           ROUND(AVG(o_totalprice), 6) AS avg_price
+    FROM orders WHERE o_orderkey % 97 = 0
+    GROUP BY o_orderpriority
+    """,
+    tags=("sampling", "systematic"),
+)
+def systematic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every-kth-key) sampling: a pure map-side filter on
+    the key — reproducible, join-stable (the same keys are sampled in
+    every table that shares them), and free of the global sort a
+    row_number()-based systematic sample would need. The per-stratum
+    aggregate shows sampling composes with downstream group-bys."""
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+    )
+
+
+# ------------------------------------------------------------ as-of snapshot
+
+
+@query(
+    "asof_snapshot_users",
+    oracle="""
+    SELECT user_id, event_type, ROUND(value, 4) AS value,
+           CAST(ts AS DATE) AS as_of_day
+    FROM (
+      SELECT *, ROW_NUMBER() OVER
+        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+    ) WHERE rn = 1
+    """,
+    tags=("asof", "snapshot", "scd2"),
+)
+def asof_snapshot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time snapshot: each user's state as of a cutoff — the
+    read side of SCD-2 (event_validity_intervals builds the write
+    side). The cutoff filter pushes to the scan (ts is a natural
+    partition column at scale), then one window shuffle on user_id."""
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.filter(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.col("ts").cast("date").alias("as_of_day"),
+        )
+    )
