@@ -292,9 +292,13 @@ def winnow_fingerprints(
         .otherwise(F.array(F.array_min("__hs")))
         .alias("__wins"),
     )
+    # explode_outer + post-filter: an inner explode would let
+    # InferFiltersFromGenerate re-inline the whole k-gram + window-min
+    # chain into the scan filter (double evaluation per document); see
+    # operators/text.py::shingles for the full explanation.
     return wins.select(
-        id_col, F.explode(F.array_distinct("__wins")).alias("fp")
-    )
+        id_col, F.explode_outer(F.array_distinct("__wins")).alias("fp")
+    ).where(F.col("fp").isNotNull())
 
 
 def winnow_dedup_pairs(

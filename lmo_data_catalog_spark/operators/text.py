@@ -52,10 +52,15 @@ def shingles(df: DataFrame, *, id_col: str, text_col: str, n: int = 3) -> DataFr
         .alias("__grams"),
     )
     # dedupe is WITHIN-doc (set semantics per document), so
-    # array_distinct does it map-side — no shuffle, unlike .distinct()
+    # array_distinct does it map-side — no shuffle, unlike .distinct().
+    # explode_outer + post-filter, NOT explode: inner explode lets
+    # InferFiltersFromGenerate push `size(__grams) > 0` below the
+    # Generate, where predicate pushdown re-inlines the whole shingle
+    # transform into the scan filter — every document would shingle
+    # TWICE. The null-filter on the generated column stays above.
     return grams.select(
-        id_col, F.explode(F.array_distinct("__grams")).alias("shingle")
-    )
+        id_col, F.explode_outer(F.array_distinct("__grams")).alias("shingle")
+    ).where(F.col("shingle").isNotNull())
 
 
 def hashed_shingles(
@@ -80,17 +85,32 @@ def hashed_shingles(
         .otherwise(F.array().cast("array<bigint>"))
         .alias("__grams"),
     )
-    # per-doc set semantics via array_distinct: map-side, no shuffle
-    return grams.select(id_col, F.explode(F.array_distinct("__grams")).alias("h"))
+    # per-doc set semantics via array_distinct: map-side, no shuffle.
+    # explode_outer + post-filter for the same InferFiltersFromGenerate
+    # double-evaluation reason as `shingles` above.
+    return grams.select(
+        id_col, F.explode_outer(F.array_distinct("__grams")).alias("h")
+    ).where(F.col("h").isNotNull())
 
 
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition ahead of row-expanding work when the scan produced
-    fewer partitions than cores (small single-file inputs park the
-    whole explode on one task). Inputs already split — the 100 TB
-    case — pass through untouched."""
+    few input splits (small single-file inputs park the whole explode
+    on one task). Inputs already split across many files — the 100 TB
+    case — pass through untouched.
+
+    Uses ``df.inputFiles()`` (driver-side file-index metadata, no job)
+    rather than ``df.rdd.getNumPartitions()``, which forced a
+    DataFrame→RDD plan conversion at every query construction.
+    Non-file-backed plans (in-memory test frames, streaming) report no
+    input files and pass through.
+    """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # noqa: BLE001 — non-file plans: leave untouched
+        return df
+    if 0 < n_files < max(2, target // 2):
         return df.repartition(target)
     return df
 

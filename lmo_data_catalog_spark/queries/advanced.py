@@ -65,29 +65,50 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One scan + one bigram-explode aggregation; everything map-side
     combinable, no UDFs — at 100 TB this is the canonical
-    embarrassingly-parallel quality sweep before dedup."""
+    embarrassingly-parallel quality sweep before dedup.
+
+    Tokenize-once discipline: ``__toks`` is projected a single time
+    and every downstream expression (size, char count, bigram
+    transform) references that column. Because the column is
+    referenced more than once, Catalyst's CollapseProject will not
+    re-inline the regex split into the lambda — the round-2 version
+    embedded ``split(...)`` inside the transform and re-evaluated it
+    per bigram index, O(len²) per document. Bigrams are additionally
+    xxhash64'd before the (doc_id, bigram) shuffle so the exchange
+    carries 8-byte longs, not strings (only the counts survive to the
+    output, so hashing is semantics-free modulo ~2⁻⁶⁴ collisions)."""
     docs = Catalog(spark, sf_dir).documents
-    t = tokens("text")
-    base = docs.select(
+    pre = docs.select(
         "doc_id",
-        F.size(t).alias("n_tokens"),
-        (
-            F.length(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", ""))
-            / F.greatest(F.size(t), F.lit(1))
-        ).alias("mwl"),
+        tokens("text").alias("__toks"),
+        F.length(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", "")
+        ).alias("__n_ch"),
     )
-    bigrams = docs.select(
+    base = pre.select(
         "doc_id",
-        F.when(
-            F.size(t) >= 2,
-            F.expr(
-                "transform(sequence(0, size(split(lower(trim(text)), '\\\\s+')) - 2),"
-                " i -> concat_ws(' ', slice(split(lower(trim(text)), '\\\\s+'), i + 1, 2)))"
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("bgs"),
-    ).select("doc_id", F.explode("bgs").alias("bg"))
+        F.size("__toks").alias("n_tokens"),
+        (F.col("__n_ch") / F.greatest(F.size("__toks"), F.lit(1))).alias("mwl"),
+    )
+    # explode_outer, NOT explode: for an inner explode the optimizer's
+    # InferFiltersFromGenerate adds `size(bgs) > 0 AND isnotnull(bgs)`
+    # below the Generate, and predicate pushdown re-inlines the whole
+    # bigram transform into that scan filter — every document then
+    # computes its bigrams twice (once to test emptiness, once for
+    # real). explode_outer admits no inferred filter; the explicit
+    # null-filter on the GENERATED column stays above the Generate.
+    bigrams = pre.select(
+        "doc_id",
+        F.explode_outer(
+            F.when(
+                F.size("__toks") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(__toks) - 2),"
+                    " i -> xxhash64(concat_ws(' ', slice(__toks, i + 1, 2))))"
+                ),
+            )
+        ).alias("bg"),
+    ).where(F.col("bg").isNotNull())
     per = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
     stats = per.groupBy("doc_id").agg(
         F.max("c").alias("maxc"), F.sum("c").alias("total")

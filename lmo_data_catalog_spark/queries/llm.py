@@ -519,7 +519,10 @@ def word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation keeps the shuffle at vocabulary size."""
     cat = Catalog(spark, sf_dir)
     return (
-        cat.documents.select(F.explode(T.tokens("text")).alias("word"))
+        # explode_outer + post-filter: inner explode's inferred filter
+        # would re-inline the split into the scan (double tokenization).
+        cat.documents.select(F.explode_outer(T.tokens("text")).alias("word"))
+        .where(F.col("word").isNotNull())
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("word").asc())

@@ -137,9 +137,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two shuffles: term-frequency agg and the per-doc rank window;
     document frequency is a broadcast-joined dimension."""
     cat = Catalog(spark, sf_dir)
+    # explode_outer + post-filter: inner explode's inferred filter
+    # would re-inline the split into the scan (double tokenization);
+    # see operators/text.py::shingles.
     toks = cat.documents.select(
-        "doc_id", F.explode(T.tokens("text")).alias("term")
-    )
+        "doc_id", F.explode_outer(T.tokens("text")).alias("term")
+    ).where(F.col("term").isNotNull())
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = toks.groupBy("term").agg(
         F.count_distinct("doc_id").alias("df")
@@ -239,9 +242,13 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(T.tokens("text"))
     starts = F.sequence(F.lit(0), n - 1, F.lit(CHUNK_STEP))
     return (
+        # explode_outer + post-filter: avoids the inferred
+        # `size(sequence(...)) > 0` scan filter re-evaluating the
+        # tokenize+sequence chain twice per document.
         cat.documents.select(
-            "doc_id", n.alias("n"), F.explode(starts).alias("s")
+            "doc_id", n.alias("n"), F.explode_outer(starts).alias("s")
         )
+        .where(F.col("s").isNotNull())
         .select(
             "doc_id",
             (F.col("s") / CHUNK_STEP).cast("int").alias("chunk_idx"),
