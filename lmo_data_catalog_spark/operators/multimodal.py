@@ -2,13 +2,16 @@
 metadata, processed by Arrow-batched pandas functions via
 ``mapInPandas``.
 
-The decode kernels themselves are STUBBED (image/audio libraries are
-not in this container): ``decode_image_meta`` runs a deterministic
-fake keyed on payload bytes, and ``decode_image_real`` raises
-``NotImplementedError`` until a real codec (e.g. Pillow) is wired in.
-What IS real and tested: the binary column representation, the
-mapInPandas signature, Arrow batch shapes, output schema, and
-partition behavior — the parts that matter for Spark at scale.
+Header-level image decode is REAL: :func:`parse_image_dims` reads
+PNG IHDR / GIF logical-screen / JPEG SOF dimensions from raw bytes
+with the stdlib only, and every kernel consults it first. Payloads
+that are not one of those containers (e.g. the text-derived fixture
+payloads) fall back to a deterministic fake keyed on byte length, and
+full pixel decode (``decode_image_real`` on other formats) stays
+gated on a codec library that is not in this container. What is also
+real and tested: the binary column representation, the mapInPandas
+signature, Arrow batch shapes, output schema, and partition behavior
+— the parts that matter for Spark at scale.
 
 Scale notes: mapInPandas streams Arrow record batches through one
 Python worker per core; payload bytes never hit the driver. Batch
@@ -25,6 +28,49 @@ from pyspark.sql import functions as F
 
 IMAGE_META_SCHEMA = "doc_id long, n_bytes int, width int, height int"
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_image_dims(payload: bytes) -> tuple[str, int, int] | None:
+    """Stdlib-only image header parse → ``(format, width, height)``,
+    or None if the payload is not a recognized image container.
+
+    - PNG: IHDR is mandated to be the first chunk, so width/height are
+      the two big-endian u32s at bytes 16..24 (PNG spec §11.2.2).
+    - GIF: logical screen width/height, little-endian u16 at bytes
+      6..10 (GIF89a spec §18).
+    - JPEG: walk the marker segments to the first frame header (SOF0-
+      SOF15 except the DHT/JPG/DAC pseudo-SOFs C4/C8/CC); height then
+      width are big-endian u16s at offsets 5/7 into the segment.
+    """
+    import struct
+
+    if (
+        payload[:8] == PNG_SIGNATURE
+        and len(payload) >= 24
+        and payload[12:16] == b"IHDR"
+    ):
+        w, h = struct.unpack(">II", payload[16:24])
+        return ("png", w, h)
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return ("gif", w, h)
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                i += 2
+                continue
+            (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return ("jpeg", w, h)
+            i += 2 + seg_len
+    return None
+
 
 def with_payload(df: DataFrame, *, text_col: str, payload_col: str = "payload") -> DataFrame:
     """Attach a synthetic binary payload column (UTF-8 bytes of the
@@ -35,22 +81,30 @@ def with_payload(df: DataFrame, *, text_col: str, payload_col: str = "payload") 
 def decode_image_meta(
     df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """'Decode' image metadata from binary payloads via mapInPandas.
+    """Decode image metadata from binary payloads via mapInPandas.
 
-    Deterministic fake: dimensions derived from byte length. Swap the
-    body for a real codec without touching the Spark plumbing.
+    Recognized containers (PNG/GIF/JPEG) get their TRUE dimensions via
+    :func:`parse_image_dims`; anything else falls back to the
+    deterministic byte-length fake so non-image fixture payloads keep
+    a stable, oracle-checkable geometry.
     """
     import pandas as pd
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             n = pdf[payload_col].apply(len)
+            parsed = [parse_image_dims(bytes(b)) for b in pdf[payload_col]]
+            fake_w, fake_h = 64 + n % 576, 64 + (n * 7) % 416
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "n_bytes": n,
-                    "width": 64 + n % 576,
-                    "height": 64 + (n * 7) % 416,
+                    "width": [
+                        p[1] if p else fw for p, fw in zip(parsed, fake_w)
+                    ],
+                    "height": [
+                        p[2] if p else fh for p, fh in zip(parsed, fake_h)
+                    ],
                 }
             )
 
@@ -75,17 +129,29 @@ def resize_image_meta(
     """Resize plumbing: compute output geometry (aspect-preserving,
     short side → ``target``) per image via mapInPandas.
 
-    Deterministic fake dimensions (same rule as decode_image_meta);
-    the pixel resample itself is the stubbed codec step — geometry,
-    schema, and batch flow are the real Spark surface.
+    True header dimensions for PNG/GIF/JPEG payloads (same
+    :func:`parse_image_dims` path as decode), byte-length fake for
+    everything else; the pixel resample itself is the stubbed codec
+    step — geometry, schema, and batch flow are the real Spark
+    surface.
     """
     import pandas as pd
 
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             n = pdf[payload_col].apply(len)
-            w = 64 + n % 576
-            h = 64 + (n * 7) % 416
+            parsed = [parse_image_dims(bytes(b)) for b in pdf[payload_col]]
+            w = pd.Series(
+                [p[1] if p else fw for p, fw in zip(parsed, 64 + n % 576)],
+                index=pdf.index,
+            )
+            h = pd.Series(
+                [
+                    p[2] if p else fh
+                    for p, fh in zip(parsed, 64 + (n * 7) % 416)
+                ],
+                index=pdf.index,
+            )
             scale = target / pd.concat([w, h], axis=1).min(axis=1)
             yield pd.DataFrame(
                 {
@@ -148,14 +214,44 @@ def sample_frames(
     )
 
 
-def decode_image_real(df: DataFrame, **kwargs) -> DataFrame:
-    """Real image decode — requires an image codec library.
+REAL_META_SCHEMA = (
+    "doc_id long, format string, n_bytes int, width int, height int"
+)
 
-    STUB: not implemented in this container (no Pillow/libvips).
-    The production body mirrors :func:`decode_image_meta` with the
-    pandas transform replaced by the codec call.
-    """
-    raise NotImplementedError(
-        "image codec not available in this environment; "
-        "use decode_image_meta (deterministic fake) for plumbing tests"
+
+def decode_image_real(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Strict image decode: every payload MUST be a recognized image
+    container (PNG/GIF/JPEG — parsed for real by
+    :func:`parse_image_dims`); any other payload raises, because full
+    pixel decode of arbitrary formats needs a codec library that is
+    not in this container. Unlike :func:`decode_image_meta` there is
+    no fake fallback — this is the production-contract kernel."""
+    import pandas as pd
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            metas = []
+            for b in pdf[payload_col]:
+                m = parse_image_dims(bytes(b))
+                if m is None:
+                    raise NotImplementedError(
+                        "payload is not PNG/GIF/JPEG; decoding other "
+                        "formats requires a codec library (Pillow/libvips) "
+                        "not available in this environment"
+                    )
+                metas.append(m)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "format": [m[0] for m in metas],
+                    "n_bytes": pdf[payload_col].apply(len),
+                    "width": [m[1] for m in metas],
+                    "height": [m[2] for m in metas],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        decode, schema=REAL_META_SCHEMA
     )

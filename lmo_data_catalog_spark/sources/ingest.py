@@ -87,6 +87,105 @@ def read_csv_skip(
     return reader.csv(union)
 
 
+_SSML = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_RELNS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+_ODREL = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+
+
+def _col_index(cell_ref: str) -> int | None:
+    """``"BC12"`` → 54 (0-based column); None if the ref has no letters."""
+    idx = 0
+    for ch in cell_ref:
+        if ch.isalpha():
+            idx = idx * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return idx - 1 if idx else None
+
+
+def read_xlsx_rows(path: str, *, sheet: int = 0) -> list[list[str | None]]:
+    """Minimal stdlib .xlsx reader: cell texts of one sheet, row-major.
+
+    xlsx is a zip of XML parts; this parses exactly the subset the
+    landing-zone contract needs — sheet resolution via workbook.xml +
+    its rels (sheet ORDER, not part filename, which zip tools may
+    permute), shared strings (``t="s"``), inline strings
+    (``t="inlineStr"``), and raw ``<v>`` texts for numbers. Sparse
+    rows keep positional fidelity: a cell's ``r="D7"`` ref places it
+    at column 3 with None-padding, matching what a CSV export of the
+    sheet would show as empty fields. No styles, no dates-as-serials
+    decoding, no formula evaluation (the cached ``<v>`` is taken) —
+    vendor landing files are value-only workbooks.
+    """
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            for si in ET.fromstring(z.read("xl/sharedStrings.xml")).iter(
+                f"{_SSML}si"
+            ):
+                shared.append(
+                    "".join(t.text or "" for t in si.iter(f"{_SSML}t"))
+                )
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        targets = {
+            r.get("Id"): r.get("Target")
+            for r in rels.iter(f"{_RELNS}Relationship")
+        }
+        sheets = list(wb.iter(f"{_SSML}sheet"))
+        if not 0 <= sheet < len(sheets):
+            raise IndexError(f"workbook has {len(sheets)} sheets, not {sheet + 1}")
+        target = targets[sheets[sheet].get(f"{_ODREL}id")]
+        part = target if target.startswith("xl/") else "xl/" + target.lstrip("/")
+        rows: list[list[str | None]] = []
+        for row in ET.fromstring(z.read(part)).iter(f"{_SSML}row"):
+            vals: list[str | None] = []
+            for c in row.findall(f"{_SSML}c"):
+                ci = _col_index(c.get("r", ""))
+                if ci is None:
+                    ci = len(vals)
+                while len(vals) < ci:
+                    vals.append(None)
+                if c.get("t") == "inlineStr":
+                    v: str | None = "".join(
+                        t.text or "" for t in c.iter(f"{_SSML}t")
+                    )
+                else:
+                    ve = c.find(f"{_SSML}v")
+                    v = None if ve is None else ve.text
+                    if c.get("t") == "s" and v is not None:
+                        v = shared[int(v)]
+                vals.append(v)
+            rows.append(vals)
+        return rows
+
+
+def _infer_column(values: list[str | None]):
+    """CSV-inferSchema-alike type unification for one column of cell
+    texts: int → long → double → string, same ladder Spark's CSV
+    inference climbs."""
+    kind = "int"
+    for v in values:
+        if v is None:
+            continue
+        try:
+            if not -(2**31) <= int(v) < 2**31:
+                kind = "long" if kind == "int" else kind
+        except ValueError:
+            try:
+                float(v)
+            except ValueError:
+                return "string", [v for v in values]
+            kind = "double"
+    if kind in ("int", "long"):
+        return kind, [None if v is None else int(v) for v in values]
+    return "double", [None if v is None else float(v) for v in values]
+
+
 def read_excel_ingest(
     spark: SparkSession,
     path: str,
@@ -97,25 +196,35 @@ def read_excel_ingest(
     """S2 — Excel landing read (01_source_me.R:93-97).
 
     Spark has no core Excel source; ingestion goes driver-side through
-    ``pandas.read_excel`` (bounded: vendor workbooks are catalog-sized)
-    then ``createDataFrame``. Gated on openpyxl; a ``.csv`` path falls
-    back to :func:`read_csv_skip` so test environments without Excel
-    libs exercise identical semantics (skip + NA sentinel).
+    the stdlib :func:`read_xlsx_rows` (bounded: vendor workbooks are
+    catalog-sized) then ``createDataFrame``. Semantics mirror the
+    reference's ``read_excel(skip=3, na="x")``: drop ``skip_rows``
+    leading banner rows, first surviving row is the header, cells
+    equal to an NA sentinel become NULL, and column types are unified
+    int → float → string exactly like the CSV fallback's inferSchema.
+    A ``.csv`` path routes to :func:`read_csv_skip` (identical
+    skip + NA semantics) so both landing formats share one contract.
     """
     if path.endswith(".csv"):
         return read_csv_skip(
             spark, path, skip_rows=skip_rows, na_values=na_values
         )
-    try:
-        import pandas as pd
-
-        pdf = pd.read_excel(path, skiprows=skip_rows, na_values=list(na_values))
-    except ImportError as e:  # openpyxl missing
-        raise NotImplementedError(
-            "Excel ingestion requires openpyxl; land the file as CSV or "
-            "Parquet instead"
-        ) from e
-    return spark.createDataFrame(pdf)
+    raw = read_xlsx_rows(path)[skip_rows:]
+    if not raw:
+        raise ValueError(f"{path!r}: no rows after skipping {skip_rows}")
+    header = [str(h) if h is not None else f"_c{i}" for i, h in enumerate(raw[0])]
+    width = len(header)
+    na = set(na_values)
+    body = [
+        [None if v in na else v for v in (r + [None] * width)[:width]]
+        for r in raw[1:]
+    ]
+    cols = [_infer_column([r[i] for r in body]) for i in range(width)]
+    schema = ", ".join(
+        f"`{name}` {cols[i][0]}" for i, name in enumerate(header)
+    )
+    data = [tuple(cols[i][1][j] for i in range(width)) for j in range(len(body))]
+    return spark.createDataFrame(data, schema=schema)
 
 
 def remove_empty(

@@ -165,6 +165,114 @@ def test_read_csv_skip_multifile_glob(spark, tmp_path):
     assert got == [("a", 1), ("b", 2), ("c", 3)]
 
 
+def _write_minimal_xlsx(path, rows):
+    """Build a genuine .xlsx (zip + SpreadsheetML parts) with stdlib
+    only: shared strings for str cells, raw <v> for numbers, and one
+    deliberately sparse row exercise (empty cells are simply absent
+    from the XML, as Excel writes them)."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    shared, sidx = [], {}
+
+    def cell(ref, v):
+        if v is None:
+            return ""
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        if v not in sidx:
+            sidx[v] = len(shared)
+            shared.append(v)
+        return f'<c r="{ref}" t="s"><v>{sidx[v]}</v></c>'
+
+    def colname(i):
+        name = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            name = chr(65 + r) + name
+        return name
+
+    sheet_rows = "".join(
+        f'<row r="{ri + 1}">'
+        + "".join(cell(f"{colname(ci)}{ri + 1}", v) for ci, v in enumerate(row))
+        + "</row>"
+        for ri, row in enumerate(rows)
+    )
+    sst = "".join(f"<si><t>{escape(s)}</t></si>" for s in shared)
+    ssml = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    parts = {
+        "[Content_Types].xml": (
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="xml" ContentType="application/xml"/></Types>'
+        ),
+        "_rels/.rels": (
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>'
+        ),
+        "xl/workbook.xml": (
+            f'<?xml version="1.0"?><workbook xmlns="{ssml}" '
+            'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+        ),
+        "xl/_rels/workbook.xml.rels": (
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>'
+        ),
+        "xl/sharedStrings.xml": (
+            f'<?xml version="1.0"?><sst xmlns="{ssml}">{sst}</sst>'
+        ),
+        "xl/worksheets/sheet1.xml": (
+            f'<?xml version="1.0"?><worksheet xmlns="{ssml}">'
+            f"<sheetData>{sheet_rows}</sheetData></worksheet>"
+        ),
+    }
+    with zipfile.ZipFile(path, "w") as z:
+        for name, content in parts.items():
+            z.writestr(name, content)
+
+
+def test_read_excel_ingest_real_xlsx(spark, tmp_path):
+    """S2's binary path, end-to-end: a genuine in-test .xlsx (zip +
+    SpreadsheetML) read with skip=3 / na='x' must produce the same
+    rows, NULLs, and inferred schema as the CSV fallback on the same
+    logical table (the reference's read_excel(skip=3, na='x'),
+    01_source_me.R:93-97)."""
+    from lmo_data_catalog_spark.sources.ingest import (
+        read_csv_skip,
+        read_excel_ingest,
+    )
+
+    rows = [
+        ["LMO vendor drop", None, None],        # banner 1
+        ["fiscal year 2024", None, None],       # banner 2
+        [None, None, None],                     # banner 3 (blank)
+        ["NOC", "Openings", "Rate"],            # header
+        ["#11100", 120, 1.5],
+        ["#21301", "x", 2.25],                  # NA sentinel in int col
+        ["#31102", 85, None],                   # sparse: trailing empty cell
+    ]
+    xlsx = tmp_path / "vendor.xlsx"
+    _write_minimal_xlsx(xlsx, rows)
+    df = read_excel_ingest(spark, str(xlsx), skip_rows=3, na_values=("x",))
+
+    csv = tmp_path / "vendor.csv"
+    csv.write_text(
+        "LMO vendor drop,,\nfiscal year 2024,,\n,,\n"
+        "NOC,Openings,Rate\n#11100,120,1.5\n#21301,x,2.25\n#31102,85,\n"
+    )
+    ref = read_excel_ingest(spark, str(csv), skip_rows=3, na_values=("x",))
+
+    assert df.columns == ref.columns == ["NOC", "Openings", "Rate"]
+    assert [f.dataType for f in df.schema.fields] == [
+        f.dataType for f in ref.schema.fields
+    ]
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, ref.collect()))
+    assert got == want
+    assert got[1] == ("#21301", None, 2.25)  # sentinel became NULL
+
+
 def test_hoo_unresolvable_sheet_region_raises(inputs):
     # a sheet token the aliases don't cover must fail loudly, not
     # left-join to nothing and emit an all-NULL openings column
