@@ -166,6 +166,59 @@ def lang_id(col: Column | str) -> Column:
     return expr
 
 
+def gopher_quality(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition/shape quality gate (Rae et al. 2021
+    §A1.1 class of signals) over any (id, text) frame: token count,
+    mean word length, max-bigram repetition fraction, combined pass
+    flag. See queries/advanced.py::gopher_quality_flags for the
+    oracle-checked registry wrapper and the tokenize-once /
+    explode_outer plan rationale."""
+    pre = df.select(
+        F.col(id_col),
+        tokens(text_col).alias("__toks"),
+        F.length(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", "")
+        ).alias("__n_ch"),
+    )
+    base = pre.select(
+        id_col,
+        F.size("__toks").alias("n_tokens"),
+        (F.col("__n_ch") / F.greatest(F.size("__toks"), F.lit(1))).alias("mwl"),
+    )
+    bigrams = pre.select(
+        id_col,
+        F.explode_outer(
+            F.when(
+                F.size("__toks") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(__toks) - 2),"
+                    " i -> xxhash64(concat_ws(' ', slice(__toks, i + 1, 2))))"
+                ),
+            )
+        ).alias("bg"),
+    ).where(F.col("bg").isNotNull())
+    per = bigrams.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("c"))
+    stats = per.groupBy(id_col).agg(
+        F.max("c").alias("maxc"), F.sum("c").alias("total")
+    )
+    frac = F.coalesce(F.col("maxc") / F.col("total"), F.lit(0.0))
+    return base.join(stats, on=id_col, how="left").select(
+        id_col,
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.round("mwl", 6).alias("mean_word_len"),
+        F.round(frac, 6).alias("max_bigram_frac"),
+        (
+            (F.col("n_tokens") >= 5)
+            & (F.col("n_tokens") <= 10000)
+            & (F.col("mwl") >= 2)
+            & (F.col("mwl") <= 12)
+            & (frac <= 0.2)
+        ).alias("quality_pass"),
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase
     text (the canonical exact-dedup key)."""

@@ -17,7 +17,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
-from ..operators.text import tokens
 from ..registry import query
 
 # ---------------------------------------------------------------- quality
@@ -76,56 +75,14 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     per bigram index, O(len²) per document. Bigrams are additionally
     xxhash64'd before the (doc_id, bigram) shuffle so the exchange
     carries 8-byte longs, not strings (only the counts survive to the
-    output, so hashing is semantics-free modulo ~2⁻⁶⁴ collisions)."""
-    docs = Catalog(spark, sf_dir).documents
-    pre = docs.select(
-        "doc_id",
-        tokens("text").alias("__toks"),
-        F.length(
-            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", "")
-        ).alias("__n_ch"),
-    )
-    base = pre.select(
-        "doc_id",
-        F.size("__toks").alias("n_tokens"),
-        (F.col("__n_ch") / F.greatest(F.size("__toks"), F.lit(1))).alias("mwl"),
-    )
-    # explode_outer, NOT explode: for an inner explode the optimizer's
-    # InferFiltersFromGenerate adds `size(bgs) > 0 AND isnotnull(bgs)`
-    # below the Generate, and predicate pushdown re-inlines the whole
-    # bigram transform into that scan filter — every document then
-    # computes its bigrams twice (once to test emptiness, once for
-    # real). explode_outer admits no inferred filter; the explicit
-    # null-filter on the GENERATED column stays above the Generate.
-    bigrams = pre.select(
-        "doc_id",
-        F.explode_outer(
-            F.when(
-                F.size("__toks") >= 2,
-                F.expr(
-                    "transform(sequence(0, size(__toks) - 2),"
-                    " i -> xxhash64(concat_ws(' ', slice(__toks, i + 1, 2))))"
-                ),
-            )
-        ).alias("bg"),
-    ).where(F.col("bg").isNotNull())
-    per = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
-    stats = per.groupBy("doc_id").agg(
-        F.max("c").alias("maxc"), F.sum("c").alias("total")
-    )
-    frac = F.coalesce(F.col("maxc") / F.col("total"), F.lit(0.0))
-    return base.join(stats, on="doc_id", how="left").select(
-        "doc_id",
-        F.col("n_tokens").cast("int").alias("n_tokens"),
-        F.round("mwl", 6).alias("mean_word_len"),
-        F.round(frac, 6).alias("max_bigram_frac"),
-        (
-            (F.col("n_tokens") >= 5)
-            & (F.col("n_tokens") <= 10000)
-            & (F.col("mwl") >= 2)
-            & (F.col("mwl") <= 12)
-            & (frac <= 0.2)
-        ).alias("quality_pass"),
+    output, so hashing is semantics-free modulo ~2⁻⁶⁴ collisions).
+    The plan lives in operators/text.py::gopher_quality (with the
+    explode_outer / InferFiltersFromGenerate rationale) so the scale
+    probe can run it on replicated corpora."""
+    from ..operators.text import gopher_quality
+
+    return gopher_quality(
+        Catalog(spark, sf_dir).documents, id_col="doc_id", text_col="text"
     )
 
 
@@ -508,4 +465,53 @@ def asof_snapshot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 4).alias("value"),
             F.col("ts").cast("date").alias("as_of_day"),
         )
+    )
+
+
+# ------------------------------------------------------------- skew salting
+
+
+@query(
+    "salted_join_skew",
+    oracle="""
+    WITH dim AS (
+      SELECT l_returnflag, ROUND(AVG(l_discount), 6) AS flag_avg_disc
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag, d.flag_avg_disc,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l.l_extendedprice * (1 - d.flag_avg_disc)), 4)
+             AS adj_revenue
+    FROM lineitem l JOIN dim d USING (l_returnflag)
+    GROUP BY 1, 2
+    """,
+    tags=("join", "skew", "salted"),
+)
+def salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact→dim join, end-to-end: lineitem joined to a
+    per-returnflag dimension THROUGH operators.joins.salted_join
+    (8 salt buckets) — l_returnflag has 3 values with one holding
+    ~50% of rows, the canonical hot-key shape. The oracle runs the
+    UNSALTED join, so the driver's hash comparison proves salting is
+    semantics-free, not just plausible.
+
+    Scale: with a dimension this small Catalyst broadcasts and skew
+    is moot; the salted plan is the one you deploy when the build
+    side is too big to broadcast and one key exceeds a task even
+    after AQE skew-split. tools/skew_probe.py measures the actual
+    per-task flattening with broadcast disabled (SCALING.md)."""
+    from ..operators.joins import salted_join
+
+    li = Catalog(spark, sf_dir).lineitem.select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    dim = li.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_discount"), 6).alias("flag_avg_disc")
+    )
+    joined = salted_join(li, dim, on=["l_returnflag"], salt_buckets=8)
+    return joined.groupBy("l_returnflag", "flag_avg_disc").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("flag_avg_disc"))), 4
+        ).alias("adj_revenue"),
     )

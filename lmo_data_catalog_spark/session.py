@@ -8,6 +8,12 @@ Scale notes (100 TB design point):
 - Arrow enabled so any pandas-UDF escape hatch is vectorized.
 - Session timezone pinned UTC so timestamp semantics match the DuckDB
   oracle and are reproducible across clusters.
+- Driver heap sized explicitly: in local mode the driver JVM hosts
+  every executor thread, and Spark's 1g default gives local[32] about
+  32 MB of working heap per task — dedup/minhash aggregations OOM and
+  everything else pays constant GC. Overridable via
+  ``SPARK_GRAFT_DRIVER_MEM``; on a real cluster use executor memory
+  settings instead (this knob only matters for local mode).
 """
 
 from __future__ import annotations
@@ -33,6 +39,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")

@@ -127,10 +127,15 @@ def test_shingles_short_doc_empty(spark):
     assert got == {(2, "a b c"), (2, "b c d")}  # doc 1 too short → none
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
-    docs = Catalog(spark, SF_SMOKE).documents
-    with pytest.raises(NotImplementedError):
-        decode_image_real(docs)
+def test_multimodal_real_decode_rejects_non_images(spark):
+    # strict kernel: payloads that aren't PNG/GIF/JPEG raise in the
+    # executor (full pixel decode needs a codec lib this container
+    # lacks); test_multimodal.py covers the real-header decode path
+    from lmo_data_catalog_spark.operators.multimodal import with_payload
+
+    docs = with_payload(Catalog(spark, SF_SMOKE).documents, text_col="text")
+    with pytest.raises(Exception, match="not PNG/GIF/JPEG"):
+        decode_image_real(docs).collect()
 
 
 def test_connected_components_matches_union_find(spark):

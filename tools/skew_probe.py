@@ -1,0 +1,111 @@
+"""Skew-join probe: measure how salting flattens the per-task load.
+
+Builds a deliberately skewed fact table (one key owns half the rows),
+joins it to a 100-key dimension with broadcast DISABLED (the regime
+where skew actually bites — a broadcastable dim never has a skew
+problem), and reports the distribution of join-output rows per shuffle
+task for three plans:
+
+  unsalted / AQE off   — the straggler: the hot key lands on ONE task
+  unsalted / AQE on    — Spark's runtime skew-split (reads oversized
+                         shuffle blocks in slices; helps joins, but
+                         the pattern generalizes less to aggregations)
+  salted (8 buckets)   — operators.joins.salted_join: the hot key is
+                         spread across 8 tasks at plan time
+
+Rows-per-task is the right proxy in local mode: task wall time is
+dominated by rows processed, and row counts are deterministic where
+timings are noisy. Results are appended to SCALING.md by hand (the
+table in §skew was produced by this script).
+
+Usage: python tools/skew_probe.py [n_rows]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from lmo_data_catalog_spark.operators.joins import salted_join  # noqa: E402
+
+
+def task_histogram(df) -> dict[str, int]:
+    """Join-output rows per shuffle task (spark_partition_id of the
+    post-join partitioning = the task that processed those rows)."""
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .collect()
+    )
+    counts = sorted((r["count"] for r in rows), reverse=True)
+    total = sum(counts)
+    return {
+        "tasks": len(counts),
+        "max": counts[0],
+        "p50": counts[len(counts) // 2],
+        "max_share_pct": round(100.0 * counts[0] / total, 1),
+    }
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("skew_probe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # key 0 holds 50% of rows; keys 1..99 share the rest uniformly
+    left = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise((F.col("id") % 99) + 1)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("dim")
+    )
+
+    def timed(df):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    results = {}
+    for label, aqe, build in [
+        ("unsalted_aqe_off", "false", lambda: left.join(right, on=["k"])),
+        ("unsalted_aqe_on", "true", lambda: left.join(right, on=["k"])),
+        (
+            "salted_8",
+            "false",
+            lambda: salted_join(left, right, on=["k"], salt_buckets=8),
+        ),
+    ]:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        df = build()
+        wall = min(timed(df), timed(df))  # best-of-2, warm
+        hist = task_histogram(build())
+        results[label] = {**hist, "wall_s": round(wall, 2)}
+        print(f"{label:18s} {results[label]}")
+
+    # sanity: salted result must equal unsalted result exactly
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    plain = left.join(right, on=["k"])
+    salted = salted_join(left, right, on=["k"], salt_buckets=8)
+    diff = plain.exceptAll(salted.select(*plain.columns)).count()
+    diff += salted.select(*plain.columns).exceptAll(plain).count()
+    print(f"semantic_diff_rows: {diff} (must be 0)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
