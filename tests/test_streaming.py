@@ -144,6 +144,125 @@ def test_incremental_parquet_sink_idempotent(spark, batch_events, tmp_path):
     assert again.count() == want.count()
 
 
+def test_watermark_late_data_drop_keep_boundary(spark, tmp_path):
+    """Pin the watermark's drop/keep boundary with genuinely late
+    events, against a batch-computed expected set.
+
+    Three parquet files become three micro-batches
+    (maxFilesPerTrigger=1, mtime-ordered). Batch 0 is the base load;
+    batch 1 is a single fresh "carrier" event — needed because since
+    the two-watermark model (SPARK-24634, Spark 3.4+) late-EVENT
+    filtering in batch N uses the watermark planned at batch N-1,
+    i.e. the value propagates with a one-batch lag (verified
+    empirically: with only two batches the late rows of the final
+    batch are NOT filtered even though the progress log reports the
+    advanced watermark). Batch 2 then carries four late events: two
+    whose window still ends above the in-force watermark (MUST be
+    aggregated) and two whose window closed below it (MUST be
+    silently dropped). The expected final counts are computed from
+    batch data by replaying that rule — admitted iff window_end >
+    max(batch0.ts) - delay — so the stream run is checked against an
+    independent implementation of the semantics, not against
+    itself."""
+    import datetime
+    import os
+
+    h0 = datetime.datetime(2024, 3, 1, 0, 0, 0)
+
+    def ev(eid, hours_frac, etype="click", uid=1):
+        return (
+            eid,
+            h0 + datetime.timedelta(hours=hours_frac),
+            uid,
+            etype,
+            1.0,
+            "{}",
+        )
+
+    # batch 0: one event in each hourly window 0..9 → watermark
+    # (max 09:30 − 2h) = 07:30 once in force
+    batch0 = [ev(i, i + 0.5) for i in range(10)]
+    # batch 1: fresh carrier event; puts 07:30 in force for batch 2
+    batch1 = [ev(50, 9.75)]
+    # batch 2: late arrivals. windows [8,9) and [9,10) end above the
+    # 07:30 watermark → keep; windows [2,3) and [5,6) closed → drop.
+    batch2 = [ev(100, 8.25), ev(101, 9.17), ev(102, 2.33), ev(103, 5.75)]
+
+    src_dir = tmp_path / "late_events"
+    src_dir.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    # single real files with controlled names AND mtimes (Spark dir
+    # output gets random part-file names, which randomizes the
+    # micro-batch order and with it which batch sets the watermark)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    arrow_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    for i, rows in enumerate([batch0, batch1, batch2]):
+        f = str(src_dir / f"batch{i}.parquet")
+        table = pa.Table.from_pylist(
+            [dict(zip(cols, r)) for r in rows], schema=arrow_schema
+        )
+        pq.write_table(table, f)
+        mtime = 1_700_000_000 + i * 60  # FileStreamSource orders by mtime
+        os.utime(f, (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema(ops.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    got = ops.run_available_now(
+        ops.tumbling_counts(stream), output_mode="update", name="t_late"
+    )
+
+    # ---- independent expected set (batch replay of the semantics)
+    wm = max(r[1] for r in batch0) - datetime.timedelta(hours=2)
+    admitted = [
+        r
+        for r in batch2
+        if (r[1].replace(minute=0, second=0) + datetime.timedelta(hours=1)) > wm
+    ]
+    assert len(admitted) == 2  # the fixture really straddles the boundary
+    expected = ops.tumbling_counts(
+        spark.createDataFrame(batch0 + batch1 + admitted, cols)
+    )
+    expected_rows = {
+        (r["win_start"], r["event_type"]): r["n_events"]
+        for r in expected.collect()
+    }
+
+    # update-mode memory sink logs every emission; counts only grow,
+    # so the final state per window is the max emission
+    final = {
+        (r["win_start"], r["event_type"]): r["n_events"]
+        for r in got.groupBy("win_start", "event_type")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    }
+    assert final == expected_rows
+
+    # the kept-late windows really were updated ...
+    w8 = h0 + datetime.timedelta(hours=8)
+    w9 = h0 + datetime.timedelta(hours=9)
+    assert final[(w8, "click")] == 2  # base + late 08:15
+    assert final[(w9, "click")] == 3  # base + carrier + late 09:10
+    # ... and the too-late windows were NOT (no emission ever exceeded
+    # the batch-1 count — the drop is observable, not assumed)
+    w2 = h0 + datetime.timedelta(hours=2)
+    w5 = h0 + datetime.timedelta(hours=5)
+    assert final[(w2, "click")] == 1 and final[(w5, "click")] == 1
+
+
 def test_stream_stream_interval_join_equals_batch(batch_events, stream_src):
     """Watermarked stream-stream interval join (click -> purchase
     within 1h per user) emits exactly the batch range-join rows:
