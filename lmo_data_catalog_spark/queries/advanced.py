@@ -515,3 +515,68 @@ def salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("flag_avg_disc"))), 4
         ).alias("adj_revenue"),
     )
+
+
+# ------------------------------------------------------- duplicate n-grams
+
+
+@query(
+    "dup_ngram_fraction",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE [] END AS grams
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS INT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+           ROUND(CASE WHEN len(grams) > 0
+             THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+             ELSE 0.0 END, 6) AS dup_frac
+    FROM g
+    """,
+    tags=("text", "quality", "gopher", "dedup"),
+)
+def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: fraction of 3-gram occurrences that
+    are repeats (Gopher / Rae et al. 2021 §A1.1 duplicate-n-gram
+    class; the fixture text has no newlines, so n-grams stand in for
+    the duplicate-line metrics). Entirely map-side — size() and
+    array_distinct() on the per-row gram array, no explode, no
+    shuffle: the 100 TB plan is a pure scan→project, embarrassingly
+    parallel. Tokenize-once via a single ``__grams`` projection
+    (multiple references block CollapseProject re-inlining)."""
+    from ..operators.text import tokens
+
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select("doc_id", tokens("text").alias("__toks"))
+    grams = toks.select(
+        "doc_id",
+        F.when(
+            F.size("__toks") >= 3,
+            F.expr(
+                "transform(sequence(0, size(__toks) - 3),"
+                " i -> concat_ws(' ', slice(__toks, i + 1, 3)))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__grams"),
+    )
+    n_g = F.size("__grams")
+    n_d = F.size(F.array_distinct("__grams"))
+    return grams.select(
+        "doc_id",
+        n_g.cast("int").alias("n_grams"),
+        n_d.cast("int").alias("n_distinct"),
+        F.round(
+            F.when(n_g > 0, 1.0 - n_d.cast("double") / n_g).otherwise(0.0), 6
+        ).alias("dup_frac"),
+    )

@@ -756,3 +756,95 @@ def orders_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > F.col("__avg"))
         .select("o_orderkey", F.round("o_totalprice", 4).alias("price"))
     )
+
+
+# ------------------------------------------------- TPC-H Q13: count distribution
+@query(
+    "order_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("join", "distribution", "tpch_q13"),
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: per-customer order counts (LEFT join with a
+    join-side predicate so zero-order customers stay, non-matching
+    orders drop) folded into a count-of-counts histogram. Two shuffles
+    — (custkey) then (c_count) — both map-side combinable; the
+    second aggregation's key space is tiny (max orders per customer),
+    so the final exchange is a few hundred rows per executor."""
+    cat = Catalog(spark, sf_dir)
+    cust = cat.customer.select("c_custkey")
+    orders = cat.orders.filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------- TPC-H Q22: anti join + scalar sub
+@query(
+    "dormant_rich_customers",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS numcust,
+           ROUND(SUM(c.c_acctbal), 4) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+            SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+          )
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    tags=("join", "anti", "subquery", "tpch_q22"),
+)
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no
+    URGENT orders (every fixture customer has SOME order, so plain
+    no-orders would be vacuously empty), grouped by segment. The
+    scalar subquery is a 1-row broadcast; the NOT EXISTS is a
+    left_anti join (shuffles only the matching custkeys of orders,
+    not the rows); final agg is on a 5-value segment key."""
+    cat = Catalog(spark, sf_dir)
+    avg_bal = cat.customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    rich = (
+        cat.customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+    )
+    urgent = cat.orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    dormant = rich.join(
+        urgent, rich.c_custkey == urgent.o_custkey, "left_anti"
+    )
+    return (
+        dormant.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
