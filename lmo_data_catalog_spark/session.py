@@ -8,12 +8,15 @@ Scale notes (100 TB design point):
 - Arrow enabled so any pandas-UDF escape hatch is vectorized.
 - Session timezone pinned UTC so timestamp semantics match the DuckDB
   oracle and are reproducible across clusters.
-- Driver heap sized explicitly: in local mode the driver JVM hosts
-  every executor thread, and Spark's 1g default gives local[32] about
-  32 MB of working heap per task — dedup/minhash aggregations OOM and
-  everything else pays constant GC. Overridable via
-  ``SPARK_GRAFT_DRIVER_MEM``; on a real cluster use executor memory
-  settings instead (this knob only matters for local mode).
+- Driver heap sized explicitly, and deliberately SMALL (2g default,
+  ``SPARK_GRAFT_DRIVER_MEM`` to override): in local mode the driver
+  JVM hosts every executor thread, and measured suite wall-clock is
+  2g 51 s / 4g 59 s / 12g 111 s for the same 91 queries — G1's young
+  gen scales with the heap, so a big heap turns into multi-second
+  evacuation pauses that land on random queries in a many-small-
+  queries regime. Memory-hungry one-offs (corpus replication probes)
+  set the env var up; on a real cluster use executor memory settings
+  instead (this knob only matters for local mode).
 """
 
 from __future__ import annotations
@@ -41,7 +44,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "2g"),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")

@@ -24,14 +24,17 @@ from lmo_data_catalog_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
-    out = subprocess.run(
+    subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
         env=env,
         capture_output=True,
         text=True,
         check=True,
     )
-    bench = json.loads(out.stdout.strip().splitlines()[-1])
+    # the stdout line truncates `queries` to fit the driver's capture
+    # budget; BENCH_FULL.json carries the complete per-query map
+    with open(os.path.join(ROOT, "BENCH_FULL.json")) as fh:
+        bench = json.load(fh)
 
     spark = get_spark("explain")
     spark.sparkContext.setLogLevel("ERROR")

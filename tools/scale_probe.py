@@ -22,6 +22,10 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
+# 4x-replicated dedup aggregations need real heap; the 2g suite
+# default OOMs here (and ONLY here — see session.py's sizing note)
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "10g")
+
 from pyspark.sql import functions as F  # noqa: E402
 
 from lmo_data_catalog_spark.catalog import Catalog  # noqa: E402
