@@ -848,3 +848,47 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------- TPC-H Q16: supplier diversity
+@query(
+    "supplier_diversity_by_parttype",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (1, 2, 3, 4, 5)
+      AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    """,
+    tags=("join", "distinct", "tpch_q16"),
+)
+def supplier_diversity_by_parttype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute,
+    excluding blacklisted suppliers via NOT IN. The exclusion list is
+    a broadcast left_anti join (NOT IN over a non-null key ≡ anti
+    join); p_size IN (…) pushes to the part scan; COUNT(DISTINCT)
+    expands to the standard two-level aggregate (partial distinct
+    map-side, then merge) — the whole query is one fact shuffle."""
+    cat = Catalog(spark, sf_dir)
+    part = cat.part.filter(F.col("p_size").isin(1, 2, 3, 4, 5)).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    blacklist = cat.supplier.filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    li = cat.lineitem.select("l_partkey", "l_suppkey").join(
+        F.broadcast(blacklist),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_anti",
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )

@@ -46,6 +46,7 @@ def read_csv_skip(
     header: bool = True,
     schema: StructType | str | None = None,
     na_values: Sequence[str] = (),
+    mode: str = "PERMISSIVE",
 ) -> DataFrame:
     """S1 — CSV scan with leading banner rows skipped (01_source_me.R:87).
 
@@ -54,6 +55,13 @@ def read_csv_skip(
     ``textFile`` preserves in-file line order under the index). Globs
     are resolved driver-side so the skip applies to *each* file, then
     the per-file line RDDs are unioned and CSV-parsed once.
+
+    ``mode`` is the Spark CSV parse mode and matters at the landing
+    zone: ``PERMISSIVE`` (default) nulls out malformed cells,
+    ``DROPMALFORMED`` silently drops bad lines, ``FAILFAST`` raises on
+    the first malformed line — annual vendor drops usually want
+    FAILFAST so a truncated file is caught at ingest, not as NULLs
+    three joins later.
     """
     files = sorted(_glob.glob(path)) or [path]
     sc = spark.sparkContext
@@ -68,7 +76,7 @@ def read_csv_skip(
             )
         rdds.append(lines)
     union = rdds[0] if len(rdds) == 1 else sc.union(rdds)
-    reader = spark.read.option("header", header)
+    reader = spark.read.option("header", header).option("mode", mode)
     if na_values:
         # Spark CSV supports a single nullValue token; the reference
         # needs exactly one ("x", 01_source_me.R:97). Reject silently

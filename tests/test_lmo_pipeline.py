@@ -165,6 +165,28 @@ def test_read_csv_skip_multifile_glob(spark, tmp_path):
     assert got == [("a", 1), ("b", 2), ("c", 3)]
 
 
+def test_read_csv_skip_failfast_catches_malformed(spark, tmp_path):
+    """Landing-zone parse modes: FAILFAST raises on a malformed line
+    (truncated vendor file caught at ingest); PERMISSIVE nulls the
+    missing cells and keeps the row."""
+    f = tmp_path / "trunc.csv"
+    # numeric col so a short row is a real type/arity violation
+    f.write_text("banner\nk,v\na,1\nb\nc,3\n")
+    from lmo_data_catalog_spark.sources.ingest import read_csv_skip
+
+    schema = "k string, v int"
+    permissive = read_csv_skip(
+        spark, str(f), skip_rows=1, schema=schema
+    ).collect()
+    assert sorted((r.k, r.v) for r in permissive) == [
+        ("a", 1), ("b", None), ("c", 3)
+    ]
+    with pytest.raises(Exception, match="[Mm]alformed"):
+        read_csv_skip(
+            spark, str(f), skip_rows=1, schema=schema, mode="FAILFAST"
+        ).collect()
+
+
 def _write_minimal_xlsx(path, rows):
     """Build a genuine .xlsx (zip + SpreadsheetML parts) with stdlib
     only: shared strings for str cells, raw <v> for numbers, and one

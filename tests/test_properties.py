@@ -168,3 +168,47 @@ def test_title_case_matches_stringr_examples():
     }
     for raw, want in cases.items():
         assert stk.title_case(raw) == want
+
+
+# ------------------------------------------------------- salted join algebra
+
+
+@prop
+@given(
+    left_rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    right_keys=st.lists(
+        st.integers(min_value=0, max_value=4), min_size=0, max_size=5, unique=True
+    ),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_salted_join_equals_plain_with_nulls(spark, left_rows, right_keys, how):
+    """salted_join ≡ plain join for inner/left, under NULL keys,
+    duplicate left rows, and unmatched keys on both sides. NULL keys
+    are the sharp edge: equi-joins never match them, so they must
+    drop (inner) or survive unmatched (left) — identically in both
+    plans — while the salt hash must not throw on NULL input."""
+    from lmo_data_catalog_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        left_rows or [(None, 0)], "k int, v int"
+    )
+    if not left_rows:
+        left = left.filter(F.lit(False))
+    right = spark.createDataFrame(
+        [(k, k * 10) for k in right_keys] or [(0, 0)], "k int, dim int"
+    )
+    if not right_keys:
+        right = right.filter(F.lit(False))
+
+    plain = left.join(right, on=["k"], how=how)
+    salted = salted_join(left, right, on=["k"], salt_buckets=4, how=how)
+    got = sorted((tuple(r) for r in salted.select(*plain.columns).collect()), key=repr)
+    want = sorted((tuple(r) for r in plain.collect()), key=repr)
+    assert got == want
