@@ -18,6 +18,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import epoch_us
+
 
 def rank_in_group(
     df: DataFrame,
@@ -115,10 +117,10 @@ def sessionize(
     """
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_tiebreak]
     w = Window.partitionBy(*by).orderBy(*order)
-    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    prev_us = F.lag(epoch_us(ts_col)).over(w)
     new_sess = F.when(
         prev_us.isNull()
-        | (F.unix_micros(F.col(ts_col)) - prev_us > gap_seconds * 1_000_000),
+        | (epoch_us(ts_col) - prev_us > gap_seconds * 1_000_000),
         1,
     ).otherwise(0)
     return df.withColumn("__new", new_sess).withColumn(

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
+from ..functions import epoch_us
 from ..operators.joins import asof_join, range_join
 from ..operators.windows import rank_in_group, sessionize, top_k_per_group
 from ..registry import query
@@ -303,8 +304,8 @@ def join_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id",
         "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        F.unix_micros("signup_ts_r").alias("last_signup_us"),
+        epoch_us("ts").alias("ts_us"),
+        epoch_us("signup_ts_r").alias("last_signup_us"),
     )
 
 
@@ -655,7 +656,7 @@ def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("value_sum"),
         )
         .select(
-            F.unix_micros("w.start").alias("hour_us"),
+            epoch_us("w.start").alias("hour_us"),
             "event_type",
             "n",
             "value_sum",

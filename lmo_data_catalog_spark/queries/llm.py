@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
+from ..functions import epoch_us
 from ..operators import text as T
 from ..operators.dedup import (
     _POLY_CHANNELS,
@@ -150,7 +151,7 @@ def dedup_keyed_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = cat.events.withColumn("__ord", F.struct(F.col("ts"), F.col("event_id")))
     out = exact_dedup(ev, ["user_id", "event_type"], tiebreak="__ord")
     return out.select(
-        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us")
+        "user_id", "event_type", "event_id", epoch_us("ts").alias("ts_us")
     )
 
 

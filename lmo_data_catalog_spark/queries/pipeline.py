@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from .. import cache
 from ..catalog import Catalog
+from ..functions import epoch_us
 from ..operators import text as T
 from ..operators.dedup import connected_components, minhash_lsh_dedup_pairs
 from ..operators.similarity import cosine_pair, norm_sq
@@ -653,8 +654,8 @@ def event_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.events.select(
         "user_id",
         "event_id",
-        F.unix_micros("ts").alias("valid_from_us"),
-        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+        epoch_us("ts").alias("valid_from_us"),
+        epoch_us(F.lead("ts").over(w)).alias("valid_to_us"),
     )
 
 

@@ -61,18 +61,34 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Kafka in production — downstream operators are source-agnostic).
 
     FileStreamSource needs a directory basePath, so we point at the
-    sf dir with a glob filter. ns-timestamp handling mirrors
-    :mod:`..catalog`: read as long, integer-div to µs.
+    sf dir with a glob filter. The explicit stream schema is derived
+    from a one-time batch footer read so the same code handles every
+    testdata vintage: parquet TIMESTAMP(NANOS) (readable only as raw
+    longs via ``nanosAsLong``, then integer-div'd to µs) and plain
+    µs timestamps. Declaring the wrong type would not error: the
+    reader would hand back raw µs longs and the ns→µs div would
+    silently shift every event to 1970. NTZ µs files are declared as
+    TIMESTAMP (not NTZ) because ``withWatermark`` rejects
+    TIMESTAMP_NTZ event time — under this package's UTC session the
+    reinterpretation preserves the wall clock exactly.
     """
     from ..catalog import _normalize_ns_timestamps
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    try:
+        ts_type = spark.read.parquet(path).schema["ts"].dataType
+        ns = isinstance(ts_type, LongType)
+    except Exception as e:  # noqa: BLE001
+        if "TIMESTAMP(NANOS" not in str(e):
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ns = True
     raw = (
-        spark.readStream.schema(events_schema(ns_as_long=True))
+        spark.readStream.schema(events_schema(ns_as_long=ns))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    return _normalize_ns_timestamps(raw)
+    return _normalize_ns_timestamps(raw) if ns else raw
 
 
 def tumbling_counts(
