@@ -1,0 +1,549 @@
+"""Decision-support query shapes (TPC-H Q2/Q12/Q14/Q15/Q17/Q18/Q19/Q20
+analogues over the testdata schema) plus corpus-statistics pipeline ops
+(PMI collocations, per-label embedding centroids).
+
+Reference status: extension surface. The reference
+(01_source_me.R:1-346) is a fixed catalog build; these shapes cover the
+ad-hoc analytics a user of that catalog would run next — correlated
+scalar subqueries, disjunctive pushdown, conditional aggregation,
+argmax-per-group — each as the Catalyst plan you would want at 100 TB
+(broadcast dims, partial aggregation, one keyed shuffle).
+
+Same conventions as ``queries.core``: every computed column aliased
+identically in Spark and oracle SQL; sums of 4-dp-decimal quantities
+rounded at 4 dp (exact decimal points — no rounding-tie risk);
+ratios/averages/logs at 6 dp; no raw timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..operators.text import tokens
+from ..registry import query
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ----------------------------------------------------------- Q14: promo share
+
+
+@query(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT ROUND(
+             100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE 0 END)
+                   / SUM({_REV}), 6) AS promo_share
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= DATE '1997-09-01'
+      AND l_shipdate <  DATE '1997-10-01'
+    """,
+    tags=("analytic", "conditional-agg"),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue as a share of one month's total.
+    One broadcast join (part is a dim), one map-side conditional
+    aggregation — the shipdate band prunes the fact scan, so at scale
+    this reads one month of partitions, not the table."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.filter(
+        (F.col("l_shipdate") >= "1997-09-01")
+        & (F.col("l_shipdate") < "1997-10-01")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(cat.part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(_rev()), 6).alias(
+                "promo_share"
+            )
+        )
+    )
+
+
+# ------------------------------------------- Q17: correlated-average subquery
+
+
+@query(
+    "small_qty_avg_revenue",
+    oracle=f"""
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 6) AS avg_weekly_revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#13'
+      AND l_quantity < (
+        SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+    tags=("analytic", "correlated-subquery"),
+)
+def small_qty_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-half-average-quantity
+    lineitems of one brand. The correlated AVG decorrelates into a
+    per-part aggregate joined back: the brand filter shrinks part to a
+    broadcastable set, the per-part averages are a partial agg over
+    only the matching fact rows, and that (tiny) aggregate broadcasts
+    back onto the same rows — no repeated fact scan, no shuffle join.
+    """
+    cat = Catalog(spark, sf_dir)
+    pr = cat.part.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    li = cat.lineitem.join(
+        F.broadcast(pr), F.col("l_partkey") == F.col("p_partkey")
+    )
+    part_avg = li.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("__half_avg")
+    ).withColumnRenamed("l_partkey", "__pk")
+    return (
+        li.join(F.broadcast(part_avg), F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 6).alias(
+                "avg_weekly_revenue"
+            )
+        )
+    )
+
+
+# ------------------------------------------------- Q18: large-volume orders
+
+
+@query(
+    "large_order_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           ROUND(o_totalprice, 2) AS total_price,
+           ROUND(big.total_qty, 2) AS total_qty
+    FROM customer, orders,
+         (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(l_quantity) > 250) big
+    WHERE o_orderkey = big.l_orderkey AND c_custkey = o_custkey
+    ORDER BY total_price DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("analytic", "having"),
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind the largest-volume orders.
+    The HAVING aggregate runs first (map-side partial sums, one keyed
+    shuffle) and survives as a small frame, so both the orders join
+    and the customer join broadcast it; top-k is
+    TakeOrderedAndProject."""
+    cat = Catalog(spark, sf_dir)
+    big = (
+        cat.lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        cat.orders.join(
+            F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .join(F.broadcast(cat.customer), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("total_price").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------- Q19: disjunctive predicates
+
+
+@query(
+    "disjunctive_brand_revenue",
+    oracle=f"""
+    SELECT ROUND(SUM({_REV}), 4) AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15
+            AND l_quantity BETWEEN 1  AND 20)
+        OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+            AND l_quantity BETWEEN 10 AND 35)
+        OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+            AND l_quantity BETWEEN 20 AND 50))
+    """,
+    tags=("analytic", "disjunctive-pushdown"),
+)
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs over both join sides. Catalyst
+    extracts the common single-side conjuncts from the disjunction
+    (brand/size reach the part scan, quantity bounds reach the
+    lineitem scan as `l_quantity >= 1 AND <= 50`) so both scans prune
+    before the broadcast join evaluates the full residual."""
+    cat = Catalog(spark, sf_dir)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    ) | (
+        (F.col("p_brand") == "Brand#20")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return (
+        cat.lineitem.join(
+            F.broadcast(cat.part), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .filter(cond)
+        .agg(F.round(F.sum(_rev()), 4).alias("revenue"))
+    )
+
+
+# ------------------------------------------------ Q12: priority line counts
+
+
+@query(
+    "returnflag_priority_mix",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= DATE '1998-01-01'
+      AND l_shipdate <  DATE '1999-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("analytic", "conditional-agg"),
+)
+def returnflag_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: high/low-priority line counts per category.
+    Both sides are facts, so this is the suite's honest shuffle join
+    (orders⨝lineitem on orderkey, AQE-coalesced); the CASE counts are
+    map-side partial aggregates after it."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.filter(
+        (F.col("l_shipdate") >= "1998-01-01")
+        & (F.col("l_shipdate") < "1999-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        cat.orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------- Q15: top supplier(s)
+
+
+@query(
+    "top_revenue_supplier",
+    oracle=f"""
+    WITH srev AS (
+      SELECT l_suppkey, ROUND(SUM({_REV}), 4) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, srev
+    WHERE s_suppkey = l_suppkey
+      AND total_revenue = (SELECT MAX(total_revenue) FROM srev)
+    ORDER BY s_suppkey
+    """,
+    tags=("analytic", "scalar-subquery"),
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the quarter's max revenue.
+    The revenue view is one keyed shuffle; the scalar MAX is an
+    aggregate of that already-small frame, broadcast back as a 1-row
+    cross join (never a global sort). Revenue is rounded to 4 dp — an
+    exact decimal point for 4-dp-decimal addends — BEFORE the
+    equality, so both engines select the same supplier set regardless
+    of their summation order."""
+    cat = Catalog(spark, sf_dir)
+    srev = (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(_rev()), 4).alias("total_revenue"))
+    )
+    mx = srev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        srev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(
+            F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ----------------------------------------- Q2 shape: argmax within group
+
+
+@query(
+    "best_supplier_per_parttype",
+    oracle="""
+    SELECT p_type, s_suppkey, s_name, ROUND(s_acctbal, 2) AS acctbal
+    FROM (
+      SELECT DISTINCT p_type, s_suppkey, s_name, s_acctbal,
+             ROW_NUMBER() OVER (
+               PARTITION BY p_type ORDER BY s_acctbal DESC, s_suppkey
+             ) AS rk
+      FROM (SELECT DISTINCT p_type, s_suppkey, s_name, s_acctbal
+            FROM lineitem, part, supplier
+            WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey)
+    ) WHERE rk = 1
+    ORDER BY p_type
+    """,
+    tags=("analytic", "argmax"),
+)
+def best_supplier_per_parttype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (argmax-per-group): for each part type, the
+    highest-acctbal supplier that has actually shipped it. The fact
+    join contracts to DISTINCT (type, supplier) pairs — a frame of
+    |types|×|suppliers| at most, tiny at any scale — before the window
+    runs, so the rank sort never touches fact-table cardinality."""
+    cat = Catalog(spark, sf_dir)
+    pairs = (
+        cat.lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(cat.part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select("p_type", "s_suppkey", "s_name", "s_acctbal")
+        .distinct()
+    )
+    w = Window.partitionBy("p_type").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "p_type",
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy("p_type")
+    )
+
+
+# ------------------------------------------- Q20 shape: volume-gated semi
+
+
+@query(
+    "overcommitted_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name, ROUND(vol.total_qty, 2) AS total_qty
+    FROM supplier,
+         (SELECT l_suppkey, SUM(l_quantity) AS total_qty
+          FROM lineitem, part
+          WHERE l_partkey = p_partkey
+            AND p_name LIKE 'small %'
+            AND l_shipdate >= DATE '1998-01-01'
+            AND l_shipdate <  DATE '1999-01-01'
+          GROUP BY l_suppkey
+          HAVING SUM(l_quantity) > 100) vol
+    WHERE s_suppkey = vol.l_suppkey
+    ORDER BY s_suppkey
+    """,
+    tags=("analytic", "having"),
+)
+def overcommitted_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved an outsized volume of one
+    part family in a year. Part prefilter broadcasts into the pruned
+    fact scan; the volume gate is a partial-agg HAVING; the supplier
+    dim joins the surviving handful of keys."""
+    cat = Catalog(spark, sf_dir)
+    pr = cat.part.filter(F.col("p_name").like("small %")).select("p_partkey")
+    vol = (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= "1998-01-01")
+            & (F.col("l_shipdate") < "1999-01-01")
+        )
+        .join(F.broadcast(pr), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 100)
+    )
+    return (
+        cat.supplier.join(
+            F.broadcast(vol), F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .select(
+            "s_suppkey", "s_name", F.round("total_qty", 2).alias("total_qty")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------- corpus PMI collocations
+
+
+@query(
+    "bigram_pmi_topk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+    ),
+    uni AS (
+      SELECT word, COUNT(*) AS c_w
+      FROM (SELECT unnest(w) AS word FROM toks) GROUP BY word
+    ),
+    bg AS (
+      SELECT bigram, COUNT(*) AS c_ab
+      FROM (
+        SELECT unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i + 1])) AS bigram
+        FROM toks
+      ) GROUP BY bigram
+    ),
+    tot AS (
+      SELECT (SELECT SUM(c_w) FROM uni) AS n_uni,
+             (SELECT SUM(c_ab) FROM bg) AS n_bg
+    )
+    SELECT bigram, CAST(c_ab AS BIGINT) AS pair_count,
+           ROUND(LN(((CAST(c_ab AS DOUBLE) / n_bg)
+                     / (CAST(u1.c_w AS DOUBLE) / n_uni))
+                    / (CAST(u2.c_w AS DOUBLE) / n_uni)), 6) AS pmi
+    FROM bg, tot,
+         uni u1, uni u2
+    WHERE u1.word = string_split(bigram, ' ')[1]
+      AND u2.word = string_split(bigram, ' ')[2]
+      AND c_ab >= 3
+    ORDER BY pmi DESC, bigram
+    LIMIT 20
+    """,
+    tags=("llm", "collocation"),
+)
+def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations (Church & Hanks 1990)
+    over the corpus: PMI(a,b) = ln(p(ab) / (p(a)p(b))) with a
+    min-support gate. Tokenize ONCE per document (projected column —
+    not re-split per element), bigram via transform/slice, then two
+    corpus-count aggregations; the unigram vocabulary aggregate is
+    small and broadcasts onto the bigram counts twice (w1, w2), so the
+    only fact-sized shuffles are the two counting groupBys. The float
+    expression is parenthesized identically in both engines so the
+    doubles match bit-for-bit before rounding."""
+    cat = Catalog(spark, sf_dir)
+    toks = cat.documents.select(tokens("text").alias("__toks"))
+    uni = (
+        toks.select(F.explode("__toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c_w"))
+    )
+    bigrams = toks.select(
+        F.when(
+            F.size("__toks") >= 2,
+            F.expr(
+                "transform(sequence(0, size(__toks) - 2),"
+                " i -> concat_ws(' ', slice(__toks, i + 1, 2)))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__bgs")
+    )
+    bg = (
+        bigrams.select(F.explode_outer("__bgs").alias("bigram"))
+        .where(F.col("bigram").isNotNull())
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    n_uni = uni.agg(F.sum("c_w").alias("n_uni"))
+    n_bg_all = (
+        bigrams.select(
+            F.sum(F.size("__bgs")).alias("n_bg")
+        )
+    )
+    parts = F.split(F.col("bigram"), " ")
+    u1 = uni.select(
+        F.col("word").alias("__w1"), F.col("c_w").alias("__c1")
+    )
+    u2 = uni.select(
+        F.col("word").alias("__w2"), F.col("c_w").alias("__c2")
+    )
+    pmi = F.log(
+        (
+            (F.col("c_ab").cast("double") / F.col("n_bg"))
+            / (F.col("__c1").cast("double") / F.col("n_uni"))
+        )
+        / (F.col("__c2").cast("double") / F.col("n_uni"))
+    )
+    return (
+        bg.withColumn("__w1", parts.getItem(0))
+        .withColumn("__w2", parts.getItem(1))
+        .join(F.broadcast(u1), "__w1")
+        .join(F.broadcast(u2), "__w2")
+        .join(F.broadcast(n_uni))
+        .join(F.broadcast(n_bg_all))
+        .select(
+            "bigram",
+            F.col("c_ab").alias("pair_count"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(20)
+    )
+
+
+# ------------------------------------------- embedding centroids by label
+
+
+@query(
+    "embedding_centroid_by_label",
+    oracle="""
+    SELECT label, dim, ROUND(AVG(e), 6) AS centroid_val
+    FROM (
+      SELECT label, unnest(embedding) AS e,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    )
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+    tags=("llm", "embedding"),
+)
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids — the building block for IVF
+    coarse quantizers, class prototypes, and drift monitors. posexplode
+    fans each vector into (label, dim, value) rows and one keyed
+    shuffle on (label, dim) averages them; partial aggregation means
+    each executor ships |labels|×|dims| partial sums, not its vectors.
+    Emitted exploded (row per dimension) rather than re-assembled into
+    arrays so the differential gate compares scalars, not float lists.
+    """
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.embeddings.select(
+            "label", F.posexplode("embedding").alias("pos", "e")
+        )
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(F.round(F.avg("e"), 6).alias("centroid_val"))
+        .orderBy("label", "dim")
+    )

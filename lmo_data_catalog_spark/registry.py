@@ -42,7 +42,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 def load_all() -> None:
     """Import every query-definition module, populating REGISTRY."""
-    from .queries import advanced, breadth, core, llm, pipeline  # noqa: F401
+    from .queries import advanced, breadth, core, llm, pipeline, shapes  # noqa: F401
 
 
 load_all()
