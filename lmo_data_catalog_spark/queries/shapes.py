@@ -547,3 +547,103 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("e"), 6).alias("centroid_val"))
         .orderBy("label", "dim")
     )
+
+
+# --------------------------------------- rolling distinct: exact baseline
+
+
+@query(
+    "trailing_7d_distinct_users",
+    oracle="""
+    SELECT d.day, COUNT(DISTINCT p.user_id) AS distinct_users
+    FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d,
+         (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events) p
+    WHERE p.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    ORDER BY d.day
+    """,
+    tags=("rolling", "distinct"),
+)
+def trailing_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day — rolling COUNT(DISTINCT),
+    which no window frame can express (DISTINCT is not frame-
+    decomposable). Exact plan: contract events to distinct (day, user)
+    pairs first (one keyed shuffle that shrinks the fact to its
+    information content), then fan each pair into ≤7 spine days via a
+    broadcast range join on the tiny day spine, then count distinct per
+    day. The fan-out is bounded by the window length, never by the
+    table. For unbounded horizons at 100 TB, the sketch variant
+    (``weekly_distinct_via_sketches``) replaces the fan-out with
+    mergeable per-day HLL state."""
+    ev = Catalog(spark, sf_dir).events
+    pairs = ev.select(
+        F.col("ts").cast("date").alias("pday"), "user_id"
+    ).distinct()
+    spine = pairs.select(F.col("pday").alias("day")).distinct()
+    return (
+        pairs.join(
+            F.broadcast(spine),
+            (F.col("pday") >= F.date_sub(F.col("day"), 6))
+            & (F.col("pday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("distinct_users"))
+        .orderBy("day")
+    )
+
+
+# ------------------------------------ rolling distinct: mergeable sketches
+
+
+@query(
+    "weekly_distinct_via_sketches",
+    oracle="""
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS sketch_ok
+    FROM events
+    GROUP BY week
+    ORDER BY week
+    """,
+    tags=("sketch", "hll", "rolling"),
+)
+def weekly_distinct_via_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct users computed by MERGING per-day Datasketches
+    HLL sketches (``hll_sketch_agg`` per day → ``hll_union_agg`` per
+    week) — the re-aggregation property that makes rolling/cumulative
+    distinct tractable at 100 TB: daily sketches are built once
+    (map-side combinable, kilobytes each) and any horizon — week,
+    month, trailing-k — is a union of stored sketches, never a rescan
+    of raw IDs. Emits the exact count plus sketch_ok = the merged
+    estimate landing within 5% of exact; the oracle emits literal
+    TRUE, so the hash gate certifies the bound (same pattern as
+    ``approx_distinct_bounded``)."""
+    ev = Catalog(spark, sf_dir).events
+    daily = (
+        ev.select(
+            F.date_trunc("week", "ts").cast("date").alias("week"),
+            F.col("ts").cast("date").alias("day"),
+            "user_id",
+        )
+        .groupBy("week", "day")
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    )
+    merged = daily.groupBy("week").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("__est")
+    )
+    exact = (
+        ev.groupBy(F.date_trunc("week", "ts").cast("date").alias("week"))
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    return (
+        exact.join(merged, "week")
+        .select(
+            "week",
+            "exact_users",
+            (
+                F.abs(F.col("__est").cast("double") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("sketch_ok"),
+        )
+        .orderBy("week")
+    )
