@@ -164,6 +164,27 @@ def global_row_number(
     bounds = df.approxQuantile(
         value_col, [i / num_buckets for i in range(1, num_buckets)], relative_error
     )
+    b = df.withColumn(
+        "__bucket", _bucket_expr(value_col, ascending, bounds, num_buckets)
+    )
+    counts = {
+        r["__bucket"]: r["count"]
+        for r in b.groupBy("__bucket").count().collect()
+    }
+    out, acc = _rank_in_buckets(
+        b, "__bucket", counts, value_col, ascending, tiebreak_cols, name
+    )
+    out = out.drop("__bucket")
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(acc))
+    return out
+
+
+def _bucket_expr(
+    value_col: str, ascending: bool, bounds: list, num_buckets: int
+):
+    """Range-bucket assignment against quantile cut points. Strict
+    inequality on the boundary keeps ties in one bucket."""
     v = F.col(value_col)
     bucket = F.lit(num_buckets)
     # when-chains are monotone with the requested order: bucket 1 first.
@@ -175,25 +196,77 @@ def global_row_number(
             bucket = F.when(v > F.lit(bounds[num_buckets - 1 - i]), i).otherwise(
                 bucket
             )
-    b = df.withColumn("__bucket", bucket)
-    counts = {
-        r["__bucket"]: r["count"]
-        for r in b.groupBy("__bucket").count().collect()
-    }
+    return bucket
+
+
+def _rank_in_buckets(
+    b: DataFrame,
+    bucket_col: str,
+    counts: dict,
+    value_col: str,
+    ascending: bool,
+    tiebreak_cols: Sequence[str],
+    name: str,
+):
+    """row_number within each bucket + broadcast cumulative offset.
+    Returns (frame-with-rank, total row count)."""
     offsets, acc = {}, 0
     for p in sorted(counts):
         offsets[p] = acc
         acc += counts[p]
     off = F.lit(0)
     for p, o in offsets.items():
-        off = F.when(F.col("__bucket") == p, F.lit(o)).otherwise(off)
+        off = F.when(F.col(bucket_col) == p, F.lit(o)).otherwise(off)
     direction = F.asc if ascending else F.desc
-    w = Window.partitionBy("__bucket").orderBy(
+    w = Window.partitionBy(bucket_col).orderBy(
         direction(value_col), *[F.asc(c) for c in tiebreak_cols]
     )
-    out = b.withColumn(name, (F.row_number().over(w) + off).cast("int")).drop(
-        "__bucket"
-    )
+    return b.withColumn(name, (F.row_number().over(w) + off).cast("int")), acc
+
+
+def global_row_numbers(
+    df: DataFrame,
+    specs: Sequence[tuple[str, bool, str]],
+    *,
+    tiebreak_cols: Sequence[str] = (),
+    num_buckets: int = 32,
+    relative_error: float = 0.001,
+    total_col: str | None = None,
+) -> DataFrame:
+    """EXACT global row numbering over SEVERAL orderings in one pass
+    pair. ``specs`` is a sequence of ``(value_col, ascending, name)``.
+
+    Ranking k dimensions with k :func:`global_row_number` calls costs
+    2k driver actions (quantiles + bucket counts each); here ONE
+    multi-column ``approxQuantile`` job fetches every dimension's cut
+    points and ONE grouping-sets aggregation counts every dimension's
+    buckets (the output is |dims|×|buckets| rows — each grouping set
+    leaves the other bucket columns null, which is how rows are
+    attributed). The per-dimension rank windows then run in the same
+    final job. Used by ``customer_rfm_segments`` (3 orderings, 2
+    actions instead of 6)."""
+    cols = [s[0] for s in specs]
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    all_bounds = df.approxQuantile(cols, probs, relative_error)
+    b = df
+    bucket_cols = []
+    for (col, asc, name), bounds in zip(specs, all_bounds):
+        bc = f"__bucket_{name}"
+        b = b.withColumn(bc, _bucket_expr(col, asc, bounds, num_buckets))
+        bucket_cols.append(bc)
+    sets = b.groupingSets(
+        [(c,) for c in bucket_cols], *[F.col(c) for c in bucket_cols]
+    ).count()
+    counts_rows = sets.collect()
+    acc = 0
+    for (col, asc, name), bc in zip(specs, bucket_cols):
+        counts = {
+            r[bc]: r["count"] for r in counts_rows if r[bc] is not None
+        }
+        b, acc = _rank_in_buckets(
+            b, bc, counts, col, asc, tiebreak_cols, name
+        )
+    out = b.drop(*bucket_cols)
     if total_col is not None:
         out = out.withColumn(total_col, F.lit(acc))
     return out

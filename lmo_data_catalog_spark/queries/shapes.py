@@ -20,8 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import cache
 from ..catalog import Catalog
 from ..operators.text import tokens
+from ..operators.windows import global_row_numbers
 from ..registry import query
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -231,9 +233,11 @@ def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def returnflag_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: high/low-priority line counts per category.
-    Both sides are facts, so this is the suite's honest shuffle join
-    (orders⨝lineitem on orderkey, AQE-coalesced); the CASE counts are
-    map-side partial aggregates after it."""
+    Both sides are facts: at test SF the one-year shipdate band
+    shrinks lineitem under the broadcast threshold (plan shows BHJ);
+    at 100 TB AQE keeps it a sort-merge join on orderkey — the size
+    decision is deliberately left to the optimizer, not hinted. The
+    CASE counts are map-side partial aggregates after the join."""
     cat = Catalog(spark, sf_dir)
     li = cat.lineitem.filter(
         (F.col("l_shipdate") >= "1998-01-01")
@@ -646,4 +650,98 @@ def weekly_distinct_via_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sketch_ok"),
         )
         .orderBy("week")
+    )
+
+
+# ----------------------------------------------------- RFM segmentation
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                       (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+               AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT *,
+        ROW_NUMBER() OVER (ORDER BY recency_days, o_custkey) AS r_rn,
+        ROW_NUMBER() OVER (ORDER BY frequency DESC, o_custkey) AS f_rn,
+        ROW_NUMBER() OVER (ORDER BY monetary DESC, o_custkey) AS m_rn,
+        COUNT(*) OVER () AS n
+      FROM rfm
+    )
+    SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency,
+           ROUND(monetary, 2) AS monetary,
+           CAST((r_rn - 1) * 4 // n + 1 AS INTEGER) AS r_seg,
+           CAST((f_rn - 1) * 4 // n + 1 AS INTEGER) AS f_seg,
+           CAST((m_rn - 1) * 4 // n + 1 AS INTEGER) AS m_seg
+    FROM ranked
+    """,
+    tags=("analytic", "segmentation", "global-rank"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) customer segmentation with
+    EXACT global quartiles — and no global window sort. Each dimension
+    is ranked by ``operators.windows.global_row_number`` (approx-
+    quantile buckets + per-bucket row_number + broadcast offsets; bit-
+    identical to the single-task window), and the quartile is the
+    explicit arithmetic ``(rank-1)*4 div N + 1`` in BOTH engines, so
+    no NTILE tie-splitting semantics are in play. The aggregate frame
+    is |customers| rows; the three rank passes each sort 1/32nd of it
+    per task. The corpus-max order date is a 1-row broadcast."""
+    cat = Catalog(spark, sf_dir)
+    mx = cat.orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("__mxd")
+    )
+    rfm = (
+        cat.orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("__last"),
+            F.count("*").alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+        .join(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff("__mxd", "__last").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    # the multi-ordering ranker needs only TWO driver actions for all
+    # three dimensions (one multi-column quantile job + one
+    # grouping-sets bucket count); persist the aggregate so both run
+    # off cached rows instead of re-scanning orders
+    rfm = cache.track(rfm)
+    ranked = global_row_numbers(
+        rfm,
+        [
+            ("recency_days", True, "__r_rn"),
+            ("frequency", False, "__f_rn"),
+            ("monetary", False, "__m_rn"),
+        ],
+        tiebreak_cols=["o_custkey"],
+        total_col="__n",
+    )
+
+    def seg(rn: str) -> F.Column:
+        # integer `div`, not float `/`+cast: float truncation could
+        # land 3.9999… in the wrong quartile at a boundary
+        return (F.expr(f"({rn} - 1L) * 4L div __n") + 1).cast("int")
+
+    return ranked.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        F.round("monetary", 2).alias("monetary"),
+        seg("__r_rn").alias("r_seg"),
+        seg("__f_rn").alias("f_seg"),
+        seg("__m_rn").alias("m_seg"),
     )

@@ -279,3 +279,33 @@ def test_global_row_number_matches_global_window(spark):
         )
         assert bad == 0, f"ascending={ascending}"
         assert got.select("n").first()[0] == 2000
+
+
+def test_global_row_numbers_multi_matches_global_windows(spark):
+    """The one-pass multi-ordering ranker agrees bit-for-bit with a
+    global-window row_number per dimension (mixed directions, ties)."""
+    from pyspark.sql import Window
+
+    from lmo_data_catalog_spark.operators.windows import global_row_numbers
+
+    df = spark.range(1, 1501).select(
+        F.col("id"),
+        (F.col("id") % 7).cast("double").alias("a"),  # heavy ties
+        (F.col("id") * 31 % 997).cast("double").alias("b"),
+    )
+    got = global_row_numbers(
+        df,
+        [("a", True, "ra"), ("b", False, "rb")],
+        tiebreak_cols=["id"],
+        num_buckets=8,
+        total_col="n",
+    )
+    exact = df.withColumn(
+        "ra_exact", F.row_number().over(Window.orderBy(F.asc("a"), F.asc("id")))
+    ).withColumn(
+        "rb_exact", F.row_number().over(Window.orderBy(F.desc("b"), F.asc("id")))
+    )
+    j = got.join(exact, on=["id"])
+    assert j.filter(F.col("ra") != F.col("ra_exact")).count() == 0
+    assert j.filter(F.col("rb") != F.col("rb_exact")).count() == 0
+    assert got.select("n").first()[0] == 1500
