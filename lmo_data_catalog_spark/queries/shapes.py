@@ -454,8 +454,15 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     only fact-sized shuffles are the two counting groupBys. The float
     expression is parenthesized identically in both engines so the
     doubles match bit-for-bit before rounding."""
-    cat = Catalog(spark, sf_dir)
-    toks = cat.documents.select(tokens("text").alias("__toks"))
+    return pmi_topk(Catalog(spark, sf_dir).documents)
+
+
+def pmi_topk(
+    docs: DataFrame, *, min_count: int = 3, k: int = 20
+) -> DataFrame:
+    """PMI collocation plan (see :func:`bigram_pmi_topk`;
+    parameterized for the scaling probe)."""
+    toks = docs.select(tokens("text").alias("__toks"))
     uni = (
         toks.select(F.explode("__toks").alias("word"))
         .groupBy("word")
@@ -477,7 +484,7 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("bigram").isNotNull())
         .groupBy("bigram")
         .agg(F.count("*").alias("c_ab"))
-        .filter(F.col("c_ab") >= 3)
+        .filter(F.col("c_ab") >= min_count)
     )
     n_uni = uni.agg(F.sum("c_w").alias("n_uni"))
     n_bg_all = (
@@ -512,7 +519,7 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pmi, 6).alias("pmi"),
         )
         .orderBy(F.col("pmi").desc(), "bigram")
-        .limit(20)
+        .limit(k)
     )
 
 
@@ -579,19 +586,31 @@ def trailing_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. For unbounded horizons at 100 TB, the sketch variant
     (``weekly_distinct_via_sketches``) replaces the fan-out with
     mergeable per-day HLL state."""
-    ev = Catalog(spark, sf_dir).events
+    return trailing_distinct_users(Catalog(spark, sf_dir).events)
+
+
+def trailing_distinct_users(
+    ev: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    days: int = 7,
+) -> DataFrame:
+    """Exact trailing-``days`` distinct users per day (plan described
+    in :func:`trailing_7d_distinct_users`; parameterized for the
+    scaling probe)."""
     pairs = ev.select(
-        F.col("ts").cast("date").alias("pday"), "user_id"
+        F.col(ts_col).cast("date").alias("pday"), user_col
     ).distinct()
     spine = pairs.select(F.col("pday").alias("day")).distinct()
     return (
         pairs.join(
             F.broadcast(spine),
-            (F.col("pday") >= F.date_sub(F.col("day"), 6))
+            (F.col("pday") >= F.date_sub(F.col("day"), days - 1))
             & (F.col("pday") <= F.col("day")),
         )
         .groupBy("day")
-        .agg(F.count_distinct("user_id").alias("distinct_users"))
+        .agg(F.count_distinct(user_col).alias("distinct_users"))
         .orderBy("day")
     )
 
@@ -650,6 +669,149 @@ def weekly_distinct_via_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sketch_ok"),
         )
         .orderBy("week")
+    )
+
+
+# ----------------------------------- fuzzy join via deletion-neighborhood
+
+
+@query(
+    "fuzzy_name_pairs_sym_delete",
+    oracle="""
+    SELECT a.p_name AS name_a, b.p_name AS name_b
+    FROM (SELECT DISTINCT p_name FROM part) a,
+         (SELECT DISTINCT p_name FROM part) b
+    WHERE a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) = 1
+    ORDER BY name_a, name_b
+    """,
+    tags=("fuzzy", "similarity-join"),
+)
+def fuzzy_name_pairs_sym_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 string pairs WITHOUT the all-pairs cross join,
+    via SymSpell-style deletion neighborhoods (Garbe's symmetric
+    delete): every string emits itself plus each single-character
+    deletion as blocking keys; any two strings at Levenshtein ≤ 1
+    (insert/delete/substitute) provably share a key, so candidates
+    come from a linear equi-join on the key — |s|+1 keys per string —
+    and the exact distance check runs on candidates only. The oracle
+    is the brute-force O(n²) cross join, so the hash gate proves the
+    blocking loses nothing. Same candidate-then-verify shape as the
+    MinHash-LSH dedup path."""
+    names = Catalog(spark, sf_dir).part.select("p_name").distinct()
+    keys = names.select(
+        "p_name",
+        F.explode(
+            F.expr(
+                "array_union(array(p_name),"
+                " transform(sequence(1, length(p_name)),"
+                " i -> concat(substring(p_name, 1, i - 1),"
+                "             substring(p_name, i + 1))))"
+            )
+        ).alias("k"),
+    )
+    a = keys.toDF("name_a", "k")
+    b = keys.toDF("name_b", "k")
+    return (
+        a.join(b, "k")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+        .filter(F.levenshtein("name_a", "name_b") == 1)
+        .orderBy("name_a", "name_b")
+    )
+
+
+# --------------------------------------------- argmax aggregation (max_by)
+
+
+@query(
+    "latest_event_per_user_maxby",
+    oracle="""
+    SELECT user_id, event_id, event_type, ROUND(value, 4) AS value,
+           CAST(ts AS DATE) AS last_day
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+    tags=("argmax", "agg"),
+)
+def latest_event_per_user_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user as ONE ``max_by`` aggregation — no window,
+    no self-join. The (ts, event_id) struct is the deterministic
+    ordering key; max_by is map-side combinable, so each executor
+    ships one candidate row per user instead of sorting its partition
+    of the full history (the window row_number plan the oracle uses).
+    At 100 TB this is the difference between a combine-style shuffle
+    of |users| rows and a full-table sort."""
+    ev = Catalog(spark, sf_dir).events
+    picked = ev.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_id", "event_type", "value", "ts"),
+            F.struct("ts", "event_id"),
+        ).alias("__s")
+    )
+    return picked.select(
+        "user_id",
+        F.col("__s.event_id").alias("event_id"),
+        F.col("__s.event_type").alias("event_type"),
+        F.round("__s.value", 4).alias("value"),
+        F.col("__s.ts").cast("date").alias("last_day"),
+    ).orderBy("user_id")
+
+
+# ------------------------------------------------ Q9 shape: profit rollup
+
+
+@query(
+    "product_profit_by_nation_year",
+    oracle="""
+    SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)
+                     - p_retailprice * l_quantity * 0.01), 4) AS profit
+    FROM lineitem, part, supplier, orders, nation
+    WHERE l_partkey = p_partkey
+      AND l_suppkey = s_suppkey
+      AND l_orderkey = o_orderkey
+      AND s_nationkey = n_nationkey
+      AND p_name LIKE '%gear%'
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year
+    """,
+    tags=("analytic", "multi-join"),
+)
+def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per nation per year over a part-name
+    filter — two facts (lineitem, orders) and three dims. The name
+    filter contracts part FIRST (broadcast), so only matching
+    lineitems survive to the orders join; supplier and nation
+    broadcast. The one repartitioning shuffle is lineitem⨝orders on
+    orderkey; the rollup agg is map-side partial. Profit uses a
+    retail-cost proxy (the schema has no ps_supplycost); every addend
+    is a 4-dp decimal, so the 4-dp round sits on a representable
+    point, never a tie."""
+    cat = Catalog(spark, sf_dir)
+    pr = cat.part.filter(F.col("p_name").like("%gear%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.01
+    return (
+        cat.lineitem.join(
+            F.broadcast(pr), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 4).alias("profit"))
+        .orderBy("n_name", "o_year")
     )
 
 

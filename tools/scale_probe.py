@@ -36,6 +36,10 @@ from lmo_data_catalog_spark.operators.similarity import (  # noqa: E402
     neardup_pairs_gemm,
 )
 from lmo_data_catalog_spark.operators.text import gopher_quality  # noqa: E402
+from lmo_data_catalog_spark.queries.shapes import (  # noqa: E402
+    pmi_topk,
+    trailing_distinct_users,
+)
 from lmo_data_catalog_spark.session import get_spark  # noqa: E402
 
 
@@ -109,6 +113,22 @@ def replicate_lineitem(li, k: int, key_span: int):
     return out
 
 
+def replicate_events(ev, k: int, user_span: int):
+    """Shift user ids per replica: the day spine is unchanged, distinct
+    (day, user) pairs — and so the rolling-distinct work — grow exactly
+    linearly."""
+    parts = [
+        ev.select(
+            "ts", (F.col("user_id") + i * user_span).alias("user_id")
+        )
+        for i in range(k)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def cooccurrence_pairs(li):
     """Same plan as queries/advanced.py::cooccurrence_part_pairs,
     parameterized by input frame."""
@@ -153,9 +173,11 @@ def main() -> None:
     docs = cat.documents.select("doc_id", "text").cache()
     vecs = cat.embeddings.cache()
     li = cat.lineitem.select("l_orderkey", "l_partkey").cache()
+    ev = cat.events.select("ts", "user_id").cache()
     n_docs, n_vecs = docs.count(), vecs.count()
     key_span = li.agg(F.max("l_orderkey")).first()[0] + 1
-    n_li = li.count()
+    user_span = ev.agg(F.max("user_id")).first()[0] + 1
+    n_li, n_ev = li.count(), ev.count()
 
     results = []
     for k in (1, 2, 4):
@@ -166,6 +188,7 @@ def main() -> None:
             )
         )
         t_gopher, _ = best_of_2(lambda: gopher_quality(d))
+        t_pmi, _ = best_of_2(lambda: pmi_topk(d))
 
         v = replicate_vecs(vecs, k, n_vecs)
         t_gemm, n_near = best_of_2(
@@ -177,15 +200,20 @@ def main() -> None:
         l_k = replicate_lineitem(li, k, key_span)
         t_cooc, _ = best_of_2(lambda: cooccurrence_pairs(l_k))
 
+        e_k = replicate_events(ev, k, user_span)
+        t_roll, _ = best_of_2(lambda: trailing_distinct_users(e_k))
+
         results.append(
-            (k, k * n_docs, t_minhash, n_pairs, t_gopher,
-             k * n_vecs, t_gemm, n_near, k * n_li, t_cooc)
+            (k, k * n_docs, t_minhash, n_pairs, t_gopher, t_pmi,
+             k * n_vecs, t_gemm, n_near, k * n_li, t_cooc,
+             k * n_ev, t_roll)
         )
         print(results[-1])
         spark.catalog.clearCache()  # drop per-round persisted intermediates
         docs.cache().count()
         vecs.cache().count()
         li.cache().count()
+        ev.cache().count()
 
     lines = [
         "# SCALING — operator growth curves",
@@ -202,24 +230,29 @@ def main() -> None:
         "signal is the GROWTH RATE of time vs input.",
         "",
         "| replication | docs | minhash-LSH (s) | pairs | gopher gate (s) |"
-        " vectors | GEMM near-dup (s) | pairs | lineitem rows | co-occur (s) |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        " PMI top-k (s) |"
+        " vectors | GEMM near-dup (s) | pairs | lineitem rows | co-occur (s) |"
+        " events | trailing-7d distinct (s) |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
-    for k, nd, tm, np_, tg_q, nv, tg, nn, nl, tc in results:
+    for k, nd, tm, np_, tg_q, tp, nv, tg, nn, nl, tc, ne, tr in results:
         lines.append(
-            f"| {k}x | {nd} | {tm:.2f} | {np_} | {tg_q:.2f} "
-            f"| {nv} | {tg:.2f} | {nn} | {nl} | {tc:.2f} |"
+            f"| {k}x | {nd} | {tm:.2f} | {np_} | {tg_q:.2f} | {tp:.2f} "
+            f"| {nv} | {tg:.2f} | {nn} | {nl} | {tc:.2f} "
+            f"| {ne} | {tr:.2f} |"
         )
     r1, r4 = results[0], results[-1]
     lines += [
         "",
         f"4x/1x time ratios against 4x the input: minhash-LSH "
-        f"{r4[2]/r1[2]:.2f}, gopher {r4[4]/r1[4]:.2f}, co-occurrence "
-        f"{r4[9]/r1[9]:.2f} — all well under 4x: at this scale these ops",
+        f"{r4[2]/r1[2]:.2f}, gopher {r4[4]/r1[4]:.2f}, PMI "
+        f"{r4[5]/r1[5]:.2f}, co-occurrence {r4[10]/r1[10]:.2f}, "
+        f"trailing-7d distinct {r4[12]/r1[12]:.2f} — all well under 4x:",
+        "at this scale these ops",
         "are fixed-overhead-bound (job setup, codegen), not data-bound;",
         "every shuffle in them is linear in input.",
-        f"GEMM 4x/1x: {r4[6]/r1[6]:.2f} despite 16x the flops and "
-        f"{r4[7]/r1[7]:.1f}x the output pairs — the candidate stage is",
+        f"GEMM 4x/1x: {r4[7]/r1[7]:.2f} despite 16x the flops and "
+        f"{r4[8]/r1[8]:.1f}x the output pairs — the candidate stage is",
         "O(N²) flops but tiled through BLAS; LSH/IVF are the sub-quadratic",
         "path once N² flops dominate (≫10⁵ vectors per executor).",
         "",
@@ -245,6 +278,10 @@ STATIC_SECTIONS = [
     "core; rank-derived stats (NTILE, PERCENT_RANK) are then pure",
     "arithmetic. Used by `customer_spend_quartiles`; bit-identical to the",
     "single-task plan (tested under ties + skew in both directions).",
+    "`global_row_numbers` amortizes k orderings into ONE multi-column",
+    "quantile job + ONE grouping-sets bucket count (2 driver actions",
+    "instead of 2k) — `customer_rfm_segments` ranks three dimensions",
+    "this way.",
     "",
     "## Skew: salting measured end-to-end",
     "",
