@@ -1,0 +1,130 @@
+"""Custom connectors via the Python DataSource API (Spark 4,
+SPARK-44076): the extension point for feeds the built-in readers don't
+cover — internal services, queues, proprietary formats. The streaming
+operators in :mod:`..streaming.ops` are source-agnostic; registering a
+source like this (or a Kafka reader) is the only swap needed to move
+off parquet files.
+
+Reference status: extension surface — the reference ingests static
+files only (01_source_me.R:87-96).
+
+``EventsGenDataSource`` is a deterministic synthetic events feed:
+
+- batch: ``spark.read.format("events_gen").option("rows", N)`` —
+  partitioned generation, seeded per partition, so the same options
+  always produce the same rows (differential-testable) and generation
+  parallelizes across executors like any scan.
+- streaming: ``spark.readStream.format("events_gen")`` — a replayable
+  offset log (micro-batch b covers rows [b·rate, (b+1)·rate)), so
+  restarts re-read identical micro-batches — the exactly-once
+  contract a real queue source must honor.
+
+Scale notes: each InputPartition carries only (start, end) bounds —
+generation state never touches the driver; at 100 TB the same pattern
+holds for any partition-describable remote feed (shard ids, offset
+ranges, file manifests).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double"
+)
+
+_TYPES = ("view", "click", "purchase", "signup", "error")
+_EPOCH = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _row(i: int):
+    """Deterministic event i — a tiny splitmix-style mix so values
+    look varied but are reproducible everywhere (no RNG state)."""
+    z = (i * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z ^= z >> 27
+    return (
+        i,
+        _EPOCH + datetime.timedelta(seconds=60 * i),
+        z % 1000,
+        _TYPES[z % len(_TYPES)],
+        round((z % 100_000) / 100.0, 2),
+        )
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class EventsGenReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_parts = int(options.get("numpartitions", 4))
+
+    def partitions(self):
+        step = max(1, -(-self.n_rows // self.n_parts))
+        return [
+            _RangePartition(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition):
+        for i in range(partition.start, partition.end):
+            yield _row(i)
+
+
+class EventsGenStreamReader(DataSourceStreamReader):
+    """Replayable offset log: offset = total rows emitted so far."""
+
+    def __init__(self, options):
+        self.rate = int(options.get("rowsperbatch", 100))
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def latestOffset(self):
+        # a real source would poll the feed; the generator always has
+        # one more batch available
+        if not hasattr(self, "_current"):
+            self._current = 0
+        self._current += self.rate
+        return {"offset": self._current}
+
+    def partitions(self, start: dict, end: dict):
+        return [_RangePartition(start["offset"], end["offset"])]
+
+    def read(self, partition):
+        for i in range(partition.start, partition.end):
+            yield _row(i)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class EventsGenDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "events_gen"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> EventsGenReader:
+        return EventsGenReader(self.options)
+
+    def streamReader(self, schema) -> EventsGenStreamReader:
+        return EventsGenStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration: ``spark.read.format("events_gen")``."""
+    spark.dataSource.register(EventsGenDataSource)
