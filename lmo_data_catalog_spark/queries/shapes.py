@@ -815,6 +815,68 @@ def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# --------------------------------------- temporal point-in-interval join
+
+
+@query(
+    "purchase_state_at_time",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM events WHERE event_type IN ('signup', 'error')
+    )
+    SELECT p.event_id, p.user_id, iv.state,
+           epoch_us(iv.valid_from) AS state_since_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p, iv
+    WHERE p.user_id = iv.user_id
+      AND p.ts >= iv.valid_from
+      AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)
+    ORDER BY p.event_id
+    """,
+    tags=("temporal", "scd2", "range-join"),
+)
+def purchase_state_at_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 read path: join each purchase to the state interval
+    containing its timestamp (point-in-interval temporal join). The
+    interval table is built with LEAD over the state-change stream
+    (the write side `event_validity_intervals` produces); the join
+    carries the user equi-key so Catalyst plans a hash join with the
+    interval bounds as residual — never a cartesian product. At scale
+    both sides hash-partition on user_id and each probe row scans only
+    its user's handful of intervals."""
+    from ..functions import epoch_us
+
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = (
+        ev.filter(F.col("event_type").isin("signup", "error"))
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            F.col("user_id").alias("iv_user"),
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    joined = purchases.join(
+        iv,
+        (F.col("user_id") == F.col("iv_user"))
+        & (F.col("p_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("p_ts") < F.col("valid_to"))),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "state",
+        epoch_us("valid_from").alias("state_since_us"),
+    ).orderBy("event_id")
+
+
 # ----------------------------------------------------- RFM segmentation
 
 
