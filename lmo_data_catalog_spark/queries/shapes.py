@@ -815,6 +815,90 @@ def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# ------------------------------------------- Q10: returned-item losses
+
+
+@query(
+    "returned_item_losses",
+    oracle="""
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate >= DATE '1997-01-01'
+      AND o_orderdate <  DATE '1997-04-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("analytic", "multi-join"),
+)
+def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers who returned the most revenue in a
+    quarter. The quarter band prunes orders, the returnflag filter
+    prunes lineitem (both pushed to the scans); customer and nation
+    broadcast; top-k is TakeOrderedAndProject — no global sort."""
+    cat = Catalog(spark, sf_dir)
+    orders = cat.orders.filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = cat.lineitem.filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cat.customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_rev()), 4).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ------------------------------------------------ collect_set aggregation
+
+
+@query(
+    "customer_priority_profile",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(DISTINCT o_orderpriority, ','
+                      ORDER BY o_orderpriority) AS priorities,
+           CAST(COUNT(DISTINCT o_orderpriority) AS INTEGER) AS n_priorities,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    tags=("array-agg", "collect_set"),
+)
+def customer_priority_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-valued aggregation: the distinct order priorities each
+    customer has used, as a SORTED joined string —
+    ``array_sort(collect_set(...))`` makes the inherently unordered
+    set deterministic, and emitting it joined keeps the differential
+    compare scalar. collect_set is map-side combinable (partial sets
+    merge), so the shuffle carries per-customer sets, not order rows.
+    """
+    return (
+        Catalog(spark, sf_dir)
+        .orders.groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities"),
+            F.size(F.collect_set("o_orderpriority")).alias("n_priorities"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
 # --------------------------------------- temporal point-in-interval join
 
 
