@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
+from ..operators.joins import salted_join
 from ..registry import query
 
 # ---------------------------------------------------------------- quality
@@ -108,7 +109,10 @@ def cooccurrence_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     C(items_per_order, 2) ≈ 21 pairs/order; the self-join shuffles
     once on orderkey (both sides co-partitioned), the pair count is
     map-side combinable, and the top-100 is a TakeOrdered (no global
-    sort materialization). Skewed mega-orders would salt the orderkey."""
+    sort materialization). TPC-H orders are skew-free (≤7 items), so
+    this plan stays unsalted; for skewed mega-order baskets use
+    ``cooccurrence_part_pairs_salted`` below — same oracle, hot-key
+    pair generation spread across salt buckets."""
     li = (
         Catalog(spark, sf_dir)
         .lineitem.select("l_orderkey", "l_partkey")
@@ -119,6 +123,51 @@ def cooccurrence_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, on="l_orderkey")
         .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+@query(
+    "cooccurrence_part_pairs_salted",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 100
+    """,
+    tags=("join", "self_join", "basket", "skew"),
+)
+def cooccurrence_part_pairs_salted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Skew-hardened basket co-occurrence: semantically identical to
+    ``cooccurrence_part_pairs`` (same DuckDB oracle), but the self-join
+    runs through ``operators.joins.salted_join`` with 8 salt buckets.
+
+    A mega-order with k distinct parts emits C(k, 2) pairs; unsalted,
+    all of them are generated by the ONE task owning that orderkey.
+    Salting the probe side spreads the hot order's pair generation
+    across 8 tasks (each bucket holds 1/8 of the probe rows but sees
+    the full replicated build rows for that order). Replication cost
+    is bounded: the build side is 2 int columns, ×8. Task-histogram
+    flattening is measured by ``tools/skew_probe.py --basket``
+    (SCALING.md §skew)."""
+    li = (
+        Catalog(spark, sf_dir)
+        .lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.toDF("l_orderkey", "part_a")
+    b = li.toDF("l_orderkey", "part_b")
+    paired = salted_join(a, b, on=["l_orderkey"], salt_buckets=8)
+    return (
+        paired.filter(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.desc("n_orders"), "part_a", "part_b")

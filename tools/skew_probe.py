@@ -19,6 +19,15 @@ timings are noisy. Results are appended to SCALING.md by hand (the
 table in §skew was produced by this script).
 
 Usage: python tools/skew_probe.py [n_rows]
+       python tools/skew_probe.py --basket [n_orders]
+
+--basket runs the skewed-BASKET variant backing
+``cooccurrence_part_pairs_salted``: a self-join pair-generation
+workload where one mega-order holds 2,000 distinct parts
+(C(2000,2) ≈ 2M pairs from ONE key) among n_orders normal 5-item
+orders. It reports the per-task pair-output histogram for the
+unsalted self-join vs salted_join(salt_buckets=8), plus an exceptAll
+semantic-equality check on the aggregated pair counts.
 """
 
 from __future__ import annotations
@@ -52,7 +61,68 @@ def task_histogram(df) -> dict[str, int]:
     }
 
 
+def basket_main() -> None:
+    """Skewed-basket self-join probe (cooccurrence_part_pairs_salted)."""
+    args = [a for a in sys.argv[1:] if a != "--basket"]
+    n_orders = int(args[0]) if args else 200_000
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("basket_skew_probe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # order 0 is the mega-basket: 2,000 distinct parts; every other
+    # order holds 5 parts.  Distinct (orderkey, partkey) rows.
+    mega = spark.range(2_000).select(
+        F.lit(0).alias("l_orderkey"), F.col("id").alias("l_partkey")
+    )
+    normal = spark.range(n_orders * 5).select(
+        ((F.col("id") % n_orders) + 1).alias("l_orderkey"),
+        ((F.col("id") / n_orders).cast("long") * 10_000 + F.col("id") % 97)
+        .alias("l_partkey"),
+    ).distinct()
+    li = mega.unionByName(normal)
+    a = li.toDF("l_orderkey", "part_a")
+    b = li.toDF("l_orderkey", "part_b")
+
+    def pairs_plain():
+        return a.join(b, on="l_orderkey").filter(
+            F.col("part_a") < F.col("part_b")
+        )
+
+    def pairs_salted():
+        return salted_join(a, b, on=["l_orderkey"], salt_buckets=8).filter(
+            F.col("part_a") < F.col("part_b")
+        )
+
+    def timed(df):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    for label, build in [("unsalted", pairs_plain), ("salted_8", pairs_salted)]:
+        wall = min(timed(build()), timed(build()))
+        hist = task_histogram(build())
+        print(f"{label:10s} {dict(hist, wall_s=round(wall, 2))}")
+
+    agg = lambda df: (  # noqa: E731
+        df.groupBy("part_a", "part_b").count()
+    )
+    diff = agg(pairs_plain()).exceptAll(agg(pairs_salted())).count()
+    diff += agg(pairs_salted()).exceptAll(agg(pairs_plain())).count()
+    print(f"semantic_diff_rows: {diff} (must be 0)")
+    spark.stop()
+
+
 def main() -> None:
+    if "--basket" in sys.argv:
+        basket_main()
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     spark = (
         SparkSession.builder.master("local[32]")
