@@ -1,0 +1,104 @@
+"""Broadcast-bitset Bloom filter built from pure Spark expressions.
+
+The scale path for membership pre-passes (benchmark-contamination
+screening, seen-key dedup, semi-join pruning) when the probe set is
+too large to explode against every row but small enough to broadcast
+as a bitset. PySpark 4.1 exposes no public ``bloom_filter_agg``, so
+this module builds the bitset itself — with Spark's own ``xxhash64``
+on BOTH the build and probe sides, so hashing is bit-identical by
+construction — and tests membership with JVM-side expressions only
+(``shiftright``/``getItem``/bitwise-and inside whole-stage codegen;
+no Python in the data plane).
+
+Build side: the value set is hashed through a tiny local DataFrame
+(k seeded xxhash64 positions per value), OR-folded into ``m_bits/64``
+longs on the driver, and inlined as a literal array — Spark ships it
+to every executor inside the serialized plan exactly like a broadcast
+variable, with zero shuffle. Driver/plan cost is O(m_bits/64) longs:
+a 1M-bit filter is 125 KB — fine; size ``m_bits ≈ 10×|values|`` for
+~1% FPP with k=3.
+
+At cluster scale the same probe expression works against a bitset of
+any origin; for probe sets too big to build driver-side, swap the
+build step for an aggregation over a DataFrame (groupBy().agg of the
+seeded positions) and keep the probe expression unchanged.
+
+False positives are expected (callers exact-verify survivors);
+false negatives are impossible for inserted values — pinned by
+``tests/test_bloom.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_bloom_bitset(
+    spark: SparkSession,
+    values: Iterable[str],
+    *,
+    m_bits: int = 1024,
+    k: int = 3,
+) -> list[int]:
+    """Hash ``values`` into an ``m_bits``-wide Bloom bitset.
+
+    Returns the bitset as ``m_bits // 64`` signed 64-bit words (the
+    representation ``bloom_might_contain`` consumes). Hashing runs
+    through Spark's ``xxhash64`` so probe-side tests are bit-identical.
+    """
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    vals = list(dict.fromkeys(values))
+    words = [0] * (m_bits // 64)
+    if not vals:
+        return words
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "v string")
+        .select(
+            *[
+                F.pmod(F.xxhash64("v", F.lit(i)), F.lit(m_bits)).alias(
+                    f"p{i}"
+                )
+                for i in range(k)
+            ]
+        )
+        .collect()
+    )
+    for row in rows:
+        for pos in row:
+            words[pos // 64] |= 1 << (pos % 64)
+    # Spark longs are signed: fold bit 63 into two's complement.
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_might_contain(
+    col: Column | str,
+    bitset_words: Sequence[int],
+    *,
+    k: int = 3,
+) -> Column:
+    """JVM-side membership test of ``col`` against a broadcast bitset.
+
+    True ⇒ possibly inserted (caller exact-verifies); False ⇒
+    definitely not inserted. The bitset literal rides the serialized
+    plan to every executor; each test is k seeded xxhash64 probes +
+    shift/mask — all inside whole-stage codegen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    m_bits = len(bitset_words) * 64
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in bitset_words])
+    cond = None
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m_bits))
+        word = F.get(arr, (pos / 64).cast("int"))
+        # F.shiftright only takes a literal shift; call the SQL
+        # function directly so the shift can be a column.
+        bit = F.call_function(
+            "shiftright", word, (pos % 64).cast("int")
+        ).bitwiseAND(F.lit(1))
+        hit = bit == 1
+        cond = hit if cond is None else (cond & hit)
+    return cond

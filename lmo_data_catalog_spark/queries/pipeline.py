@@ -199,12 +199,69 @@ def _probes_values_sql() -> str:
 def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination screen: which documents contain any of
     a fixed set of probe phrases (exact substring). Map-only scan ×
-    |probes| — at 100 TB, pre-filter with a Bloom/Aho-Corasick pass
-    per partition; the output contract stays (probe, doc_id)."""
+    |probes| — fine for a handful of probes; the documented scale
+    path for large probe sets is ``contamination_screen_bloom`` below
+    (same oracle), which Bloom-prefilters documents before the
+    ×|probes| exact scan."""
     cat = Catalog(spark, sf_dir)
     probes = F.array(*[F.lit(p) for p in PROBES])
     return (
         cat.documents.select(
+            "doc_id", F.explode(probes).alias("probe"), "text"
+        )
+        .filter(F.expr("position(probe IN text) > 0"))
+        .select("probe", "doc_id")
+    )
+
+
+@query(
+    "contamination_screen_bloom",
+    oracle=f"""
+    SELECT p.probe, d.doc_id
+    FROM documents d
+    CROSS JOIN (VALUES {_probes_values_sql()}) AS p(probe)
+    WHERE position(p.probe IN d.text) > 0
+    """,
+    tags=("text", "contamination", "bloom"),
+)
+def contamination_screen_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination screen with a Bloom-bitset pre-pass — the 100 TB
+    shape for LARGE probe sets, value-identical to
+    ``contamination_screen`` (same DuckDB oracle).
+
+    The exact path costs |docs| × |probes| substring scans. Here the
+    probe phrases' INTERIOR words are hashed into a broadcast Bloom
+    bitset (``operators/bloom.py``); a document reaches the exact
+    ×|probes| verify only if some whitespace token hits the bitset.
+    Conservative by construction: a raw-substring occurrence of probe
+    "a b c" bounds the interior word "b" with the probe's own literal
+    single spaces, so "b" is always a complete whitespace token of the
+    document — interior-word membership cannot produce a false
+    negative, and Bloom false positives are removed by the exact
+    verify. The bitset test is k seeded xxhash64 probes per token,
+    fully inside whole-stage codegen; cost scales with corpus tokens,
+    not with |probes| (SCALING.md §bloom measures 4→256 probes)."""
+    from ..operators.bloom import bloom_might_contain, build_bloom_bitset
+
+    if any(len(p.split()) < 3 for p in PROBES):
+        # A <3-word probe has no interior word to gate on; its matches
+        # would silently vanish. Refuse rather than return wrong rows.
+        raise ValueError(
+            "bloom pre-pass needs >=3-word probes; use "
+            "contamination_screen for short phrases"
+        )
+    interiors = sorted({w for p in PROBES for w in p.split()[1:-1]})
+    bitset = build_bloom_bitset(spark, interiors, m_bits=1024, k=3)
+    cat = Catalog(spark, sf_dir)
+    candidates = cat.documents.where(
+        F.exists(
+            T.tokens("text"),
+            lambda t: bloom_might_contain(t, bitset, k=3),
+        )
+    )
+    probes = F.array(*[F.lit(p) for p in PROBES])
+    return (
+        candidates.select(
             "doc_id", F.explode(probes).alias("probe"), "text"
         )
         .filter(F.expr("position(probe IN text) > 0"))
