@@ -10,8 +10,11 @@ argmax-per-group — each as the Catalyst plan you would want at 100 TB
 (broadcast dims, partial aggregation, one keyed shuffle).
 
 Same conventions as ``queries.core``: every computed column aliased
-identically in Spark and oracle SQL; sums of 4-dp-decimal quantities
-rounded at 4 dp (exact decimal points — no rounding-tie risk);
+identically in Spark and oracle SQL; monetary sums rounded at 4 dp
+(the data's decimal granularity — note the parquet stores prices as
+float64, so where a rounded sum feeds an EQUALITY or RANKING the sum
+is first done in DECIMAL to make it summation-order-independent, see
+``top_revenue_supplier`` / ``customer_rfm_segments``);
 ratios/averages/logs at 6 dp; no raw timestamps.
 """
 
@@ -137,9 +140,11 @@ def small_qty_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: customers behind the largest-volume orders.
     The HAVING aggregate runs first (map-side partial sums, one keyed
-    shuffle) and survives as a small frame, so both the orders join
-    and the customer join broadcast it; top-k is
-    TakeOrderedAndProject."""
+    shuffle) and survives as a SMALL frame — that selective frame is
+    the only explicit broadcast. customer scales with SF, so it gets
+    no hint: after the broadcast-big join the surviving orders frame
+    is tiny and AQE picks the right side at runtime; forcing
+    broadcast(customer) would OOM executors at 100 TB."""
     cat = Catalog(spark, sf_dir)
     big = (
         cat.lineitem.groupBy("l_orderkey")
@@ -150,7 +155,7 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.orders.join(
             F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey")
         )
-        .join(F.broadcast(cat.customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cat.customer, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_name",
             "c_custkey",
@@ -260,17 +265,20 @@ def returnflag_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "top_revenue_supplier",
-    oracle=f"""
+    oracle="""
     WITH srev AS (
-      SELECT l_suppkey, ROUND(SUM({_REV}), 4) AS total_revenue
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(6,4))) AS rev_dec
       FROM lineitem
       WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
       GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, total_revenue
+    SELECT s_suppkey, s_name,
+           CAST(ROUND(rev_dec, 4) AS DOUBLE) AS total_revenue
     FROM supplier, srev
     WHERE s_suppkey = l_suppkey
-      AND total_revenue = (SELECT MAX(total_revenue) FROM srev)
+      AND rev_dec = (SELECT MAX(rev_dec) FROM srev)
     ORDER BY s_suppkey
     """,
     tags=("analytic", "scalar-subquery"),
@@ -279,27 +287,37 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) with the quarter's max revenue.
     The revenue view is one keyed shuffle; the scalar MAX is an
     aggregate of that already-small frame, broadcast back as a 1-row
-    cross join (never a global sort). Revenue is rounded to 4 dp — an
-    exact decimal point for 4-dp-decimal addends — BEFORE the
-    equality, so both engines select the same supplier set regardless
-    of their summation order."""
+    cross join (never a global sort). The parquet stores prices as
+    float64, so the per-supplier revenue is summed in DECIMAL (exact,
+    summation-order-independent in BOTH engines) and the max-equality
+    selection happens on the decimal — a double sum rounded to 4 dp
+    can flip at a rounding boundary under cross-engine/partition
+    summation-order differences and change the selected row set. The
+    decimal is cast back to double only for output."""
     cat = Catalog(spark, sf_dir)
+    rev_dec = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(6,4)")
     srev = (
         cat.lineitem.filter(
             (F.col("l_shipdate") >= "1997-01-01")
             & (F.col("l_shipdate") < "1997-04-01")
         )
         .groupBy("l_suppkey")
-        .agg(F.round(F.sum(_rev()), 4).alias("total_revenue"))
+        .agg(F.sum(rev_dec).alias("__rev_dec"))
     )
-    mx = srev.agg(F.max("total_revenue").alias("__mx"))
+    mx = srev.agg(F.max("__rev_dec").alias("__mx"))
     return (
         srev.join(F.broadcast(mx))
-        .filter(F.col("total_revenue") == F.col("__mx"))
+        .filter(F.col("__rev_dec") == F.col("__mx"))
         .join(
             F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("l_suppkey")
         )
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("__rev_dec", 4).cast("double").alias("total_revenue"),
+        )
         .orderBy("s_suppkey")
     )
 
@@ -449,11 +467,12 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the corpus: PMI(a,b) = ln(p(ab) / (p(a)p(b))) with a
     min-support gate. Tokenize ONCE per document (projected column —
     not re-split per element), bigram via transform/slice, then two
-    corpus-count aggregations; the unigram vocabulary aggregate is
-    small and broadcasts onto the bigram counts twice (w1, w2), so the
-    only fact-sized shuffles are the two counting groupBys. The float
-    expression is parenthesized identically in both engines so the
-    doubles match bit-for-bit before rounding."""
+    corpus-count aggregations. The unigram vocabulary grows with the
+    corpus, so the two w1/w2 joins carry NO broadcast hint — they
+    hash-shuffle on word, and AQE broadcasts at runtime when the
+    vocab is actually small; only the 1-row corpus totals are hinted.
+    The float expression is parenthesized identically in both engines
+    so the doubles match bit-for-bit before rounding."""
     return pmi_topk(Catalog(spark, sf_dir).documents)
 
 
@@ -509,8 +528,12 @@ def pmi_topk(
     return (
         bg.withColumn("__w1", parts.getItem(0))
         .withColumn("__w2", parts.getItem(1))
-        .join(F.broadcast(u1), "__w1")
-        .join(F.broadcast(u2), "__w2")
+        # u1/u2 are the full unigram vocabulary — it grows with the
+        # corpus, so no broadcast hint: the joins hash-shuffle on word
+        # (or AQE broadcasts at runtime when the vocab happens to be
+        # small). Only the two 1-row scalar frames are hinted.
+        .join(u1, "__w1")
+        .join(u2, "__w2")
         .join(F.broadcast(n_uni))
         .join(F.broadcast(n_bg_all))
         .select(
@@ -840,8 +863,11 @@ def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
 def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: customers who returned the most revenue in a
     quarter. The quarter band prunes orders, the returnflag filter
-    prunes lineitem (both pushed to the scans); customer and nation
-    broadcast; top-k is TakeOrderedAndProject — no global sort."""
+    prunes lineitem (both pushed to the scans); nation (25 rows,
+    SF-invariant) broadcasts by hint, customer (scales with SF) is
+    left to AQE — the quarter-pruned join output it meets is small,
+    but a forced broadcast of an SF-scaled table breaks at 100 TB;
+    top-k is TakeOrderedAndProject — no global sort."""
     cat = Catalog(spark, sf_dir)
     orders = cat.orders.filter(
         (F.col("o_orderdate") >= "1997-01-01")
@@ -850,7 +876,7 @@ def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = cat.lineitem.filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cat.customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cat.customer, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(_rev()), 4).alias("revenue"))
@@ -973,7 +999,7 @@ def purchase_state_at_time(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
                AS recency_days,
              COUNT(*) AS frequency,
-             SUM(o_totalprice) AS monetary
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
       FROM orders GROUP BY o_custkey
     ),
     ranked AS (
@@ -986,7 +1012,7 @@ def purchase_state_at_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
            CAST(frequency AS BIGINT) AS frequency,
-           ROUND(monetary, 2) AS monetary,
+           CAST(ROUND(monetary, 2) AS DOUBLE) AS monetary,
            CAST((r_rn - 1) * 4 // n + 1 AS INTEGER) AS r_seg,
            CAST((f_rn - 1) * 4 // n + 1 AS INTEGER) AS f_seg,
            CAST((m_rn - 1) * 4 // n + 1 AS INTEGER) AS m_seg
@@ -1013,7 +1039,12 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max(F.col("o_orderdate").cast("date")).alias("__last"),
             F.count("*").alias("frequency"),
-            F.sum("o_totalprice").alias("monetary"),
+            # DECIMAL sum: the monetary RANKING must not depend on
+            # double summation order (cross-engine/partition ulp drift
+            # could flip near-tied customers' ranks)
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "monetary"
+            ),
         )
         .join(F.broadcast(mx))
         .select(
@@ -1048,7 +1079,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "recency_days",
         "frequency",
-        F.round("monetary", 2).alias("monetary"),
+        F.round("monetary", 2).cast("double").alias("monetary"),
         seg("__r_rn").alias("r_seg"),
         seg("__f_rn").alias("f_seg"),
         seg("__m_rn").alias("m_seg"),
