@@ -83,10 +83,19 @@ class EventsGenReader(DataSourceReader):
 
 
 class EventsGenStreamReader(DataSourceStreamReader):
-    """Replayable offset log: offset = total rows emitted so far."""
+    """Replayable offset log: offset = total rows emitted so far.
+
+    ``latestOffset`` must be MONOTONE across driver restarts: a fresh
+    reader starts ``_current`` at 0, but after checkpoint recovery the
+    engine replans from the committed offset — if latestOffset lagged
+    behind it, planned batches would be empty/backwards until the
+    counter caught up. Every offset the engine hands back through
+    ``partitions`` therefore ratchets ``_current`` forward first.
+    """
 
     def __init__(self, options):
         self.rate = int(options.get("rowsperbatch", 100))
+        self._current = 0
 
     def initialOffset(self):
         return {"offset": 0}
@@ -94,12 +103,13 @@ class EventsGenStreamReader(DataSourceStreamReader):
     def latestOffset(self):
         # a real source would poll the feed; the generator always has
         # one more batch available
-        if not hasattr(self, "_current"):
-            self._current = 0
         self._current += self.rate
         return {"offset": self._current}
 
     def partitions(self, start: dict, end: dict):
+        # checkpoint-recovery ratchet: the engine knows offsets this
+        # (possibly fresh) reader instance has never seen
+        self._current = max(self._current, start["offset"], end["offset"])
         return [_RangePartition(start["offset"], end["offset"])]
 
     def read(self, partition):

@@ -74,3 +74,20 @@ def test_stream_replayable_offsets(spark, tmp_path):
     n2 = got2.count()
     assert got2.select("event_id").distinct().count() == n2
     assert n2 >= n1
+
+
+def test_stream_offsets_monotone_after_recovery():
+    """A reader rebuilt after a driver restart starts _current at 0;
+    the first partitions() call carries the checkpoint-recovered
+    offsets, and latestOffset must plan strictly PAST them — never a
+    backwards/empty range (r4 advice)."""
+    r = pydatasource.EventsGenStreamReader({"rowsperbatch": "100"})
+    # engine replays the uncommitted batch [500, 600) from checkpoint
+    r.partitions({"offset": 500}, {"offset": 600})
+    nxt = r.latestOffset()["offset"]
+    assert nxt == 700
+    # and keeps advancing monotonically
+    assert r.latestOffset()["offset"] == 800
+    # a regressive start can never pull the counter backwards
+    r.partitions({"offset": 100}, {"offset": 200})
+    assert r.latestOffset()["offset"] == 900
