@@ -702,6 +702,79 @@ def sliding_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------- watermark admission rule (batch)
+
+
+@query(
+    "watermark_boundary_admission",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type, value, epoch_us(ts) AS us FROM events
+    ), w AS (
+      SELECT MAX(us) - 7200000000 AS wm FROM e WHERE event_id % 10 < 8
+    ), adm AS (
+      SELECT e.*, 0 AS late FROM e WHERE event_id % 10 < 8
+      UNION ALL
+      SELECT e.*, 1 AS late FROM e, w
+      WHERE event_id % 10 >= 8
+        AND (us // 3600000000 + 1) * 3600000000 > w.wm
+    )
+    SELECT CAST((us // 3600000000) * 3600000000 AS BIGINT) AS hour_us,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS value_sum,
+           CAST(SUM(late) AS BIGINT) AS n_late
+    FROM adm GROUP BY 1, 2
+    """,
+    tags=("window_time", "streaming", "watermark"),
+)
+def watermark_boundary_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark drop/keep boundary as a BATCH differential query —
+    puts the late-event admission rule under the driver's oracle gate
+    (the streaming execution of the same rule is pinned by
+    ``tests/test_streaming.py::test_watermark_late_data_drop_keep_boundary``).
+
+    Events with ``event_id % 10 >= 8`` play the late arrivals; the
+    watermark is max(on-time ts) − 2 h. Spark's rule, reproduced
+    arithmetically in both engines: a late row is admitted iff its
+    1-hour window's END is strictly above the watermark (state for a
+    window is evicted once wm ≥ window end). All window math is
+    integer microseconds (``epoch_us`` + integer div — no float
+    boundary risk, no NTZ/unix_micros vintage trap); the watermark
+    scalar is a 1-row broadcast; ``n_late`` counts admitted late rows
+    per window so the differential proves both the keeps AND the
+    drops."""
+    HOUR = 3_600_000_000
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id",
+        "event_type",
+        "value",
+        epoch_us("ts").alias("__us"),
+    )
+    on_time = ev.filter(F.col("event_id") % 10 < 8)
+    late = ev.filter(F.col("event_id") % 10 >= 8)
+    wm = on_time.agg(
+        (F.max("__us") - F.lit(2 * HOUR)).alias("__wm_us")
+    )
+    win_end = (F.expr(f"__us div {HOUR}") + 1) * HOUR
+    admitted = (
+        late.join(F.broadcast(wm))
+        .filter(win_end > F.col("__wm_us"))
+        .drop("__wm_us")
+    )
+    unioned = on_time.withColumn("__late", F.lit(0)).unionByName(
+        admitted.withColumn("__late", F.lit(1))
+    )
+    return unioned.groupBy(
+        (F.expr(f"__us div {HOUR}") * HOUR).cast("bigint").alias("hour_us"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+        F.sum("__late").cast("bigint").alias("n_late"),
+    )
+
+
 # ------------------------------------------------------------- variant (Spark 4)
 
 
