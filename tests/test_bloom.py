@@ -66,3 +66,13 @@ def test_probe_plan_is_jvm_only(spark, bitset):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_contamination_bloom_refuses_short_probes(spark, monkeypatch):
+    """A <3-word probe has no interior word; the pre-pass must refuse
+    loudly instead of silently dropping its matches."""
+    from lmo_data_catalog_spark.queries import pipeline
+
+    monkeypatch.setattr(pipeline, "PROBES", ["too short"])
+    with pytest.raises(ValueError, match="3-word"):
+        pipeline.contamination_screen_bloom(spark, "/root/testdata/sf0.001")
