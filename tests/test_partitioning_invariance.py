@@ -1,0 +1,86 @@
+"""Results must not depend on physical partitioning.
+
+The r4 advice flagged the failure class: a double aggregation feeding
+an equality/ranking can flip under summation-order changes, and
+summation order follows partitioning. These tests run
+boundary-sensitive registry queries under deliberately different
+physical layouts — shuffle.partitions 3 vs 32, and inputs
+pre-repartitioned by an unrelated key — and require bit-identical
+result multisets. At 100 TB partitioning is chosen by the cluster,
+not the query author; any query whose answer moves here is broken at
+scale even if the sf0.01 differential passes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lmo_data_catalog_spark.registry import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+# Queries whose plans contain the boundary-sensitive shapes: decimal
+# max-equality, global ranking, watermark admission, salted join,
+# bloom gate, floating aggregation feeding ORDER/LIMIT.
+SENSITIVE = [
+    "top_revenue_supplier",
+    "customer_rfm_segments",
+    "watermark_boundary_admission",
+    "cooccurrence_part_pairs_salted",
+    "contamination_screen_bloom",
+    "large_order_customers",
+    "returned_item_losses",
+    "bigram_pmi_topk",
+]
+
+
+def canon(df):
+    cols = sorted(df.columns)
+    rows = [tuple(str(r[c]) for c in cols) for r in df.collect()]
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_result_invariant_under_partitioning(spark, name):
+    spec = REGISTRY[name]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        want = canon(spec.builder(spark, SF))
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        got = canon(spec.builder(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert got == want, f"{name} changed under shuffle.partitions 32->3"
+
+
+def test_decimal_sum_order_independence(spark):
+    """The decimal-sum hardening, isolated: sum a column whose double
+    sum is order-sensitive, under opposite sort orders and different
+    partition counts — decimal totals must be identical (and the
+    double totals demonstrably drift on this fixture, proving the
+    test has teeth)."""
+    vals = [(i, (1.0 / 3.0) * (10.0 ** (i % 7))) for i in range(10_001)]
+    df = spark.createDataFrame(vals, "id long, v double")
+
+    def dec_total(frame):
+        return frame.agg(
+            F.sum(F.col("v").cast("decimal(28,10)")).alias("s")
+        ).collect()[0]["s"]
+
+    a = dec_total(df.repartition(1, "id").sortWithinPartitions("id"))
+    b = dec_total(
+        df.repartition(17, "id").sortWithinPartitions(F.desc("id"))
+    )
+    assert a == b
+
+    def dbl_total(frame):
+        return frame.agg(F.sum("v").alias("s")).collect()[0]["s"]
+
+    d1 = dbl_total(df.coalesce(1).sortWithinPartitions("id"))
+    d2 = dbl_total(df.coalesce(1).sortWithinPartitions(F.desc("id")))
+    assert d1 != d2, (
+        "fixture no longer exercises double summation-order drift; "
+        "pick nastier values"
+    )
