@@ -924,6 +924,110 @@ def reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------------- data mixing
+
+#: target language mixture for the sampled training corpus and the
+#: fraction of total corpus tokens the sample may spend. Shared
+#: literals so Spark and the oracle rate-limit identically.
+MIXTURE_WEIGHTS = {"en": 0.40, "zh": 0.15, "es": 0.15, "de": 0.15, "fr": 0.15}
+MIXTURE_BUDGET = 0.5  # sample ~half the corpus tokens, reshaped to weights
+
+#: Knuth multiplicative hash (2^32 / golden ratio): uniform fractions
+#: from integer ids using ONLY int64 arithmetic both engines share —
+#: no cross-engine hash-function dependency. The id is clamped to 31
+#: bits BEFORE the multiply so the product stays < 2^62: without the
+#: clamp a large id silently wraps int64 in Spark but promotes to
+#: HUGEINT in DuckDB — divergent samples exactly at cluster scale.
+_KNUTH = 2654435761
+_MOD = 4294967296
+_ID_CLAMP = 2147483648
+
+
+def _mixture_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {w}" for lang, w in MIXTURE_WEIGHTS.items()
+    )
+    return f"CASE lang {whens} ELSE 0.0 END"
+
+
+@query(
+    "corpus_mixture_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+      FROM documents
+    ), per_lang AS (
+      SELECT lang, SUM(n_tokens) AS lang_tokens FROM d GROUP BY lang
+    ), grand AS (
+      SELECT SUM(n_tokens) AS total_tokens FROM d
+    ), rates AS (
+      SELECT lang,
+             least(1.0, {_mixture_case_sql()} * {MIXTURE_BUDGET}
+                        * total_tokens / lang_tokens) AS rate
+      FROM per_lang, grand
+    )
+    SELECT d.doc_id, d.lang, CAST(d.n_tokens AS INTEGER) AS n_tokens
+    FROM d JOIN rates USING (lang)
+    WHERE (d.doc_id % {_ID_CLAMP}) * {_KNUTH} % {_MOD} / {_MOD}.0 < rate
+    """,
+    tags=("sampling", "mixing", "llm"),
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: reshape the corpus toward target language weights
+    under a token budget — the sampling step that turns a crawl's
+    natural distribution into a training mixture (cf. the per-source
+    weights in GPT-3/Pile/LLaMA training recipes, public papers).
+
+    Per-language keep rate = min(1, weight × budget × total_tokens /
+    lang_tokens); a document is kept iff its id's uniform fraction
+    falls under its language's rate. The fraction comes from a Knuth
+    multiplicative hash in pure int64 arithmetic, so both engines
+    agree bit-for-bit with no shared-hash-function dependency — and
+    the keep decision is reproducible across runs, partitionings, and
+    incremental corpus growth (old docs keep their verdict while
+    rates hold). Plan shape at 100 TB: tokenize-once projection, one
+    tiny per-lang aggregate + 1-row grand total (both broadcast), and
+    a map-side filter — the corpus is scanned once and never
+    shuffled. Rate arithmetic is parenthesized identically in both
+    engines (left-assoc × then ÷) so the double compare cannot
+    straddle an ulp."""
+    d = Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        "lang",
+        F.size(T.tokens("text")).alias("n_tokens"),
+    )
+    d = cache.track(d)
+    per_lang = d.groupBy("lang").agg(
+        F.sum("n_tokens").alias("__lang_tokens")
+    )
+    grand = d.agg(F.sum("n_tokens").alias("__total_tokens"))
+    w_col = F.lit(None).cast("double")
+    expr = None
+    for lang, w in MIXTURE_WEIGHTS.items():
+        cond = F.col("lang") == lang
+        expr = F.when(cond, w) if expr is None else expr.when(cond, w)
+    w_col = expr.otherwise(F.lit(0.0))
+    rates = per_lang.join(F.broadcast(grand)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            w_col
+            * MIXTURE_BUDGET
+            * F.col("__total_tokens")
+            / F.col("__lang_tokens"),
+        ).alias("__rate"),
+    )
+    frac = (F.col("doc_id") % _ID_CLAMP) * _KNUTH % _MOD / F.lit(
+        float(_MOD)
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(frac < F.col("__rate"))
+        .select("doc_id", "lang", F.col("n_tokens").cast("int").alias("n_tokens"))
+    )
+
+
 # ----------------------------------------------------------- column profiling
 
 

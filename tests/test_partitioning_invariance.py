@@ -32,6 +32,7 @@ SENSITIVE = [
     "large_order_customers",
     "returned_item_losses",
     "bigram_pmi_topk",
+    "corpus_mixture_sample",
 ]
 
 
