@@ -1028,6 +1028,70 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: exact per-language token budget for the head-cutoff variant
+TOKEN_BUDGET_PER_LANG = 2000
+
+
+@query(
+    "token_budget_head",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM d
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= {TOKEN_BUDGET_PER_LANG}
+    """,
+    tags=("sampling", "mixing", "budget", "llm"),
+)
+def token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token-budget enforcement: per language, admit documents
+    in a deterministic hash order until the running token total hits
+    the budget — the complement to rate-based mixing
+    (``corpus_mixture_sample``) when the recipe says "exactly N
+    tokens of X", with integer running sums so the cutoff can never
+    drift cross-engine.
+
+    The hash order (md5 of the id) makes the admitted prefix a
+    uniform sample that is stable across runs, partitionings, and
+    corpus append order. Plan: one shuffle on lang + per-key sorted
+    running sum. Scale note, honestly: few-language corpora make the
+    per-key window the bottleneck at 100 TB — each language funnels
+    through one task's sort. The scale recipe is hierarchical: run
+    this cutoff per (lang, shard) with shard budgets, or use the
+    rate-based sampler and trim only the boundary shard exactly;
+    both reuse this operator unchanged on bounded partitions."""
+    cat = Catalog(spark, sf_dir)
+    d = cat.documents.select(
+        "doc_id", "lang", F.size(T.tokens("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_LANG)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        )
+    )
+
+
 # ----------------------------------------------------------- column profiling
 
 
