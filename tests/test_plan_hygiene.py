@@ -1,0 +1,93 @@
+"""Automated anti-pattern sweep over EVERY registry query's plan.
+
+The manual review rules, pinned as CI: no row-at-a-time Python in any
+data plane (BatchEvalPython), Arrow-vectorized Python only where the
+operator is documented to need it, no CartesianProduct ever, and
+BroadcastNestedLoopJoin only as the deliberate 1-row/bounded-table
+scalar-attach pattern (each such plan names itself in ALLOWED_BNLJ).
+A new query that sneaks in a slow-path node fails here before it ever
+reaches the driver's bench.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lmo_data_catalog_spark.registry import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+#: queries whose plans legitimately contain ArrowEvalPython /
+#: FlatMapsInPandas-style nodes (documented Arrow escape hatches)
+ALLOWED_ARROW = {
+    "multimodal_decode_stub",
+    "embedding_neardup_pairs",
+}
+
+#: queries whose plans legitimately contain BroadcastNestedLoopJoin —
+#: every one is a broadcast of a 1-row scalar aggregate (corpus max /
+#: grand total / watermark / spine bounds) or a bounded centroid /
+#: query-vector table onto a keyed frame (cross join with no key by
+#: construction), never a fact×fact product
+ALLOWED_BNLJ = {
+    "ann_cosine_topk",  # broadcast query vector
+    "ann_ivf_topk",  # broadcast centroid table
+    "bigram_pmi_topk",  # 1-row corpus totals (n_uni, n_bg)
+    "corpus_mixture_sample",  # 1-row grand token total
+    "customer_rfm_segments",  # 1-row corpus-max-date + total attach
+    "dormant_rich_customers",  # scalar-subquery broadcast
+    "orders_above_avg_price",  # scalar avg broadcast
+    "resample_daily_orders",  # 1-row min/max spine bounds
+    "tfidf_top_terms",  # 1-row doc-count broadcast
+    "trailing_7d_distinct_users",  # 1-row spine bounds
+    "watermark_boundary_admission",  # 1-row watermark broadcast
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, spec in REGISTRY.items():
+        df = spec.builder(spark, SF)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_row_at_a_time_python(plans):
+    bad = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not bad, f"row-at-a-time Python UDF in: {bad}"
+
+
+def test_arrow_python_only_where_documented(plans):
+    bad = [
+        n
+        for n, p in plans.items()
+        if ("ArrowEvalPython" in p or "MapInPandas" in p or "PythonMapInArrow" in p)
+        and n not in ALLOWED_ARROW
+    ]
+    assert not bad, f"undocumented Arrow-Python stage in: {bad}"
+
+
+def test_no_cartesian_products(plans):
+    bad = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not bad, f"CartesianProduct in: {bad}"
+
+
+def test_bnlj_only_where_documented(plans):
+    bad = [
+        n
+        for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in ALLOWED_BNLJ
+    ]
+    assert not bad, f"undocumented BroadcastNestedLoopJoin in: {bad}"
+
+
+def test_allowlists_not_stale(plans):
+    """Allowlist entries must still exist and still exhibit the node —
+    otherwise the list rots into blanket permission."""
+    for n in ALLOWED_BNLJ | ALLOWED_ARROW:
+        assert n in plans, f"allowlisted query {n} no longer in registry"
+    stale = [
+        n for n in ALLOWED_BNLJ if "BroadcastNestedLoopJoin" not in plans[n]
+    ]
+    assert not stale, f"BNLJ allowlist stale (node gone — prune): {stale}"
