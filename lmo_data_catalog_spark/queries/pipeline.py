@@ -1028,6 +1028,77 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: quality-bucket epoch factors for the repetition-expansion step:
+#: how many training epochs each quality tier contributes (the
+#: FineWeb / DCLM-style "repeat good data" recipe, public papers).
+#: Buckets come from the stopword-ratio proxy shared with
+#: corpus_quality_gate.
+EPOCHS_BY_BUCKET = {"high": 3, "mid": 1, "low": 0}
+
+
+@query(
+    "quality_epoch_expansion",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0
+               / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)
+               AS sw
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens >= 30 AND sw >= 0.05 THEN 'high'
+                  WHEN n_tokens >= 30 AND sw >= 0.02 THEN 'mid'
+                  ELSE 'low' END AS bucket
+      FROM t
+    )
+    SELECT doc_id, bucket, CAST(epoch AS INTEGER) AS epoch
+    FROM b, unnest(generate_series(1,
+         CASE bucket WHEN 'high' THEN 3 WHEN 'mid' THEN 1 ELSE 0 END))
+         AS u(epoch)
+    """,
+    tags=("sampling", "mixing", "quality", "llm"),
+)
+def quality_epoch_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted repetition: emit each document once per
+    training epoch its quality tier earns (high=3, mid=1, low=0) —
+    the "repeat good data, drop bad data" corpus-construction step.
+    Scoring (token count + stopword ratio, shared with
+    ``corpus_quality_gate``) and the sequence-explode are both
+    map-side expressions: at 100 TB this rides the scan with no
+    shuffle, and the (doc_id, epoch) output feeds shuffled-epoch
+    training directly. Low-tier docs disappear in the explode
+    (empty sequence), high-tier rows triplicate with an explicit
+    epoch index."""
+    cat = Catalog(spark, sf_dir)
+    m = T.quality_metrics("text")
+    b = cat.documents.select(
+        "doc_id",
+        F.when(
+            (m["n_tokens"] >= 30) & (m["stopword_ratio"] >= 0.05), "high"
+        )
+        .when((m["n_tokens"] >= 30) & (m["stopword_ratio"] >= 0.02), "mid")
+        .otherwise("low")
+        .alias("bucket"),
+    )
+    epochs = None
+    for bucket, k in EPOCHS_BY_BUCKET.items():
+        cond = F.col("bucket") == bucket
+        seq = F.sequence(F.lit(1), F.lit(k)) if k else F.array().cast(
+            "array<int>"
+        )
+        epochs = F.when(cond, seq) if epochs is None else epochs.when(
+            cond, seq
+        )
+    return (
+        b.select("doc_id", "bucket", F.explode_outer(epochs).alias("epoch"))
+        .where(F.col("epoch").isNotNull())
+        .select("doc_id", "bucket", F.col("epoch").cast("int").alias("epoch"))
+    )
+
+
 #: exact per-language token budget for the head-cutoff variant
 TOKEN_BUDGET_PER_LANG = 2000
 
