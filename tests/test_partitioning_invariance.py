@@ -33,6 +33,7 @@ SENSITIVE = [
     "returned_item_losses",
     "bigram_pmi_topk",
     "corpus_mixture_sample",
+    "token_budget_head",
 ]
 
 
