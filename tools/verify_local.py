@@ -5,7 +5,11 @@ given sf dir, then compares row count, sorted column names, and the
 order-insensitive multiset of row values (floats to 1e-9 rel
 tolerance, plus an exact-repr check to flag hash-risk drift).
 
-Usage: python tools/verify_local.py [sf_dir] [query ...]
+Usage: python tools/verify_local.py [--no-aqe] [sf_dir] [query ...]
+
+``--no-aqe`` disables adaptive query execution for the Spark side —
+the round-5 robustness axis proving no result depends on runtime
+re-planning (VERIFY_SF001.md records 117/117 under it).
 """
 
 from __future__ import annotations
@@ -49,10 +53,15 @@ def main() -> int:
     from lmo_data_catalog_spark.registry import REGISTRY
     from lmo_data_catalog_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    no_aqe = "--no-aqe" in args
+    args = [a for a in args if a != "--no-aqe"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     spark = get_spark("verify_local")
+    if no_aqe:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
