@@ -250,7 +250,14 @@ def contamination_screen_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bloom pre-pass needs >=3-word probes; use "
             "contamination_screen for short phrases"
         )
-    interiors = sorted({w for p in PROBES for w in p.split()[1:-1]})
+    # Hash the LOWERCASED interiors: candidate tokens come from
+    # T.tokens(), which lowercases, while position() below is
+    # case-sensitive.  A raw-substring occurrence of an uppercase
+    # interior word "B" means the document literally contains " B "
+    # bounded by the probe's own spaces, so after lowercasing the
+    # document token is exactly "b" — hashing w.lower() keeps the
+    # no-false-negative guarantee for mixed-case probes too.
+    interiors = sorted({w.lower() for p in PROBES for w in p.split()[1:-1]})
     bitset = build_bloom_bitset(spark, interiors, m_bits=1024, k=3)
     cat = Catalog(spark, sf_dir)
     candidates = cat.documents.where(
@@ -944,10 +951,17 @@ _ID_CLAMP = 2147483648
 
 
 def _mixture_case_sql() -> str:
+    # CAST every literal to DOUBLE: DuckDB types bare 0.40/0.5 as
+    # DECIMAL and would multiply exactly before promoting at the
+    # division, while Spark computes IEEE double throughout — rates
+    # could then differ by ulps and flip a boundary doc at corpus
+    # scale. With the casts both engines run the same left-associated
+    # double ops, restoring the bit-for-bit claim.
     whens = " ".join(
-        f"WHEN '{lang}' THEN {w}" for lang, w in MIXTURE_WEIGHTS.items()
+        f"WHEN '{lang}' THEN CAST({w} AS DOUBLE)"
+        for lang, w in MIXTURE_WEIGHTS.items()
     )
-    return f"CASE lang {whens} ELSE 0.0 END"
+    return f"CASE lang {whens} ELSE CAST(0.0 AS DOUBLE) END"
 
 
 @query(
@@ -963,7 +977,8 @@ def _mixture_case_sql() -> str:
       SELECT SUM(n_tokens) AS total_tokens FROM d
     ), rates AS (
       SELECT lang,
-             least(1.0, {_mixture_case_sql()} * {MIXTURE_BUDGET}
+             least(CAST(1.0 AS DOUBLE),
+                   {_mixture_case_sql()} * CAST({MIXTURE_BUDGET} AS DOUBLE)
                         * total_tokens / lang_tokens) AS rate
       FROM per_lang, grand
     )

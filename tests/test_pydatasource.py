@@ -91,3 +91,31 @@ def test_stream_offsets_monotone_after_recovery():
     # a regressive start can never pull the counter backwards
     r.partitions({"offset": 100}, {"offset": 200})
     assert r.latestOffset()["offset"] == 900
+
+
+def test_stream_all_committed_restart_one_batch_regression():
+    """The documented one-batch regression (r5 advice): when EVERY
+    batch committed before a restart, the engine's first call on the
+    fresh reader is latestOffset() — no partitions() has carried the
+    committed offset in yet, so the returned offset dips below the
+    high-water mark for exactly one planned batch. The contract is:
+    that batch must be EMPTY (no committed row replays), and the same
+    partitions() call must ratchet so batch 2 is strictly past the
+    committed offset."""
+    r = pydatasource.EventsGenStreamReader({"rowsperbatch": "100"})
+    committed = 500
+    # restart, everything committed: engine asks for latest FIRST
+    first = r.latestOffset()["offset"]
+    assert first == 100 < committed  # the documented dip
+    # engine plans (committed, first) — a backwards range; partitions
+    # clamps it to empty so exactly-once holds
+    [part] = r.partitions({"offset": committed}, {"offset": first})
+    assert part.start == committed and part.end == committed
+    assert list(r.read(part)) == []
+    # and the ratchet engaged: batch 2 is strictly past the committed
+    # offset, monotone from here on
+    nxt = r.latestOffset()["offset"]
+    assert nxt == committed + 100
+    [part2] = r.partitions({"offset": committed}, {"offset": nxt})
+    ids = [row[0] for row in r.read(part2)]
+    assert ids == list(range(committed, nxt))  # no replay, no gap
