@@ -159,54 +159,98 @@ def neardup_pairs_gemm(
     left-deep expression arithmetic and filtered at the true threshold,
     making the output bit-identical to the brute-force/oracle result.
 
-    At 100 TB the build side exceeds one broadcast: shard B into
-    column blocks and union the candidate stages (same code per block);
-    stage 2 is unchanged.
+    When the build side exceeds ``max_build_rows`` (the 100 TB case),
+    it is SHARDED: rows are split into ``ceil(n / max_build_rows)``
+    hash blocks (``pmod(xxhash64(id), n_blocks)``), each block is
+    gathered, broadcast, and swept against the FULL probe side exactly
+    like the single-broadcast path, and the per-block candidate sets
+    are unioned. Every (a, b) pair lands in exactly one block — the
+    one holding b — so the union is a partition of the unsharded
+    candidate set: byte-identical output, bounded driver/executor
+    memory. Each block's candidates are eagerly materialized
+    (``localCheckpoint``) before the next block's matrix is broadcast,
+    so peak executor footprint is ONE block matrix regardless of
+    block count; on a real cluster swap localCheckpoint for a
+    checkpoint dir or a parquet spill of the (tiny) candidate ids.
     """
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
-    # the build side is gathered to the driver like a broadcast-join
-    # build side — bound it (same contract as sinks.workbook) instead
-    # of risking a driver OOM on an unexpectedly large input
-    side = df.select(id_col, vec_col).limit(max_build_rows + 1).toPandas()
-    if len(side) > max_build_rows:
-        raise ValueError(
-            f"neardup_pairs_gemm build side exceeds max_build_rows="
-            f"{max_build_rows}; shard the build side into column blocks "
-            "and union the candidate stages (see docstring), or raise "
-            "max_build_rows if the driver has the memory"
-        )
-    if len(side) == 0:
-        return (
-            df.select(
-                F.col(id_col).alias("id_a"),
-                F.col(id_col).alias("id_b"),
-                F.lit(0.0).alias("cosine"),
-            ).limit(0)
-        )
-    ids_b = side[id_col].to_numpy()
-    B = np.stack(side[vec_col].to_numpy()).astype(np.float64)
-    nb = np.sqrt((B * B).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids_b, B, nb))
     cut = threshold - eps
 
-    def gen(batches):
-        import pandas as pd
+    def _block_candidates(side) -> DataFrame | None:
+        """Stage-1 sweep of the full probe side vs one gathered build
+        block (pandas DataFrame) — the single-broadcast kernel."""
+        if len(side) == 0:
+            return None
+        ids_b = side[id_col].to_numpy()
+        B = np.stack(side[vec_col].to_numpy()).astype(np.float64)
+        nb = np.sqrt((B * B).sum(axis=1))
+        bc = spark.sparkContext.broadcast((ids_b, B, nb))
 
-        ids_b_, B_, nb_ = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            ida = pdf[id_col].to_numpy()
-            na = np.sqrt((A * A).sum(axis=1))
-            S = (A @ B_.T) / np.outer(na, nb_)
-            ia, ib = np.nonzero((S >= cut) & (ida[:, None] < ids_b_[None, :]))
-            yield pd.DataFrame({"id_a": ida[ia], "id_b": ids_b_[ib]})
+        def gen(batches):
+            import pandas as pd
 
-    cand = df.select(id_col, vec_col).mapInPandas(
-        gen, f"id_a {id_type}, id_b {id_type}"
-    )
+            ids_b_, B_, nb_ = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                ida = pdf[id_col].to_numpy()
+                na = np.sqrt((A * A).sum(axis=1))
+                S = (A @ B_.T) / np.outer(na, nb_)
+                ia, ib = np.nonzero(
+                    (S >= cut) & (ida[:, None] < ids_b_[None, :])
+                )
+                yield pd.DataFrame({"id_a": ida[ia], "id_b": ids_b_[ib]})
+
+        return df.select(id_col, vec_col).mapInPandas(
+            gen, f"id_a {id_type}, id_b {id_type}"
+        )
+
+    # the build side is gathered to the driver like a broadcast-join
+    # build side — bounded per gather at max_build_rows; beyond that
+    # the build side is hash-sharded and swept block by block
+    probe = df.select(id_col, vec_col)
+    side = probe.limit(max_build_rows + 1).toPandas()
+    if len(side) <= max_build_rows:
+        cand = _block_candidates(side)
+        if cand is None:
+            return (
+                df.select(
+                    F.col(id_col).alias("id_a"),
+                    F.col(id_col).alias("id_b"),
+                    F.lit(0.0).alias("cosine"),
+                ).limit(0)
+            )
+    else:
+        n = probe.count()
+        n_blocks = -(-n // max_build_rows)
+        block_of = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+        parts = []
+        for b in range(n_blocks):
+            side_b = probe.filter(block_of == b).toPandas()
+            if len(side_b) > max_build_rows * 2:
+                # hash blocks are near-uniform; 2× headroom means this
+                # only trips on pathological id distributions
+                raise ValueError(
+                    f"gemm shard {b} holds {len(side_b)} rows "
+                    f"(> 2×max_build_rows={max_build_rows}); ids hash "
+                    "non-uniformly — raise max_build_rows or re-key"
+                )
+            cand_b = _block_candidates(side_b)
+            if cand_b is not None:
+                # materialize NOW so this block's broadcast matrix can
+                # leave executor memory before the next one arrives
+                parts.append(cand_b.localCheckpoint(eager=True))
+        if not parts:
+            return (
+                df.select(
+                    F.col(id_col).alias("id_a"),
+                    F.col(id_col).alias("id_b"),
+                    F.lit(0.0).alias("cosine"),
+                ).limit(0)
+            )
+        cand = reduce(DataFrame.unionAll, parts)
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
