@@ -302,3 +302,77 @@ def distributed_ntile(
     for i in range(n - 1, 0, -1):
         expr = F.when(F.col(col) <= F.lit(bounds[i - 1]), i).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+def budget_head_hierarchical(
+    df: DataFrame,
+    *,
+    key_col: str,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    cum_col: str = "cum_weight",
+    shard_hex_chars: int = 1,
+) -> DataFrame:
+    """EXACT per-key budget prefix without a single-task-per-key
+    window — the hierarchical recipe ``token_budget_head`` documents
+    for few-language corpora at 100 TB.
+
+    Semantics are identical to the flat operator: order each key's
+    rows by ``(md5(id), id)`` and keep the prefix whose running
+    ``weight_col`` sum stays ≤ ``budget``, emitting the running sum as
+    ``cum_col``. The plan, however, never funnels a whole key through
+    one task:
+
+    1. shard = the first ``shard_hex_chars`` hex chars of the SAME
+       md5 that orders the rows — so shard index order IS a prefix
+       partition of the global hash order (lowercase fixed-width hex
+       sorts lexicographically = numerically), and per-(key, shard)
+       work composes exactly.
+    2. per-(key, shard) weight totals: one tiny aggregate
+       (|keys| × 16^chars rows).
+    3. running shard offsets per key over that TINY frame (a window,
+       but over the aggregate, not the corpus).
+    4. shards whose offset already meets the budget are pruned —
+       their rows cannot be admitted, so at 100 TB only boundary
+       shards and fully-admitted shards are even scanned past this
+       point.
+    5. within-shard running sum over ``Window.partitionBy(key,
+       shard)`` + broadcast offset join → global running sum,
+       bit-identical to the flat window's.
+
+    Parallelism is |keys| × 16^``shard_hex_chars`` tasks instead of
+    |keys|; raise ``shard_hex_chars`` to 2 (256 shards/key) when a
+    single shard's rows exceed one task's comfortable sort size.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    d = df.withColumn("__h", h).withColumn(
+        "__shard",
+        F.conv(F.substring("__h", 1, shard_hex_chars), 16, 10).cast("int"),
+    )
+    shard_totals = d.groupBy(key_col, "__shard").agg(
+        F.sum(weight_col).alias("__shard_w")
+    )
+    w_off = (
+        Window.partitionBy(key_col)
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = shard_totals.select(
+        key_col,
+        "__shard",
+        (F.sum("__shard_w").over(w_off) - F.col("__shard_w")).alias("__off"),
+    ).filter(F.col("__off") < budget)  # step-4 prune: offset ≥ budget ⇒ no row admitted
+    w_in = (
+        Window.partitionBy(key_col, "__shard")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(offsets), on=[key_col, "__shard"])
+        .withColumn(
+            cum_col, F.sum(weight_col).over(w_in) + F.col("__off")
+        )
+        .filter(F.col(cum_col) <= budget)
+        .drop("__h", "__shard", "__off")
+    )

@@ -1153,10 +1153,11 @@ def token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus append order. Plan: one shuffle on lang + per-key sorted
     running sum. Scale note, honestly: few-language corpora make the
     per-key window the bottleneck at 100 TB — each language funnels
-    through one task's sort. The scale recipe is hierarchical: run
-    this cutoff per (lang, shard) with shard budgets, or use the
-    rate-based sampler and trim only the boundary shard exactly;
-    both reuse this operator unchanged on bounded partitions."""
+    through one task's sort. The scale path is
+    ``token_budget_head_sharded`` below (``operators/windows.py::
+    budget_head_hierarchical``): identical output under the SAME
+    oracle, windowed per (lang, md5-prefix shard) with pruned shard
+    offsets instead of one sort per language."""
     cat = Catalog(spark, sf_dir)
     d = cat.documents.select(
         "doc_id", "lang", F.size(T.tokens("text")).alias("n_tokens")
@@ -1175,6 +1176,58 @@ def token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").cast("int").alias("n_tokens"),
             F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
         )
+    )
+
+
+@query(
+    "token_budget_head_sharded",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM d
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= {TOKEN_BUDGET_PER_LANG}
+    """,
+    tags=("sampling", "mixing", "budget", "llm"),
+)
+def token_budget_head_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hierarchical token-budget operator ``token_budget_head``'s
+    docstring promises for 100 TB few-language corpora — SAME oracle,
+    SAME admitted set and running sums, but the plan windows over
+    (lang, md5-prefix shard) instead of funnelling each language
+    through one task's sort. Shard offsets come from a tiny
+    per-(lang, shard) aggregate; shards past the budget are pruned
+    before the corpus-scale window (``operators/windows.py::
+    budget_head_hierarchical``)."""
+    from ..operators.windows import budget_head_hierarchical
+
+    cat = Catalog(spark, sf_dir)
+    d = cat.documents.select(
+        "doc_id", "lang", F.size(T.tokens("text")).alias("n_tokens")
+    )
+    return budget_head_hierarchical(
+        d,
+        key_col="lang",
+        id_col="doc_id",
+        weight_col="n_tokens",
+        budget=TOKEN_BUDGET_PER_LANG,
+        cum_col="cum_tokens",
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
     )
 
 

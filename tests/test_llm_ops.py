@@ -313,3 +313,31 @@ def test_gemm_shard_rejects_pathological_skew(spark):
             threshold=0.45,
             max_build_rows=100,
         ).collect()
+
+
+def test_token_budget_sharded_equals_flat_and_avoids_lang_window(spark):
+    """The hierarchical budget head (r5 judge item) must admit the
+    exact same documents with the exact same running sums as the flat
+    per-lang window, while its corpus-scale window partitions by
+    (lang, shard) — never by lang alone."""
+    from lmo_data_catalog_spark.registry import REGISTRY
+
+    flat = REGISTRY["token_budget_head"].builder(spark, SF_SMOKE)
+    shard = REGISTRY["token_budget_head_sharded"].builder(spark, SF_SMOKE)
+    rows_f = {tuple(r) for r in flat.collect()}
+    rows_s = {tuple(r) for r in shard.collect()}
+    assert len(rows_s) > 0
+    assert rows_s == rows_f
+
+    plan = shard._sc._jvm.PythonSQLUtils.explainString(
+        shard._jdf.queryExecution(), "formatted"
+    )
+    # every corpus-scale window (the one ordering rows by the md5 hash
+    # + doc_id) must carry the shard in its partition spec; the only
+    # lang-alone window is over the tiny per-(lang, shard) aggregate,
+    # which orders by __shard and touches |langs|*16 rows.
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "doc_id" in spec:
+            assert "__shard" in spec, f"corpus window lacks shard: {spec}"
