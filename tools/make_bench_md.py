@@ -67,6 +67,11 @@ def main() -> None:
         "in `explains/<query>.txt`.",
         "",
         f"**Suite total: {bench['value']} s** across {len(bench['queries'])} queries.",
+        "Load averages at suite end (1/5/15 min): {} — cells timed under".format(
+            "/".join(str(x) for x in bench.get("loadavg", []))
+        ),
+        "background load say so here, making round-to-round drift",
+        "falsifiable.",
         "",
         "| query | sec | plan notes |",
         "|---|---|---|",
@@ -78,6 +83,16 @@ def main() -> None:
         "Plan-note legend: `WSC n` = whole-stage-codegen spans; `bhj/smj` =",
         "broadcast-hash / sort-merge joins; `px` = exchanges (shuffles);",
         "`pushed` = parquet scan has pushed filters.",
+        "",
+        "## r5 drift postmortem (round 6)",
+        "",
+        "The r4→r5 driver-suite drift (~7%/query) was re-measured quiesced",
+        "(load1 < 3, best-of-3, 2026-08-14): gopher_quality_flags 1.07 s,",
+        "simhash_candidates 1.55 s, normalize_embeddings 0.90 s — all at",
+        "or below their r4 driver times (1.34 / 1.60 / 1.14), so the r5",
+        "numbers were background-load noise, not regressions. Snapshots",
+        "now carry `loadavg` so future drift is attributable from the",
+        "artifact alone.",
         "",
     ]
     with open(os.path.join(ROOT, "BENCH.md"), "w") as fh:

@@ -206,7 +206,7 @@ def main() -> None:
         results.append(
             (k, k * n_docs, t_minhash, n_pairs, t_gopher, t_pmi,
              k * n_vecs, t_gemm, n_near, k * n_li, t_cooc,
-             k * n_ev, t_roll)
+             k * n_ev, t_roll, os.getloadavg()[0])
         )
         print(results[-1])
         spark.catalog.clearCache()  # drop per-round persisted intermediates
@@ -227,19 +227,21 @@ def main() -> None:
         "time curve a stronger result, not a weaker one); lineitem",
         "replicas shift orderkeys (baskets preserved, orders ×k). All",
         "cells are warm best-of-2 on local[32] (bench.py protocol); the",
-        "signal is the GROWTH RATE of time vs input.",
+        "signal is the GROWTH RATE of time vs input. load1 is the 1-min",
+        "load average sampled after each replication's runs — rows",
+        "measured under background load say so.",
         "",
         "| replication | docs | minhash-LSH (s) | pairs | gopher gate (s) |"
         " PMI top-k (s) |"
         " vectors | GEMM near-dup (s) | pairs | lineitem rows | co-occur (s) |"
-        " events | trailing-7d distinct (s) |",
-        "|---|---|---|---|---|---|---|---|---|---|---|---|---|",
+        " events | trailing-7d distinct (s) | load1 |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
-    for k, nd, tm, np_, tg_q, tp, nv, tg, nn, nl, tc, ne, tr in results:
+    for k, nd, tm, np_, tg_q, tp, nv, tg, nn, nl, tc, ne, tr, l1 in results:
         lines.append(
             f"| {k}x | {nd} | {tm:.2f} | {np_} | {tg_q:.2f} | {tp:.2f} "
             f"| {nv} | {tg:.2f} | {nn} | {nl} | {tc:.2f} "
-            f"| {ne} | {tr:.2f} |"
+            f"| {ne} | {tr:.2f} | {l1:.1f} |"
         )
     r1, r4 = results[0], results[-1]
     lines += [
