@@ -354,17 +354,30 @@ def connected_components(
     *,
     id_col: str = "id",
     max_iter: int = 20,
+    shortcut: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """Connected components by min-label propagation: every node ends
-    with ``cluster_id`` = the smallest id reachable through ``pairs``
-    edges. The clustering step that turns near-dup PAIRS into dedup
-    GROUPS (keep one per cluster).
+    """Connected components by min-label propagation + pointer
+    jumping: every node ends with ``cluster_id`` = the smallest id
+    reachable through ``pairs`` edges. The clustering step that turns
+    near-dup PAIRS into dedup GROUPS (keep one per cluster).
 
     Iterative Spark: each round joins labels across edges and takes
-    the min; ``localCheckpoint`` truncates lineage so plans don't grow
-    unboundedly. Rounds needed = graph diameter ≤ O(log n) for
-    near-dup clusters (which are tiny, usually cliques — 1-2 rounds).
-    Early-exits when a round changes nothing.
+    the min, then (``shortcut=True``) replaces each label by its
+    label's label — pointer jumping over the label map (a self-join on
+    the SMALL label table, not the edge set), which collapses
+    chain-shaped components in O(log diameter) rounds instead of
+    O(diameter): labels only ever decrease (min with own id included),
+    so label(label(v)) ≤ label(v) and the combined step keeps the same
+    fixpoint, the per-component min id. Near-dup clusters are usually
+    cliques (1-2 rounds either way); the shortcut is what makes
+    adversarial long-path graphs — transitive chains of pairwise
+    near-dups — converge (measured in SCALING.md §connected
+    components). ``localCheckpoint`` truncates lineage so plans don't
+    grow per round. Early-exits when a round changes nothing; RAISES
+    if ``max_iter`` rounds pass without convergence rather than
+    returning silently-wrong labels. ``stats``, if given, receives
+    ``{"rounds": n}``.
     """
     # localCheckpoint (eager) both materializes the pair computation
     # ONCE and truncates the logical plan — without truncation every
@@ -398,7 +411,10 @@ def connected_components(
         .localCheckpoint()
     )
     label_type = labels.schema["label"].dataType
+    converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # one aggregation carries BOTH the propagated min-label and the
         # node's previous label (tagged rows), so the convergence count
         # is the same job that materializes the round — no separate
@@ -423,12 +439,38 @@ def connected_components(
                 F.min("label").alias("label"),
                 F.first("own", ignorenulls=True).alias("own"),
             )
-            .localCheckpoint()
         )
+        if shortcut:
+            # pointer jumping: label(v) <- label(label(v)). Labels are
+            # always ids of edge-having nodes (min over a set seeded
+            # with own ids), so the self-join on the label map always
+            # matches; coalesce guards the degenerate case anyway.
+            lmap = rolled.select(
+                F.col("id").alias("__lid"), F.col("label").alias("__llabel")
+            )
+            rolled = (
+                rolled.join(lmap, rolled.label == lmap.__lid, "left")
+                .select(
+                    "id",
+                    F.coalesce("__llabel", "label").alias("label"),
+                    "own",
+                )
+            )
+        rolled = rolled.localCheckpoint()
         changed = rolled.filter(F.col("label") != F.col("own")).count()
         labels = rolled.select("id", "label")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "— the graph has components of diameter beyond the round "
+            "budget; raise max_iter (rounds grow ~log2(diameter) with "
+            "shortcut=True)"
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
     all_nodes = nodes.select(F.col(id_col).alias("id")).distinct()
     # the label map is |nodes-with-edges| ≤ 2·|pairs| rows — broadcast
     # it for modest graphs so the full corpus never shuffles here.
