@@ -5,9 +5,11 @@ styling on trailing CAGR columns (``write_last3_percent``,
 01_source_me.R:34-49) plus one zipped long CSV (:309-317). Here:
 
 - S6/S7/S8 — :func:`write_workbook`: ``dict[sheet, DataFrame]`` →
-  one .xlsx via openpyxl when available, else a directory of CSVs +
-  ``manifest.json`` carrying sheet order and styling metadata (the
-  presentation contract survives even without Excel libs).
+  one REAL .xlsx always: openpyxl when available, else the stdlib
+  zip+XML writer (:func:`_write_xlsx_stdlib`, the mirror of
+  ``sources/ingest.py::read_xlsx_rows``) — sheet order, inline
+  strings, and the reference's ``0.0%`` percent format on trailing
+  CAGR columns, with zero dependencies.
 - S9/S10 — :func:`write_csv_gzip`: distributed gzip CSV; Spark's
   native codec replaces the reference's zip-then-delete dance.
 - Engine-native path — :func:`write_partitioned_parquet`.
@@ -20,7 +22,6 @@ distributed (one file per partition, no driver collect).
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame
@@ -55,54 +56,173 @@ def write_workbook(
 ) -> str:
     """S6/S7/S8 — write an ordered ``dict[sheet_name, DataFrame]``.
 
-    With openpyxl: a real .xlsx, ``0.0%`` number format on the last 3
-    columns of every sheet when ``pct_last3`` (matching
-    write_last3_percent; values stay raw fractions, SM:52). Without:
-    ``<path>.d/`` of per-sheet CSVs + manifest.json recording sheet
-    order and the styling the Excel writer would have applied.
-    Returns the path actually written.
+    Always a REAL .xlsx: ``0.0%`` number format on the last 3 columns
+    of every sheet when ``pct_last3`` (matching write_last3_percent;
+    values stay raw fractions, SM:52). openpyxl when installed, the
+    stdlib zip+XML writer otherwise — same artifact contract either
+    way. Returns the path written.
     """
-    sheets = {name: _bounded_pandas(df, max_rows) for name, df in workbook.items()}
+    sheets = {
+        _sheet_name(name): _bounded_pandas(df, max_rows)
+        for name, df in workbook.items()
+    }
     try:
         import openpyxl  # noqa: F401
         import pandas as pd
     except ImportError:
-        return _write_csv_fallback(sheets, path, pct_last3=pct_last3, as_table=as_table)
-
-    # Excel sheet names: ≤31 chars, no []:*?/\
-    def sheet_name(n: str) -> str:
-        return "".join("_" if c in "[]:*?/\\" else c for c in n)[:31]
+        return _write_xlsx_stdlib(sheets, path, pct_last3=pct_last3)
 
     with pd.ExcelWriter(path, engine="openpyxl") as xl:
         for name, pdf in sheets.items():
-            pdf.to_excel(xl, sheet_name=sheet_name(name), index=False)
+            pdf.to_excel(xl, sheet_name=name, index=False)
             if pct_last3 and len(pdf.columns) >= 3:
-                ws = xl.sheets[sheet_name(name)]
+                ws = xl.sheets[name]
                 for col_idx in range(len(pdf.columns) - 2, len(pdf.columns) + 1):
                     for row_idx in range(2, len(pdf) + 2):
                         ws.cell(row=row_idx, column=col_idx).number_format = "0.0%"
     return path
 
 
-def _write_csv_fallback(
-    sheets, path: str, *, pct_last3: bool, as_table: bool
-) -> str:
-    out_dir = path + ".d" if not path.endswith("/") else path
-    os.makedirs(out_dir, exist_ok=True)
-    manifest = {
-        "sheets": [],
-        "styling": {"pct_last3": pct_last3, "as_table": as_table},
-    }
-    for i, (name, pdf) in enumerate(sheets.items()):
-        fname = f"{i:02d}_{name.replace('/', '_')}.csv"
-        pdf.to_csv(os.path.join(out_dir, fname), index=False)
-        entry = {"sheet": name, "file": fname}
-        if pct_last3 and len(pdf.columns) >= 3:
-            entry["pct_cols"] = list(pdf.columns[-3:])
-        manifest["sheets"].append(entry)
-    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
-        json.dump(manifest, fh, indent=2)
-    return out_dir
+def _sheet_name(n: str) -> str:
+    """Excel sheet-name rules: ≤31 chars, no []:*?/\\ ."""
+    return "".join("_" if c in "[]:*?/\\" else c for c in n)[:31]
+
+
+_PCT_STYLE_ID = 1  # cellXfs index carrying the 0.0% format below
+
+
+def _write_xlsx_stdlib(sheets, path: str, *, pct_last3: bool) -> str:
+    """Dependency-free .xlsx writer — the mirror of the stdlib reader
+    ``sources/ingest.py::read_xlsx_rows``, emitting exactly the subset
+    it parses: sheet order via workbook.xml + rels, inline strings
+    (no sharedStrings part), raw ``<v>`` numbers, and a styles part
+    whose custom numFmt 164 is the reference's ``0.0%`` tag
+    (01_source_me.R:34-49) applied as ``s="1"`` on the data cells of
+    each sheet's last 3 columns. Produces standard OOXML any Excel /
+    LibreOffice / pandas stack opens."""
+    import math
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    def col_letter(i: int) -> str:  # 0 -> A, 26 -> AA
+        s = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            s = chr(65 + r) + s
+        return s
+
+    def cell_xml(r: int, c: int, v, style: int) -> str:
+        ref = f"{col_letter(c)}{r}"
+        s_attr = f' s="{style}"' if style else ""
+        if hasattr(v, "item"):  # numpy scalar from pandas itertuples
+            v = v.item()
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}"{s_attr} t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"{s_attr}><v>{v!r}</v></c>'
+        txt = escape(str(v))
+        return f'<c r="{ref}"{s_attr} t="inlineStr"><is><t>{txt}</t></is></c>'
+
+    ssml = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    odrel = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pkgrel = "http://schemas.openxmlformats.org/package/2006/relationships"
+
+    def sheet_xml(pdf) -> str:
+        cols = list(pdf.columns)
+        pct_from = len(cols) - 3 if pct_last3 and len(cols) >= 3 else len(cols)
+        rows = [
+            "<row r=\"1\">"
+            + "".join(cell_xml(1, c, str(name), 0) for c, name in enumerate(cols))
+            + "</row>"
+        ]
+        for j, rec in enumerate(pdf.itertuples(index=False), start=2):
+            rows.append(
+                f'<row r="{j}">'
+                + "".join(
+                    cell_xml(
+                        j, c, v, _PCT_STYLE_ID if c >= pct_from else 0
+                    )
+                    for c, v in enumerate(rec)
+                )
+                + "</row>"
+            )
+        return (
+            f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<worksheet xmlns="{ssml}"><sheetData>'
+            + "".join(rows)
+            + "</sheetData></worksheet>"
+        )
+
+    names = list(sheets)
+    wb_sheets = "".join(
+        f'<sheet name="{escape(n)}" sheetId="{i+1}" r:id="rId{i+1}"/>'
+        for i, n in enumerate(names)
+    )
+    workbook_xml = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{ssml}" xmlns:r="{odrel}">'
+        f"<sheets>{wb_sheets}</sheets></workbook>"
+    )
+    wb_rels = "".join(
+        f'<Relationship Id="rId{i+1}" Type="{odrel}/worksheet" '
+        f'Target="worksheets/sheet{i+1}.xml"/>'
+        for i in range(len(names))
+    ) + (
+        f'<Relationship Id="rId{len(names)+1}" Type="{odrel}/styles" '
+        f'Target="styles.xml"/>'
+    )
+    styles_xml = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<styleSheet xmlns="{ssml}">'
+        '<numFmts count="1"><numFmt numFmtId="164" formatCode="0.0%"/></numFmts>'
+        '<fonts count="1"><font/></fonts>'
+        '<fills count="1"><fill><patternFill patternType="none"/></fill></fills>'
+        '<borders count="1"><border/></borders>'
+        '<cellStyleXfs count="1"><xf/></cellStyleXfs>'
+        '<cellXfs count="2">'
+        '<xf numFmtId="0" fontId="0" fillId="0" borderId="0"/>'
+        '<xf numFmtId="164" fontId="0" fillId="0" borderId="0" applyNumberFormat="1"/>'
+        "</cellXfs></styleSheet>"
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType='
+        '"application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        "<Override PartName=\"/xl/workbook.xml\" ContentType="
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        "<Override PartName=\"/xl/styles.xml\" ContentType="
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>'
+        + "".join(
+            f'<Override PartName="/xl/worksheets/sheet{i+1}.xml" ContentType='
+            '"application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            for i in range(len(names))
+        )
+        + "</Types>"
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{pkgrel}">'
+        f'<Relationship Id="rId1" Type="{odrel}/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook_xml)
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<Relationships xmlns="{pkgrel}">{wb_rels}</Relationships>',
+        )
+        z.writestr("xl/styles.xml", styles_xml)
+        for i, n in enumerate(names):
+            z.writestr(f"xl/worksheets/sheet{i+1}.xml", sheet_xml(sheets[n]))
+    return path
 
 
 def write_csv_gzip(df: DataFrame, path: str, *, single_file: bool = False) -> str:
