@@ -8,6 +8,13 @@ registry-shaped plans against BOTH layouts:
   cooccur  — the `cooccurrence_part_pairs` self-join pair generation
   factjoin — the orders ⨝ lineitem fact join (broadcast disabled,
              the `join_inner_broadcast` shape at fact-to-fact scale)
+  dedup    — `jaccard_on_pairs`' exact-verify stage over shingles
+             derived from documents bucketed by doc_id (r5 judge
+             item): the id-keyed joins/aggregates (sizes groupBy,
+             pairs⨝sh_a, n_a/n_b attaches) read the bucketed
+             distribution straight through tokenize+explode — only
+             the inherently (id_b, shingle)-keyed join still
+             shuffles, which no doc_id layout can elide
 
 For each it archives the formatted physical plan to
 explains/bucketed_<name>_{flat,bucketed}.txt, prints the Exchange
@@ -65,9 +72,12 @@ def main() -> None:
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
     basket = li.select("l_orderkey", "l_partkey").distinct()
 
-    for t in ("bk_basket", "bk_orders", "bk_lineitem"):
+    for t in ("bk_basket", "bk_orders", "bk_lineitem", "bk_documents"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     # The one-time write-side shuffle the layout amortizes:
     basket.write.bucketBy(16, "l_orderkey").sortBy("l_orderkey").mode(
@@ -79,6 +89,9 @@ def main() -> None:
     li.select("l_orderkey", "l_partkey", "l_quantity").write.bucketBy(
         16, "l_orderkey"
     ).sortBy("l_orderkey").mode("overwrite").saveAsTable("bk_lineitem")
+    docs.write.bucketBy(16, "doc_id").sortBy("doc_id").mode(
+        "overwrite"
+    ).saveAsTable("bk_documents")
 
     def cooccur(src):
         a = src.toDF("l_orderkey", "part_a")
@@ -100,7 +113,33 @@ def main() -> None:
             )
         )
 
+    # shared candidate pairs: the dedup case isolates the exact-verify
+    # stage, so both layouts verify the SAME (id_a, id_b) set
+    from lmo_data_catalog_spark.operators.dedup import (
+        hashed_shingles,
+        jaccard_on_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sh_flat = hashed_shingles(
+        docs, id_col="doc_id", text_col="text", n=3
+    ).toDF("id", "h")
+    sig = minhash_signatures(sh_flat, id_col="id", n_hashes=64, seed=42)
+    cand = lsh_candidate_pairs(sig, id_col="id", bands=16, rows=4).localCheckpoint()
+
+    def dedup_verify(src):
+        sh = hashed_shingles(
+            src, id_col="doc_id", text_col="text", n=3
+        ).toDF("id", "h")
+        return jaccard_on_pairs(cand, sh, id_col="id")
+
     cases = {
+        "dedup": (
+            dedup_verify(docs),
+            dedup_verify(spark.table("bk_documents")),
+            ["id_a", "id_b", "jaccard"],
+        ),
         "cooccur": (
             cooccur(basket),
             cooccur(spark.table("bk_basket")),
@@ -132,7 +171,7 @@ def main() -> None:
             f"rows={len(a)}"
         )
 
-    for t in ("bk_basket", "bk_orders", "bk_lineitem"):
+    for t in ("bk_basket", "bk_orders", "bk_lineitem", "bk_documents"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     spark.stop()
 

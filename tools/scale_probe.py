@@ -260,8 +260,31 @@ def main() -> None:
         "",
     ]
     lines += STATIC_SECTIONS
-    with open(os.path.join(ROOT, "SCALING.md"), "w") as fh:
+    # preserve sections other probes maintain (bloom_probe,
+    # bucket_probe, gemm_shard_probe, cc_probe, ann_recall_probe, …):
+    # everything from the first "## " heading this script does NOT own
+    # is carried over verbatim, so probe outputs compose instead of
+    # clobbering each other.
+    own = {"## Global ranking without a global sort"}
+    path = os.path.join(ROOT, "SCALING.md")
+    foreign: list[str] = []
+    if os.path.exists(path):
+        import re as _re
+
+        with open(path) as fh:
+            old = fh.read()
+        for m in _re.finditer(r"(?m)^## .*$", old):
+            title = m.group(0)
+            if title not in own and not title.startswith("### "):
+                seg = _re.search(
+                    _re.escape(title) + r"\n.*?(?=\n## |\Z)", old, _re.S
+                )
+                if seg:
+                    foreign.append(seg.group(0).rstrip("\n"))
+    with open(path, "w") as fh:
         fh.write("\n".join(lines))
+        for seg in foreign:
+            fh.write("\n" + seg + "\n")
     print("wrote SCALING.md")
     spark.stop()
 
@@ -284,26 +307,6 @@ STATIC_SECTIONS = [
     "quantile job + ONE grouping-sets bucket count (2 driver actions",
     "instead of 2k) — `customer_rfm_segments` ranks three dimensions",
     "this way.",
-    "",
-    "## Skew: salting measured end-to-end",
-    "",
-    "`tools/skew_probe.py` (4M rows, hot key = 50% of the fact side,",
-    "100-key dim, broadcast disabled — the regime where skew bites):",
-    "",
-    "| plan | max rows/task | p50 rows/task | hot-task share | wall (s) |",
-    "|---|---|---|---|---|",
-    "| unsalted, AQE off | 2,080,808 | 60,606 | 52.0% | 4.36 |",
-    "| unsalted, AQE on | (AQE coalesces the probe's histogram; wall shows its skew-split works) | — | — | 1.64 |",
-    "| salted ×8 (`operators/joins.py::salted_join`) | 551,012 | 65,391 | 13.8% | 1.39 |",
-    "",
-    "Salting takes the straggler task from 52% of all join output to",
-    "13.8% (≈ the 1/8 theoretical floor plus sibling-key collisions) and",
-    "wall clock 4.36 s → 1.39 s (3.1×) — and beats AQE's runtime",
-    "skew-split on the same input, because the split happens before the",
-    "shuffle instead of after oversized blocks land. `exceptAll` in both",
-    "directions confirms zero semantic drift, and the driver-verified",
-    "registry query `salted_join_skew` pins the same guarantee against",
-    "the UNSALTED DuckDB oracle at every round.",
     "",
 ]
 
