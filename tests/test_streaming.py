@@ -131,7 +131,9 @@ def _protobuf_available() -> bool:
 
 @pytest.mark.skipif(
     not _protobuf_available(),
-    reason="transformWithStateInPandas state server requires protobuf",
+    reason="transformWithStateInPandas state server requires protobuf "
+    "(permanent in this container — see README §Run; correctness cover "
+    "is the batch mirror test_stateful_running_totals_final_state)",
 )
 def test_stateful_tws_running_totals_final_state(batch_events, stream_src):
     """transformWithStateInPandas (Spark 4 typed-state API) agrees
