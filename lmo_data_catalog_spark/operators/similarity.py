@@ -136,6 +136,65 @@ def lsh_bucketed_topk(
     )
 
 
+def query_bits(query: list[float], planes: list[list[float]]) -> int:
+    """The query vector's sign-bit bucket id (driver-side)."""
+    bits = 0
+    for i, p in enumerate(planes):
+        dot = sum(float(a) * float(b) for a, b in zip(query, p))
+        bits |= (1 if dot >= 0 else 0) << i
+    return bits
+
+
+def multiprobe_buckets(qbits: int, n_planes: int, radius: int = 1) -> list[int]:
+    """The query bucket plus every bucket within Hamming distance
+    ``radius`` of it — multi-probe LSH's probing sequence. A sign bit
+    flips when the query lies close to that hyperplane, so Hamming-1
+    neighbors are exactly the buckets a near-boundary true neighbor
+    falls into; SCALING.md §ANN measures the recall this buys."""
+    out = [qbits]
+    if radius >= 1:
+        out += [qbits ^ (1 << i) for i in range(n_planes)]
+    if radius >= 2:
+        out += [
+            qbits ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    return out
+
+
+def lsh_multiprobe_topk(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    planes: list[list[float]],
+    k: int,
+    radius: int = 1,
+) -> DataFrame:
+    """ANN with multi-probe LSH: score the query's bucket AND its
+    Hamming-``radius`` neighbors. Single-probe recall decays fast with
+    plane count (measured: 0.34 → 0.19 over 4 → 8 planes at 32k
+    vectors, SCALING.md §ANN); probing the 1-flip neighbors recovers
+    most of it for (n_planes+1)× the scanned buckets — still an
+    exponentially small corpus fraction. At scale the bucket id is the
+    partition key, so each probe is a pruned scan."""
+    qb = query_bits(query, planes)
+    probes = multiprobe_buckets(qb, len(planes), radius)
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(vec_col, planes).alias("bucket"),
+    )
+    return (
+        bucketed.filter(F.col("bucket").isin(probes))
+        .select(F.col(id_col), cosine_literal(vec_col, query).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def neardup_pairs_gemm(
     df: DataFrame,
     *,

@@ -406,6 +406,54 @@ def ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_lsh_multiprobe",
+    oracle=f"""
+    SELECT e.vec_id, ROUND({_sql_cosine('e.embedding', 'q.qv')}, 6) AS cosine
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+    WHERE {_sql_bucket('e.embedding')} IN (
+        {_sql_bucket('q.qv')},
+        xor({_sql_bucket('q.qv')}, 1),
+        xor({_sql_bucket('q.qv')}, 2),
+        xor({_sql_bucket('q.qv')}, 4),
+        xor({_sql_bucket('q.qv')}, 8)
+    )
+    ORDER BY {_sql_cosine('e.embedding', 'q.qv')} DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane-LSH top-10: scan the query's sign-bit
+    bucket AND its four Hamming-1 neighbors (one flipped plane each) —
+    the recall fix SCALING.md §ANN measures for single-probe LSH
+    (near-boundary neighbors land exactly one bit away). 5 of 16
+    buckets ≈ 31% of the corpus here; with more planes the probed
+    fraction shrinks exponentially while Hamming-1 probing keeps the
+    recall (``operators/similarity.py::lsh_multiprobe_topk``)."""
+    cat = Catalog(spark, sf_dir)
+    e = cat.embeddings
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        lsh_bucket("embedding", _PLANES).alias("qb"),
+    )
+    b = lsh_bucket("embedding", _PLANES)
+    probe = b == F.col("qb")
+    for i in range(len(_PLANES)):
+        probe = probe | (b == F.col("qb").bitwiseXOR(F.lit(1 << i)))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(probe)
+        .select(
+            "vec_id", cosine_pair("embedding", "qv", DIM).alias("__cos")
+        )
+        .orderBy(F.col("__cos").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.round("__cos", 6).alias("cosine"))
+    )
+
+
 # ======================================================================
 # Text analysis
 # ======================================================================

@@ -375,3 +375,42 @@ def test_connected_components_adversarial_chain(spark):
         connected_components(
             pairs, nodes, id_col="id", max_iter=10, shortcut=False
         ).collect()
+
+
+def test_lsh_multiprobe_superset_and_recall(spark):
+    """Multi-probe LSH: Hamming-1 probing scans the query bucket plus
+    n_planes neighbors, so its candidate set is a superset of
+    single-probe's and its top-k can only be closer to the exact
+    top-k (same ordering, more candidates)."""
+    from lmo_data_catalog_spark.operators.similarity import (
+        brute_force_topk,
+        hyperplanes,
+        lsh_bucketed_topk,
+        lsh_multiprobe_topk,
+        multiprobe_buckets,
+        query_bits,
+    )
+
+    assert sorted(multiprobe_buckets(0b0101, 4, radius=1)) == sorted(
+        [0b0101, 0b0100, 0b0111, 0b0001, 0b1101]
+    )
+
+    emb = Catalog(spark, SF_SMOKE).embeddings
+    query = emb.filter(F.col("vec_id") == 0).first().embedding
+    planes = hyperplanes(6, 64)
+    kw = dict(id_col="vec_id", vec_col="embedding", query=query, k=10)
+    exact = [r.vec_id for r in brute_force_topk(emb, **kw).collect()]
+    single = [
+        r.vec_id
+        for r in lsh_bucketed_topk(emb, planes=planes, **kw).collect()
+    ]
+    multi = [
+        r.vec_id
+        for r in lsh_multiprobe_topk(emb, planes=planes, **kw).collect()
+    ]
+    hits_s = len(set(single) & set(exact))
+    hits_m = len(set(multi) & set(exact))
+    assert hits_m >= hits_s
+    # the query vector itself always survives probing (it is in its
+    # own bucket and is its own nearest neighbor)
+    assert 0 in multi and multi[0] == 0

@@ -32,6 +32,7 @@ ALLOWED_ARROW = {
 ALLOWED_BNLJ = {
     "ann_cosine_topk",  # broadcast query vector
     "ann_ivf_topk",  # broadcast centroid table
+    "ann_lsh_multiprobe",  # broadcast 1-row query (vector + bucket)
     "bigram_pmi_topk",  # 1-row corpus totals (n_uni, n_bg)
     "corpus_mixture_sample",  # 1-row grand token total
     "customer_rfm_segments",  # 1-row corpus-max-date + total attach
