@@ -195,6 +195,90 @@ def lsh_multiprobe_topk(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    iters: int = 3,
+) -> list[list[float]]:
+    """Spherical k-means centroids for IVF cell assignment.
+
+    Honest measurement note (SCALING.md §ANN): on the probe's
+    replica-clustered corpus Lloyd refinement REDUCES nprobe=1 recall
+    versus corpus-vector seeding — k-means balances cell mass, which
+    drags boundaries through dense regions, and boundary losses are
+    exactly what single-probe search pays. Centroid training must be
+    validated against a held-out recall set per corpus; keep
+    nprobe ≥ 2 as the insurance either way.
+
+    Deterministic Lloyd iterations, Spark-shaped:
+
+    - init: the k lowest-id vectors (reproducible; pass a
+      hash-sampled frame for a uniform seed at corpus scale).
+    - assign: cosine-vs-centroid as LITERAL dot products (centroids
+      are k×dim driver-side constants — KB, the same bounded-driver
+      contract as quantile cut points), argmax via
+      array_position(array_max) so ties go to the lowest cell id.
+    - update: per-cell elementwise means as ``dim`` column aggregates
+      (``sum(embedding[i])``) in ONE hash aggregate — map-side
+      partials, k rows out, NO posexplode row blowup; empty cells
+      keep their centroid. Centroids are L2-normalized each round so
+      the dot ranking stays a cosine ranking.
+
+    Each iteration is one corpus scan + one k-row collect; total cost
+    iters × (scan + tiny shuffle). Float caveat, honestly: partial-sum
+    order makes centroid bits partition-dependent at ~1e-12 relative —
+    assignments are robust to that, but this op is registered WITHOUT
+    a value-exact oracle (the documented weaker rows-only check for
+    iterative algorithms); the pinned guarantees are assignment-level
+    determinism and measured recall, not centroid bit-equality.
+    """
+    import math
+
+    seed = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .toPandas()[vec_col]
+        .tolist()
+    )
+    cents = [[float(x) for x in v] for v in seed]
+
+    def normalize(v: list[float]) -> list[float]:
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    cents = [normalize(c) for c in cents]
+    for _ in range(iters):
+        scores = F.array(*[dot_literal(vec_col, c) for c in cents])
+        cell = F.expr(
+            "array_position(__scores, array_max(__scores))"
+        ).cast("int")
+        agg = (
+            df.select(F.col(vec_col), scores.alias("__scores"))
+            .select(vec_col, cell.alias("__cell"))
+            .groupBy("__cell")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(F.col(vec_col)[i]).alias(f"__s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new = list(cents)
+        for row in agg:
+            c = row["__cell"] - 1  # array_position is 1-based
+            n = row["__n"]
+            new[c] = normalize([row[f"__s{i}"] / n for i in range(dim)])
+        cents = new
+    return cents
+
+
 def neardup_pairs_gemm(
     df: DataFrame,
     *,

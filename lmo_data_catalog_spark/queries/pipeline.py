@@ -101,6 +101,55 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_ivf_kmeans_topk",
+    oracle=None,  # iterative algorithm — documented rows-only check
+    tags=("similarity", "ann", "ivf", "kmeans", "no_oracle"),
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with k-means-refined cells: 3 deterministic Lloyd
+    iterations replace ``ann_ivf_topk``'s first-8-ids seeding
+    (``operators/similarity.py::kmeans_centroids``), then search only
+    the query's cell. Fully deterministic (fixed init, lowest-id
+    tie-breaks), so the rows-only differential is stable across
+    runs/partitionings; there is no value-exact SQL oracle because the
+    centroid update is iterative — the documented weaker check for
+    iterative algorithms. SCALING.md §ANN measures both seedings and
+    finds k-means LOSES at nprobe=1 on the replica-clustered probe
+    corpus (balanced cells drag boundaries through dense regions) —
+    the operator exists because centroid training is corpus-dependent
+    and must be measurable, not because it always wins."""
+    from ..operators.similarity import (
+        dot_literal,
+        kmeans_centroids,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    e = cat.embeddings
+    cents = kmeans_centroids(
+        e, id_col="vec_id", vec_col="embedding", dim=DIM, k=8, iters=3
+    )
+    scores = F.array(*[dot_literal("embedding", c) for c in cents])
+    cell = F.expr("array_position(__scores, array_max(__scores))").cast(
+        "int"
+    )
+    assigned = e.select(
+        "vec_id", "embedding", scores.alias("__scores")
+    ).select("vec_id", "embedding", cell.alias("__cell"))
+    qrow = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("__cell").alias("qcell")
+    )
+    return (
+        assigned.join(F.broadcast(qrow), assigned.__cell == qrow.qcell)
+        .select(
+            "vec_id", cosine_pair("embedding", "qv", DIM).alias("__cos")
+        )
+        .orderBy(F.col("__cos").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.round("__cos", 6).alias("cosine"))
+    )
+
+
 # ----------------------------------------------------------------------- TF-IDF
 
 

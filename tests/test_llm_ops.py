@@ -414,3 +414,32 @@ def test_lsh_multiprobe_superset_and_recall(spark):
     # the query vector itself always survives probing (it is in its
     # own bucket and is its own nearest neighbor)
     assert 0 in multi and multi[0] == 0
+
+
+def test_kmeans_centroids_deterministic_and_normalized(spark):
+    """kmeans_centroids: fixed init + lowest-cell tie-breaks make the
+    result reproducible run-to-run and under a different input
+    partitioning (assignment-level determinism — the guarantee the
+    no-oracle registry entry ann_ivf_kmeans_topk rests on); every
+    centroid is unit-norm (spherical k-means)."""
+    import math
+
+    from lmo_data_catalog_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+    from lmo_data_catalog_spark.registry import REGISTRY
+
+    emb = Catalog(spark, SF_SMOKE).embeddings
+    kw = dict(id_col="vec_id", vec_col="embedding", dim=64, k=8, iters=3)
+    c1 = kmeans_centroids(emb, **kw)
+    c2 = kmeans_centroids(emb.repartition(7, "vec_id"), **kw)
+    assert len(c1) == 8
+    for v in c1:
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+    for a, b in zip(c1, c2):
+        for x, y in zip(a, b):
+            assert abs(x - y) < 1e-9  # partial-sum order only (~1e-12)
+    rows1 = REGISTRY["ann_ivf_kmeans_topk"].builder(spark, SF_SMOKE).collect()
+    rows2 = REGISTRY["ann_ivf_kmeans_topk"].builder(spark, SF_SMOKE).collect()
+    assert rows1 == rows2 and len(rows1) == 10
+    assert rows1[0].vec_id == 0  # the query is its own nearest neighbor
