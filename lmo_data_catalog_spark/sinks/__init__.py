@@ -7,7 +7,9 @@ for presentation.
 
 from .workbook import (  # noqa: F401
     write_catalog,
+    write_clustered_parquet,
     write_csv_gzip,
     write_partitioned_parquet,
     write_workbook,
+    write_zordered_parquet,
 )

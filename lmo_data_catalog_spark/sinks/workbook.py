@@ -301,3 +301,56 @@ def write_catalog(
                 as_table=meta.get("as_table", False),
             )
     return written
+
+
+def zorder_key(cols: list[str], *, bits: int = 16) -> "F.Column":
+    """Morton (Z-order) key: rank each column to a bounded integer
+    domain upstream, then interleave the low ``bits`` bits of each —
+    points close in EVERY dimension get close keys, so range-sorting
+    by the key clusters multi-dimensionally.
+
+    Pure expression bit-twiddling (shifts + masks inside whole-stage
+    codegen); callers pass ranked/bucketized ints (e.g. ``ntile`` or
+    epoch-days) — interleaving raw skewed values would waste key bits
+    on empty space.
+    """
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("long"), b).bitwiseAND(
+                F.lit(1)
+            )
+            key = key.bitwiseOR(
+                F.shiftleft(bit, b * len(cols) + i)
+            )
+    return key
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    zorder_by: list[str],
+    bits: int = 16,
+    target_partitions: int | None = None,
+) -> str:
+    """Z-order-clustered parquet: range-partition + sort on the Morton
+    key of ``zorder_by`` so parquet row-group min/max stats are
+    selective on EVERY listed column, not just the first — the
+    two-hot-key layout (`write_clustered_parquet` covers the
+    single-key case). A point/range predicate on either dimension
+    skips most files at scan time; the write-side shuffle is paid
+    once, like bucketing.
+
+    Columns must already be non-negative ints in a ≲``bits``-bit
+    domain (rank/bucketize first — that step is corpus-specific)."""
+    n = target_partitions or df.sparkSession.sparkContext.defaultParallelism
+    keyed = df.withColumn("__zkey", zorder_key(zorder_by, bits=bits))
+    (
+        keyed.repartitionByRange(n, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path

@@ -169,3 +169,68 @@ def test_clustered_parquet_rowgroup_stats_are_selective(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "k" in plan.split("PushedFilters", 1)[1]
     assert back.count() == 1
+
+
+def test_zordered_parquet_skips_on_both_dimensions(spark, tmp_path):
+    """Z-order layout: after Morton-key range clustering on (x, y),
+    parquet row-group min/max stats are selective on BOTH columns — a
+    point predicate on either dimension overlaps only a minority of
+    files. A 1-D sort (write_clustered_parquet) would leave the second
+    column's stats covering the full domain in every file."""
+    import pyarrow.parquet as pq
+
+    from lmo_data_catalog_spark.sinks.workbook import (
+        write_clustered_parquet,
+        write_zordered_parquet,
+    )
+
+    grid = spark.range(0, 256 * 256).select(
+        (F.col("id") % 256).alias("x"),
+        (F.col("id") / 256).cast("long").alias("y"),
+    )
+    out = write_zordered_parquet(
+        grid, str(tmp_path / "zorder"), zorder_by=["x", "y"], bits=8,
+        target_partitions=16,
+    )
+    lin = write_clustered_parquet(
+        grid, str(tmp_path / "linear"), cluster_by=["x"],
+        target_partitions=16,
+    )
+
+    def overlap_fraction(path, col, value):
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(
+                md.row_group(rg).column(idx).statistics.min
+                for rg in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(rg).column(idx).statistics.max
+                for rg in range(md.num_row_groups)
+            )
+            if lo <= value <= hi:
+                hit += 1
+        return hit / len(files), len(files)
+
+    fx, n = overlap_fraction(out, "x", 77)
+    fy, _ = overlap_fraction(out, "y", 77)
+    assert n > 4
+    # Morton clustering: each dimension's range per file covers ~a
+    # sqrt-sized tile, so a point overlaps only a minority of files
+    assert fx <= 0.5 and fy <= 0.5, (fx, fy)
+    # the 1-D layout is selective on x but blind on y
+    fx_lin, _ = overlap_fraction(lin, "x", 77)
+    fy_lin, _ = overlap_fraction(lin, "y", 77)
+    assert fx_lin <= 0.25
+    assert fy_lin == 1.0
+    # and the data survives the round trip
+    back = spark.read.parquet(out)
+    assert back.count() == 256 * 256
+    assert back.filter((F.col("x") == 77) & (F.col("y") == 77)).count() == 1
