@@ -34,6 +34,12 @@ SENSITIVE = [
     "bigram_pmi_topk",
     "corpus_mixture_sample",
     "token_budget_head",
+    # r6: the sharded budget reproduces the flat window's running sums
+    # from per-shard offsets — partial-order bugs would surface here
+    "token_budget_head_sharded",
+    # r6: multiprobe top-k ties broken on (cosine, vec_id) must not
+    # move when candidate arrival order changes
+    "ann_lsh_multiprobe",
 ]
 
 
