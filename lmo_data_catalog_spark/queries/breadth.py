@@ -966,3 +966,42 @@ def supplier_diversity_by_parttype(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
     )
+
+
+@query(
+    "zscore_price_outliers",
+    oracle="""
+    WITH s AS (
+        SELECT p_partkey, p_type, p_retailprice,
+               AVG(p_retailprice) OVER (PARTITION BY p_type) AS m,
+               STDDEV_SAMP(p_retailprice) OVER (PARTITION BY p_type) AS sd
+        FROM part
+    )
+    SELECT p_partkey, p_type,
+           ROUND((p_retailprice - m) / sd, 6) AS z
+    FROM s
+    WHERE sd != 0 AND ABS((p_retailprice - m) / sd) >= 1.5
+    """,
+    tags=("window", "outliers", "profiling"),
+)
+def zscore_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group outlier flags: parts whose retail price sits >= 1.5
+    sample standard deviations from their type's mean — the data-
+    quality screen shape (SURVEY A5 "attach group statistics", via
+    ``operators/windows.py::zscore_window``, previously pinned only by
+    the window-vs-applyInPandas cross-check; this puts it under the
+    DuckDB differential too). One window over the group key; at 100 TB
+    the same screen is a two-pass aggregate+broadcast if the group
+    count is small enough to broadcast."""
+    from ..operators.windows import zscore_window
+
+    cat = Catalog(spark, sf_dir)
+    scored = zscore_window(
+        cat.part.select("p_partkey", "p_type", "p_retailprice"),
+        keys=["p_type"],
+        value_col="p_retailprice",
+    )
+    return (
+        scored.filter(F.abs(F.col("z")) >= 1.5)
+        .select("p_partkey", "p_type", F.round("z", 6).alias("z"))
+    )
