@@ -443,3 +443,34 @@ def test_kmeans_centroids_deterministic_and_normalized(spark):
     rows2 = REGISTRY["ann_ivf_kmeans_topk"].builder(spark, SF_SMOKE).collect()
     assert rows1 == rows2 and len(rows1) == 10
     assert rows1[0].vec_id == 0  # the query is its own nearest neighbor
+
+
+def test_budget_head_hierarchical_256_shards(spark):
+    """The shard_hex_chars=2 path (256 shards/key, for when a single
+    shard outgrows one task's sort) must reproduce the flat window's
+    admitted set and running sums exactly, like the default 16."""
+    from lmo_data_catalog_spark.operators.windows import (
+        budget_head_hierarchical,
+    )
+    from lmo_data_catalog_spark.operators import text as T
+    from lmo_data_catalog_spark.queries.pipeline import (
+        TOKEN_BUDGET_PER_LANG,
+    )
+    from lmo_data_catalog_spark.registry import REGISTRY
+
+    d = Catalog(spark, SF_SMOKE).documents.select(
+        "doc_id", "lang", F.size(T.tokens("text")).alias("n_tokens")
+    )
+    got = budget_head_hierarchical(
+        d,
+        key_col="lang",
+        id_col="doc_id",
+        weight_col="n_tokens",
+        budget=TOKEN_BUDGET_PER_LANG,
+        cum_col="cum_tokens",
+        shard_hex_chars=2,
+    ).select("doc_id", "lang", "n_tokens", "cum_tokens")
+    flat = REGISTRY["token_budget_head"].builder(spark, SF_SMOKE)
+    a = {(r.doc_id, r.lang, r.n_tokens, r.cum_tokens) for r in got.collect()}
+    b = {tuple(r) for r in flat.collect()}
+    assert a == b and len(a) > 0
