@@ -1005,3 +1005,51 @@ def zscore_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.filter(F.abs(F.col("z")) >= 1.5)
         .select("p_partkey", "p_type", F.round("z", 6).alias("z"))
     )
+
+
+@query(
+    "click_purchase_attribution_batch",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(c.ts) AS click_us,
+           epoch_us(p.ts) AS purchase_us,
+           ROUND(p.value, 4) AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    tags=("streaming", "interval-join", "attribution"),
+)
+def click_purchase_attribution_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The stream-stream interval join (``streaming/ops.py::
+    click_purchase_attribution``) under the value-exact differential:
+    attribute each purchase to same-user clicks in the preceding
+    hour. The SAME operator runs on streams (both sides watermarked,
+    state evicted past ts + horizon — pinned against this batch shape
+    by ``test_streaming.py``); on batch frames the watermarks are
+    no-ops and it plans as a user-keyed join + time-range filter.
+    Event times emitted as integer µs (timestamps never cross the
+    engine boundary raw)."""
+    from ..streaming.ops import click_purchase_attribution
+
+    ev = Catalog(spark, sf_dir).events.withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = click_purchase_attribution(clicks, purchases, horizon="1 hour")
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        epoch_us("click_ts").alias("click_us"),
+        epoch_us("purchase_ts").alias("purchase_us"),
+        "purchase_value",
+    )
