@@ -1,0 +1,163 @@
+"""Token-budget cliff probe: flat per-language window vs the
+hierarchical per-(lang, md5-shard) operator (round 6).
+
+The flat ``token_budget_head`` shape funnels each language through ONE
+task's sort — the classic few-key window cliff. The hierarchical
+operator (``operators/windows.py::budget_head_hierarchical``) windows
+per (lang, shard) with pruned shard offsets. This probe builds a
+synthetic corpus with only 3 languages (the regime where the cliff
+bites: tasks = languages) at growing sizes, runs both plans, asserts
+identical admitted sets + running sums, and records wall times and the
+max rows any single window task sorts.
+
+Writes the ``## Token budget: the few-key window cliff`` section of
+SCALING.md (replace-or-append). Usage: python tools/budget_probe.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from lmo_data_catalog_spark.operators.windows import (  # noqa: E402
+    budget_head_hierarchical,
+)
+from lmo_data_catalog_spark.session import get_spark  # noqa: E402
+
+LANGS = ["en", "zh", "es"]
+
+
+def corpus(spark, n: int):
+    """n synthetic docs over 3 languages with deterministic
+    pseudo-random token counts (10..509)."""
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in LANGS]),
+        (F.col("id") % len(LANGS) + 1).cast("int"),
+    )
+    n_tokens = (F.abs(F.xxhash64(F.col("id"))) % 500 + 10).cast("long")
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        lang.alias("lang"),
+        n_tokens.alias("n_tokens"),
+    )
+
+
+def flat_head(d, budget: int):
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )
+
+
+def sharded_head(d, budget: int, chars: int):
+    return budget_head_hierarchical(
+        d,
+        key_col="lang",
+        id_col="doc_id",
+        weight_col="n_tokens",
+        budget=budget,
+        cum_col="cum_tokens",
+        shard_hex_chars=chars,
+    ).select("doc_id", "lang", "n_tokens", "cum_tokens")
+
+
+def timed(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    spark = get_spark("budget_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = []
+    for n in (500_000, 2_000_000, 8_000_000):
+        d = corpus(spark, n).localCheckpoint()  # materialize the input
+        # budget = ~25% of one language's expected tokens
+        budget = int(0.25 * 260 * n / len(LANGS))
+        chars = 1 if n <= 2_000_000 else 2
+        f = flat_head(d, budget)
+        s = sharded_head(d, budget, chars)
+        t_flat = min(timed(f) for _ in range(2))
+        t_shard = min(timed(s) for _ in range(2))
+        same = (
+            f.exceptAll(s).limit(1).count() == 0
+            and s.exceptAll(f).limit(1).count() == 0
+        )
+        assert same, f"plans disagree at n={n}"
+        admitted = s.count()
+        load1 = os.getloadavg()[0]
+        rows.append(
+            (n, budget, len(LANGS) * 16**chars, t_flat, t_shard,
+             admitted, load1)
+        )
+        print(rows[-1])
+
+    lines = [
+        "## Token budget: the few-key window cliff",
+        "",
+        "3-language synthetic corpus (the regime where a per-lang window",
+        "has exactly 3 tasks regardless of cluster size); budget = 25% of",
+        "per-lang tokens. 'tasks' is the hierarchical plan's window",
+        "parallelism (langs × 16^shard_hex_chars; the probe switches to",
+        "2 hex chars at 8M rows). Both plans asserted identical via",
+        "two-sided exceptAll at every size. Warm best-of-2, local[32].",
+        "",
+        "| docs | window tasks (flat → sharded) | flat (s) | sharded (s) |"
+        " admitted | load1 |",
+        "|---|---|---|---|---|---|",
+    ]
+    for n, budget, tasks, tf, ts, adm, l1 in rows:
+        lines.append(
+            f"| {n:,} | 3 → {tasks} | {tf:.2f} | {ts:.2f} "
+            f"| {adm:,} | {l1:.1f} |"
+        )
+    r = rows[-1]
+    lines += [
+        "",
+        f"At {r[0]:,} docs the flat plan sorts ~{r[0]//3:,} rows per",
+        "language in ONE task each; the hierarchical plan spreads the",
+        "same sort over the shard grid and prunes shards past the",
+        "budget before the corpus-scale window. Below ~1M rows the",
+        "sharded plan's extra aggregate + broadcast is pure overhead",
+        "(flat wins the smallest row) — the crossover sits where a",
+        "language outgrows one task's comfortable sort, and the gap",
+        "then widens with corpus size: on a 1000-executor cluster the",
+        "flat plan would still use 3 cores; the sharded plan uses them",
+        "all.",
+        "",
+    ]
+    section = "\n".join(lines)
+    path = os.path.join(ROOT, "SCALING.md")
+    with open(path) as fh:
+        text = fh.read()
+    pat = re.compile(
+        r"## Token budget: the few-key window cliff\n.*?(?=\n## |\Z)", re.S
+    )
+    if pat.search(text):
+        text = pat.sub(section, text)
+    else:
+        text = text.rstrip("\n") + "\n\n" + section
+    with open(path, "w") as fh:
+        fh.write(text)
+    print("wrote SCALING.md §Token budget")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
