@@ -212,3 +212,50 @@ def test_salted_join_equals_plain_with_nulls(spark, left_rows, right_keys, how):
     got = sorted((tuple(r) for r in salted.select(*plain.columns).collect()), key=repr)
     want = sorted((tuple(r) for r in plain.collect()), key=repr)
     assert got == want
+
+
+@given(
+    qbits=st.integers(min_value=0, max_value=2**16 - 1),
+    n_planes=st.integers(min_value=1, max_value=16),
+    radius=st.integers(min_value=0, max_value=2),
+)
+@settings(max_examples=200, deadline=None)
+def test_multiprobe_buckets_properties(qbits, n_planes, radius):
+    """Multi-probe LSH probing sequence: contains the query bucket
+    first, every probe is within Hamming `radius` of it, all probes
+    are distinct, and the count is exactly sum_{r<=radius} C(n, r)."""
+    from lmo_data_catalog_spark.operators.similarity import (
+        multiprobe_buckets,
+    )
+
+    qbits %= 2**n_planes
+    probes = multiprobe_buckets(qbits, n_planes, radius)
+    assert probes[0] == qbits
+    assert len(probes) == len(set(probes))
+    expect = 1
+    if radius >= 1:
+        expect += n_planes
+    if radius >= 2:
+        expect += n_planes * (n_planes - 1) // 2
+    assert len(probes) == expect
+    for p in probes:
+        assert bin(p ^ qbits).count("1") <= radius
+
+
+@given(ids=st.lists(st.integers(min_value=0, max_value=2**40), min_size=2,
+                    max_size=200, unique=True))
+@settings(max_examples=100, deadline=None)
+def test_md5_shard_prefix_partitions_the_hash_order(ids):
+    """The invariant budget_head_hierarchical rests on: sharding by
+    the first hex chars of md5 partitions the (md5, id) order into
+    contiguous runs — shard index order IS a prefix partition of the
+    global order, so per-shard running sums + offsets compose into the
+    exact global running sum."""
+    import hashlib
+
+    keyed = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest(), i) for i in ids
+    )
+    for chars in (1, 2):
+        shards = [int(h[:chars], 16) for h, _ in keyed]
+        assert shards == sorted(shards), "shard order breaks hash order"
