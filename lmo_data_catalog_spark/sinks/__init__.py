@@ -6,6 +6,7 @@ for presentation.
 """
 
 from .workbook import (  # noqa: F401
+    compact_parquet,
     write_catalog,
     write_clustered_parquet,
     write_csv_gzip,

@@ -354,3 +354,44 @@ def write_zordered_parquet(
         .parquet(path)
     )
     return path
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files. The operational
+    counterpart of the write-side layout sinks — streaming sinks and
+    fine-grained partition overwrites accrete KB-sized files whose
+    per-file open/footer cost eventually dominates scans; compaction
+    restores the ~128 MB file regime `spark.sql.files.maxPartitionBytes`
+    assumes.
+
+    Sizing comes from the source's file-index metadata (driver-side
+    listing, no data read); the rewrite is one distributed
+    repartition. Returns the output file count. Compact into a NEW
+    directory and swap atomically at the catalog layer — in-place
+    rewrites lose the readers-vs-writers race at scale.
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src)
+    df.repartition(n).write.mode("overwrite").parquet(dst)
+    out_p = jvm.org.apache.hadoop.fs.Path(dst)
+    it = fs.listFiles(out_p, False)
+    count = 0
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            count += 1
+    return count

@@ -234,3 +234,32 @@ def test_zordered_parquet_skips_on_both_dimensions(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 256 * 256
     assert back.filter((F.col("x") == 77) & (F.col("y") == 77)).count() == 1
+
+
+def test_compact_parquet_restores_file_regime(spark, tmp_path):
+    """64 tiny files -> a handful sized by the byte target; rows and
+    values survive exactly."""
+    from lmo_data_catalog_spark.sinks.workbook import compact_parquet
+
+    src = str(tmp_path / "shattered")
+    df = spark.range(0, 200_000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    df.repartition(64).write.parquet(src)
+    n_src = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_src == 64
+    src_bytes = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    dst = str(tmp_path / "compacted")
+    n_out = compact_parquet(
+        spark, src, dst, target_file_bytes=src_bytes // 3
+    )
+    files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert n_out == len(files)
+    assert n_out <= 4  # ceil(total/target) = 3-4 vs 64 before
+    back = spark.read.parquet(dst)
+    assert back.count() == 200_000
+    assert back.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
