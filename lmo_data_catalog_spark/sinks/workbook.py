@@ -310,9 +310,12 @@ def zorder_key(cols: list[str], *, bits: int = 16) -> "F.Column":
     by the key clusters multi-dimensionally.
 
     Pure expression bit-twiddling (shifts + masks inside whole-stage
-    codegen); callers pass ranked/bucketized ints (e.g. ``ntile`` or
-    epoch-days) — interleaving raw skewed values would waste key bits
-    on empty space.
+    codegen); callers pass ranked/bucketized ints — interleaving raw
+    skewed values would waste key bits on empty space. The repo's own
+    rank step is ``operators/windows.py::distributed_ntile`` (quantile
+    buckets with no global sort); epoch-days or other naturally-dense
+    ints work as-is. End-to-end recipe pinned by
+    ``test_zorder_on_skewed_data_via_ntile``.
     """
     key = F.lit(0).cast("long")
     for b in range(bits):
@@ -343,7 +346,8 @@ def write_zordered_parquet(
     once, like bucketing.
 
     Columns must already be non-negative ints in a ≲``bits``-bit
-    domain (rank/bucketize first — that step is corpus-specific)."""
+    domain — rank skewed columns through ``distributed_ntile``
+    first (see ``zorder_key``)."""
     n = target_partitions or df.sparkSession.sparkContext.defaultParallelism
     keyed = df.withColumn("__zkey", zorder_key(zorder_by, bits=bits))
     (
