@@ -351,12 +351,15 @@ def neardup_pairs_gemm(
         )
 
     # the build side is gathered to the driver like a broadcast-join
-    # build side — bounded per gather at max_build_rows; beyond that
-    # the build side is hash-sharded and swept block by block
+    # build side. Branch on count() FIRST (a cheap columnar count, no
+    # vector transfer) so the oversized case never pays a discarded
+    # max_build_rows-vector gather; EVERY toPandas below is bounded
+    # with limit(bound + 1) so even pathological id skew cannot pull
+    # an unbounded block onto the driver before the guard fires.
     probe = df.select(id_col, vec_col)
-    side = probe.limit(max_build_rows + 1).toPandas()
-    if len(side) <= max_build_rows:
-        cand = _block_candidates(side)
+    n = probe.count()
+    if n <= max_build_rows:
+        cand = _block_candidates(probe.toPandas())
         if cand is None:
             return (
                 df.select(
@@ -366,18 +369,20 @@ def neardup_pairs_gemm(
                 ).limit(0)
             )
     else:
-        n = probe.count()
         n_blocks = -(-n // max_build_rows)
         block_of = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+        block_cap = max_build_rows * 2  # near-uniform hash + headroom
         parts = []
         for b in range(n_blocks):
-            side_b = probe.filter(block_of == b).toPandas()
-            if len(side_b) > max_build_rows * 2:
-                # hash blocks are near-uniform; 2× headroom means this
+            side_b = (
+                probe.filter(block_of == b).limit(block_cap + 1).toPandas()
+            )
+            if len(side_b) > block_cap:
+                # the limit above already bounded the gather; this
                 # only trips on pathological id distributions
                 raise ValueError(
-                    f"gemm shard {b} holds {len(side_b)} rows "
-                    f"(> 2×max_build_rows={max_build_rows}); ids hash "
+                    f"gemm shard {b} holds > {block_cap} rows "
+                    f"(2×max_build_rows={max_build_rows}); ids hash "
                     "non-uniformly — raise max_build_rows or re-key"
                 )
             cand_b = _block_candidates(side_b)

@@ -344,6 +344,12 @@ def budget_head_hierarchical(
     Parallelism is |keys| × 16^``shard_hex_chars`` tasks instead of
     |keys|; raise ``shard_hex_chars`` to 2 (256 shards/key) when a
     single shard's rows exceed one task's comfortable sort size.
+
+    Precondition: ``weight_col`` values must be non-negative (NULLs
+    are skipped by SUM, acting as zero). The shard prune is only
+    sound when running sums never decrease — with negative weights a
+    pruned shard's interior rows could dip back under the budget, and
+    no offset-based prune can be correct.
     """
     h = F.md5(F.col(id_col).cast("string"))
     d = df.withColumn("__h", h).withColumn(
@@ -362,7 +368,14 @@ def budget_head_hierarchical(
         key_col,
         "__shard",
         (F.sum("__shard_w").over(w_off) - F.col("__shard_w")).alias("__off"),
-    ).filter(F.col("__off") < budget)  # step-4 prune: offset ≥ budget ⇒ no row admitted
+    ).filter(
+        # step-4 prune. <= not <: a shard whose offset EQUALS the
+        # budget can still admit zero-weight head rows (cum == budget,
+        # which the flat window admits); only offset > budget makes
+        # every row of the shard inadmissible — given the
+        # non-negative-weight precondition in the docstring.
+        F.col("__off") <= budget
+    )
     w_in = (
         Window.partitionBy(key_col, "__shard")
         .orderBy("__h", id_col)

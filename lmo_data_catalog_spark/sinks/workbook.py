@@ -62,10 +62,19 @@ def write_workbook(
     stdlib zip+XML writer otherwise — same artifact contract either
     way. Returns the path written.
     """
-    sheets = {
-        _sheet_name(name): _bounded_pandas(df, max_rows)
-        for name, df in workbook.items()
-    }
+    sheets = {}
+    for name, df in workbook.items():
+        clean = _sheet_name(name)
+        if clean in sheets:
+            # two long names truncating to the same 31 chars would
+            # silently drop a sheet — disambiguate deterministically
+            # (Excel's own behavior for duplicate titles)
+            for i in range(1, len(workbook) + 1):
+                suffixed = f"{clean[: 31 - len(str(i)) - 1]}~{i}"
+                if suffixed not in sheets:
+                    clean = suffixed
+                    break
+        sheets[clean] = _bounded_pandas(df, max_rows)
     try:
         import openpyxl  # noqa: F401
         import pandas as pd
@@ -117,7 +126,8 @@ def _write_xlsx_stdlib(sheets, path: str, *, pct_last3: bool) -> str:
         s_attr = f' s="{style}"' if style else ""
         if hasattr(v, "item"):  # numpy scalar from pandas itertuples
             v = v.item()
-        if v is None or (isinstance(v, float) and math.isnan(v)):
+        if v is None or (isinstance(v, float) and not math.isfinite(v)):
+            # NaN/±inf have no valid OOXML number form — blank cell
             return ""
         if isinstance(v, bool):
             return f'<c r="{ref}"{s_attr} t="b"><v>{int(v)}</v></c>'
@@ -158,7 +168,10 @@ def _write_xlsx_stdlib(sheets, path: str, *, pct_last3: bool) -> str:
 
     names = list(sheets)
     wb_sheets = "".join(
-        f'<sheet name="{escape(n)}" sheetId="{i+1}" r:id="rId{i+1}"/>'
+        # escape() alone leaves '"' intact — inside a name="..."
+        # attribute that is malformed XML; pass the quot entity map
+        f'<sheet name="{escape(n, {chr(34): "&quot;"})}" '
+        f'sheetId="{i+1}" r:id="rId{i+1}"/>'
         for i, n in enumerate(names)
     )
     workbook_xml = (
@@ -317,6 +330,15 @@ def zorder_key(cols: list[str], *, bits: int = 16) -> "F.Column":
     ints work as-is. End-to-end recipe pinned by
     ``test_zorder_on_skewed_data_via_ntile``.
     """
+    if bits * len(cols) > 63:
+        # bit 63 is the long's sign bit (negative keys sort first,
+        # breaking the clustering invariant) and Java shifts wrap mod
+        # 64 (distinct coordinates would silently share key bits)
+        raise ValueError(
+            f"zorder_key needs bits*len(cols) <= 63, got "
+            f"{bits}*{len(cols)}={bits * len(cols)}; lower bits "
+            "(rank through distributed_ntile first)"
+        )
     key = F.lit(0).cast("long")
     for b in range(bits):
         for i, c in enumerate(cols):

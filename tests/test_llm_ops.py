@@ -474,3 +474,55 @@ def test_budget_head_hierarchical_256_shards(spark):
     a = {(r.doc_id, r.lang, r.n_tokens, r.cum_tokens) for r in got.collect()}
     b = {tuple(r) for r in flat.collect()}
     assert a == b and len(a) > 0
+
+
+def test_budget_head_zero_weight_at_exact_shard_boundary(spark):
+    """Boundary soundness of the shard prune: when a shard's offset
+    EQUALS the budget, its zero-weight head rows have cum == budget —
+    the flat window admits them, so the prune must keep that shard
+    (<=, not <). Constructed so the budget lands exactly on a shard
+    boundary and the next shard opens with a weight-0 row."""
+    import hashlib
+
+    from lmo_data_catalog_spark.operators.windows import (
+        budget_head_hierarchical,
+    )
+    from pyspark.sql import Window
+
+    ids = list(range(200))
+    keyed = sorted((hashlib.md5(str(i).encode()).hexdigest(), i) for i in ids)
+    shard_of = {i: int(h[0], 16) for h, i in keyed}
+    shards_in_order = sorted({shard_of[i] for i in ids})
+    s = shards_in_order[1]  # second shard in global hash order
+    below = [i for i in ids if shard_of[i] < s]
+    budget = len(below)  # weight 1 each => offset of shard s == budget
+    first_of_s = next(i for h, i in keyed if shard_of[i] == s)
+    rows = [
+        (i, "k", 0 if i == first_of_s else 1) for i in ids
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+
+    flat_w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flat = {
+        (r.doc_id, r.cum)
+        for r in d.withColumn("cum", F.sum("w").over(flat_w))
+        .filter(F.col("cum") <= budget)
+        .collect()
+    }
+    sharded = {
+        (r.doc_id, r.cum)
+        for r in budget_head_hierarchical(
+            d,
+            key_col="lang",
+            id_col="doc_id",
+            weight_col="w",
+            budget=budget,
+            cum_col="cum",
+        ).collect()
+    }
+    assert (first_of_s, budget) in flat  # the boundary row exists
+    assert sharded == flat

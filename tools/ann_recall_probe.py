@@ -27,7 +27,6 @@ Writes the ``## ANN recall vs exact top-k`` section of SCALING.md
 from __future__ import annotations
 
 import os
-import re
 import sys
 
 import numpy as np
@@ -48,37 +47,11 @@ from lmo_data_catalog_spark.operators.similarity import (  # noqa: E402
 )
 from lmo_data_catalog_spark.session import get_spark  # noqa: E402
 
+from _shared import replace_section, replicate_noisy  # noqa: E402
+
 K = 10
 N_QUERIES = 20
 DIM = 64
-
-
-def replicate_noisy(vecs, k: int, n_base: int):
-    parts = []
-    for i in range(k):
-        def _noisy(i):
-            def f(x, j):
-                return x + 0.12 * F.sin(
-                    F.col("vec_id") * 0.618 + F.lit(i * 2.4) + j * 0.71
-                )
-
-            return f
-
-        e = (
-            F.col("embedding")
-            if i == 0
-            else F.transform(F.col("embedding"), _noisy(i))
-        )
-        parts.append(
-            vecs.select(
-                (F.col("vec_id") + i * n_base).alias("vec_id"),
-                e.alias("embedding"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
 
 
 def exact_topk(ids, M, qids):
@@ -329,17 +302,7 @@ def main() -> None:
         "trusting it.",
         "",
     ]
-    section = "\n".join(lines)
-    path = os.path.join(ROOT, "SCALING.md")
-    with open(path) as fh:
-        text = fh.read()
-    pat = re.compile(r"## ANN recall vs exact top-k\n.*?(?=\n## |\Z)", re.S)
-    if pat.search(text):
-        text = pat.sub(section, text)
-    else:
-        text = text.rstrip("\n") + "\n\n" + section
-    with open(path, "w") as fh:
-        fh.write(text)
+    replace_section("ANN recall vs exact top-k", "\n".join(lines))
     print("wrote SCALING.md §ANN recall vs exact top-k")
     spark.stop()
 

@@ -17,7 +17,6 @@ SCALING.md (replace-or-append). Usage: python tools/budget_probe.py
 from __future__ import annotations
 
 import os
-import re
 import sys
 import time
 
@@ -31,6 +30,8 @@ from lmo_data_catalog_spark.operators.windows import (  # noqa: E402
     budget_head_hierarchical,
 )
 from lmo_data_catalog_spark.session import get_spark  # noqa: E402
+
+from _shared import replace_section  # noqa: E402
 
 LANGS = ["en", "zh", "es"]
 
@@ -142,19 +143,9 @@ def main() -> None:
         "all.",
         "",
     ]
-    section = "\n".join(lines)
-    path = os.path.join(ROOT, "SCALING.md")
-    with open(path) as fh:
-        text = fh.read()
-    pat = re.compile(
-        r"## Token budget: the few-key window cliff\n.*?(?=\n## |\Z)", re.S
+    replace_section(
+        "Token budget: the few-key window cliff", "\n".join(lines)
     )
-    if pat.search(text):
-        text = pat.sub(section, text)
-    else:
-        text = text.rstrip("\n") + "\n\n" + section
-    with open(path, "w") as fh:
-        fh.write(text)
     print("wrote SCALING.md §Token budget")
     spark.stop()
 

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import math
 import os
-import re
 import sys
 import time
 
@@ -37,6 +36,8 @@ from lmo_data_catalog_spark.operators.dedup import (  # noqa: E402
     connected_components,
 )
 from lmo_data_catalog_spark.session import get_spark  # noqa: E402
+
+from _shared import replace_section  # noqa: E402
 
 
 def chain(spark, n: int):
@@ -114,21 +115,9 @@ def main() -> None:
         "tiny), which is why wall clock grows with ROUNDS, not nodes.",
         "",
     ]
-    section = "\n".join(lines)
-
-    path = os.path.join(ROOT, "SCALING.md")
-    with open(path) as fh:
-        text = fh.read()
-    pat = re.compile(
-        r"## Connected components on adversarial chains\n.*?(?=\n## |\Z)",
-        re.S,
+    replace_section(
+        "Connected components on adversarial chains", "\n".join(lines)
     )
-    if pat.search(text):
-        text = pat.sub(section, text)
-    else:
-        text = text.rstrip("\n") + "\n\n" + section
-    with open(path, "w") as fh:
-        fh.write(text)
     print("wrote SCALING.md §Connected components on adversarial chains")
     spark.stop()
 

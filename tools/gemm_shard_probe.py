@@ -28,7 +28,6 @@ Usage: python tools/gemm_shard_probe.py [sf_dir]
 from __future__ import annotations
 
 import os
-import re
 import sys
 import time
 
@@ -45,39 +44,10 @@ from lmo_data_catalog_spark.operators.similarity import (  # noqa: E402
 )
 from lmo_data_catalog_spark.session import get_spark  # noqa: E402
 
+from _shared import replace_section, replicate_noisy  # noqa: E402
+
 THRESHOLD = 0.6
 BOUND = 16_384  # the simulated per-gather memory ceiling
-
-
-def replicate_noisy(vecs, k: int, n_base: int):
-    """k replicas with per-(vec_id, replica, element) sinusoidal noise
-    at ~1 stddev amplitude: deterministic, and decorrelates replicas
-    from their originals AND from each other, so near-dup pairs stay
-    sparse at any replication."""
-    parts = []
-    for i in range(k):
-        def _noisy(i):
-            def f(x, j):
-                return x + 0.12 * F.sin(
-                    F.col("vec_id") * 0.618 + F.lit(i * 2.4) + j * 0.71
-                )
-
-            return f
-
-        if i == 0:
-            e = F.col("embedding")
-        else:
-            e = F.transform(F.col("embedding"), _noisy(i))
-        parts.append(
-            vecs.select(
-                (F.col("vec_id") + i * n_base).alias("vec_id"),
-                e.alias("embedding"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
 
 
 def main() -> None:
@@ -180,20 +150,7 @@ def main() -> None:
         "`tests/test_llm_ops.py::test_gemm_sharded_equals_unsharded_and_bruteforce`).",
         "",
     ]
-    section = "\n".join(lines)
-
-    path = os.path.join(ROOT, "SCALING.md")
-    with open(path) as fh:
-        text = fh.read()
-    pat = re.compile(
-        r"## GEMM build-side sharding\n.*?(?=\n## |\Z)", re.S
-    )
-    if pat.search(text):
-        text = pat.sub(section, text)
-    else:
-        text = text.rstrip("\n") + "\n\n" + section
-    with open(path, "w") as fh:
-        fh.write(text)
+    replace_section("GEMM build-side sharding", "\n".join(lines))
     print("wrote SCALING.md §GEMM build-side sharding")
     spark.stop()
 

@@ -265,7 +265,9 @@ def main() -> None:
     # everything from the first "## " heading this script does NOT own
     # is carried over verbatim, so probe outputs compose instead of
     # clobbering each other.
-    own = {"## Global ranking without a global sort"}
+    own = {
+        line for line in STATIC_SECTIONS if line.startswith("## ")
+    }
     path = os.path.join(ROOT, "SCALING.md")
     foreign: list[str] = []
     if os.path.exists(path):
@@ -275,9 +277,11 @@ def main() -> None:
             old = fh.read()
         for m in _re.finditer(r"(?m)^## .*$", old):
             title = m.group(0)
-            if title not in own and not title.startswith("### "):
+            if title not in own:
                 seg = _re.search(
-                    _re.escape(title) + r"\n.*?(?=\n## |\Z)", old, _re.S
+                    r"(?m)^" + _re.escape(title) + r"\n.*?(?=\n## |\Z)",
+                    old,
+                    _re.S,
                 )
                 if seg:
                     foreign.append(seg.group(0).rstrip("\n"))
