@@ -325,3 +325,27 @@ def test_zorder_on_skewed_data_via_ntile(spark, tmp_path):
     assert overlap("b", 1_000) <= 0.5
     assert overlap("b", 300_000) <= 0.7
     assert spark.read.parquet(out).count() == 60_000
+
+
+def test_workbook_sheet_name_collision_and_xml_edges(spark, tmp_path):
+    """Two names truncating to the same 31 chars must BOTH survive
+    (deterministic ~N suffix, not silent loss); quotes in sheet names
+    and non-finite floats must still yield a parseable workbook."""
+    from lmo_data_catalog_spark.sources.ingest import read_xlsx_rows
+
+    long_a = "Employment by Industry and Occupation for BC"
+    long_b = "Employment by Industry and Occupation for Canada"
+    quoted = 'Q3 "final" [draft]'
+    wb = {
+        long_a: spark.createDataFrame([(1,)], "x long"),
+        long_b: spark.createDataFrame([(2,)], "x long"),
+        quoted: spark.createDataFrame(
+            [(float("inf"), 3.5)], "bad double, ok double"
+        ),
+    }
+    out = write_workbook(wb, str(tmp_path / "c.xlsx"))
+    assert [r[0] for r in read_xlsx_rows(out, sheet=0)[1:]] == ["1"]
+    assert [r[0] for r in read_xlsx_rows(out, sheet=1)[1:]] == ["2"]
+    rows = read_xlsx_rows(out, sheet=2)  # parse proves valid XML
+    assert rows[0] == ["bad", "ok"]
+    assert rows[1] == [None, "3.5"]  # inf -> blank cell
