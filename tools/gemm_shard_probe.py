@@ -36,8 +36,6 @@ sys.path.insert(0, ROOT)
 
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "10g")
 
-from pyspark.sql import functions as F  # noqa: E402
-
 from lmo_data_catalog_spark.catalog import Catalog  # noqa: E402
 from lmo_data_catalog_spark.operators.similarity import (  # noqa: E402
     neardup_pairs_gemm,
