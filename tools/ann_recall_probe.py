@@ -290,10 +290,12 @@ def main() -> None:
         "  structure, while k-means balances cell mass and drags",
         "  boundaries through the dense regions — textbook IVF training",
         "  optimizes quantization error, not boundary-avoidance, and",
-        "  boundary losses are exactly what nprobe=1 pays. On real",
-        "  (non-degenerate-cluster) corpora k-means usually wins; the",
-        "  probe shows the assumption must be MEASURED per corpus, and",
-        "  nprobe >= 2 is the insurance either way.",
+        "  boundary losses are exactly what nprobe=1 pays. Whether",
+        "  trained centroids win depends on corpus geometry (plausibly",
+        "  yes when true cluster count exceeds cell count — NOT",
+        "  measured here); the probe's lesson is that the assumption",
+        "  must be MEASURED per corpus, and nprobe >= 2 is the",
+        "  insurance either way.",
         "",
         "At 100 TB: pick planes/cells for the target scanned fraction,",
         "then buy recall with probes (Hamming flips / nprobe 2-8), with",
