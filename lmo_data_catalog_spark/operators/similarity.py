@@ -175,7 +175,7 @@ def lsh_multiprobe_topk(
 ) -> DataFrame:
     """ANN with multi-probe LSH: score the query's bucket AND its
     Hamming-``radius`` neighbors. Single-probe recall decays fast with
-    plane count (measured: 0.34 → 0.19 over 4 → 8 planes at 32k
+    plane count (measured: 0.42 → 0.23 over 4 → 8 planes at 32k
     vectors, SCALING.md §ANN); probing the 1-flip neighbors recovers
     most of it for (n_planes+1)× the scanned buckets — still an
     exponentially small corpus fraction. At scale the bucket id is the
