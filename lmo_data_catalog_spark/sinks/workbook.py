@@ -401,7 +401,10 @@ def compact_parquet(
     listing, no data read); the rewrite is one distributed
     repartition. Returns the output file count. Compact into a NEW
     directory and swap atomically at the catalog layer — in-place
-    rewrites lose the readers-vs-writers race at scale.
+    rewrites lose the readers-vs-writers race at scale. For
+    hive-partitioned tables run this per partition directory: a
+    whole-table pass would read partition values into columns and
+    write them back unpartitioned.
     """
     import math
 
