@@ -224,3 +224,61 @@ def fingerprint(col: Column | str) -> Column:
     text (the canonical exact-dedup key)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def heavy_hitters_cms(
+    df,
+    *,
+    item_col: str,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+    candidates: list | None = None,
+    sample_fraction: float = 0.01,
+):
+    """Approximate heavy hitters via Spark's built-in count-min sketch
+    — the sub-linear-memory counterpart to the exact
+    ``word_freq_topk`` groupBy, for 100 TB streams where even the
+    distinct-item set won't fit an executor.
+
+    Two passes, both bounded:
+
+    1. SKETCH: ``F.count_min_sketch`` aggregates the whole column into
+       one (eps, confidence) sketch — a few KB on the driver
+       regardless of cardinality, merged map-side like any partial
+       aggregate.
+    2. CANDIDATES: frequencies can only be read out for known items,
+       so candidates come from a seeded sample's distincts (any true
+       heavy hitter appears in a sample with overwhelming probability)
+       unless the caller supplies them. Each candidate is then
+       estimated driver-side against the JVM sketch.
+
+    Returns ``[(item, estimated_count)]`` sorted descending. CMS
+    guarantees estimate >= true count, and <= true + eps*N with the
+    given confidence — the overestimate-only direction is what makes
+    it safe for threshold screens (no heavy hitter is missed).
+    """
+    from pyspark.sql import functions as F
+
+    sketch_bytes = bytes(
+        df.agg(
+            F.count_min_sketch(
+                F.col(item_col), F.lit(eps), F.lit(confidence), F.lit(seed)
+            ).alias("sk")
+        ).first()["sk"]
+    )
+    if candidates is None:
+        candidates = [
+            r[0]
+            for r in df.sample(fraction=sample_fraction, seed=seed)
+            .select(item_col)
+            .distinct()
+            .collect()
+        ]
+    spark = df.sparkSession
+    jvm = spark.sparkContext._jvm
+    bis = jvm.java.io.ByteArrayInputStream(sketch_bytes)
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+    out = [(c, cms.estimateCount(c)) for c in candidates]
+    out.sort(key=lambda kv: (-kv[1], str(kv[0])))
+    return out

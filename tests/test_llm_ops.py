@@ -526,3 +526,33 @@ def test_budget_head_zero_weight_at_exact_shard_boundary(spark):
     }
     assert (first_of_s, budget) in flat  # the boundary row exists
     assert sharded == flat
+
+
+def test_heavy_hitters_cms_bounds(spark):
+    """CMS guarantees: estimate >= true count always, and estimate <=
+    true + eps*N with the configured confidence; with explicit
+    candidates the known skewed keys surface in order."""
+    from lmo_data_catalog_spark.operators.text import heavy_hitters_cms
+
+    # skewed corpus: key k appears (50-k)^2 times for k in 0..49
+    df = (
+        spark.range(50)
+        .select(
+            F.col("id").alias("k"),
+            F.expr("explode(sequence(1, cast(pow(50 - id, 2) as int)))"),
+        )
+        .select("k")
+    )
+    n_total = df.count()
+    exact = {r.k: r.c for r in df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    got = heavy_hitters_cms(
+        df, item_col="k", eps=0.001, candidates=list(range(50))
+    )
+    assert [k for k, _ in got[:3]] == [0, 1, 2]  # true top-3 in order
+    violations = 0
+    for k, est in got:
+        assert est >= exact[k]  # never underestimates
+        if est > exact[k] + 0.001 * n_total:
+            violations += 1
+    assert violations == 0  # within eps*N at this size
