@@ -136,6 +136,10 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = e.select(
         "vec_id", "embedding", scores.alias("__scores")
     ).select("vec_id", "embedding", cell.alias("__cell"))
+    # feeds the query-cell lookup AND the cell join — persist so the
+    # 8x64-literal score chain evaluates once (same pattern as
+    # ann_ivf_topk's assign)
+    assigned = cache.track(assigned)
     qrow = assigned.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"), F.col("__cell").alias("qcell")
     )
