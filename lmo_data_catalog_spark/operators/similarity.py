@@ -206,13 +206,14 @@ def kmeans_centroids(
 ) -> list[list[float]]:
     """Spherical k-means centroids for IVF cell assignment.
 
-    Honest measurement note (SCALING.md §ANN): on the probe's
-    replica-clustered corpus Lloyd refinement REDUCES nprobe=1 recall
-    versus corpus-vector seeding — k-means balances cell mass, which
-    drags boundaries through dense regions, and boundary losses are
-    exactly what single-probe search pays. Centroid training must be
-    validated against a held-out recall set per corpus; keep
-    nprobe ≥ 2 as the insurance either way.
+    Honest measurement note (SCALING.md §ANN, both directions): on
+    the probe's replica-clustered corpus Lloyd refinement REDUCES
+    nprobe=1 recall versus corpus-vector seeding (k-means balances
+    cell mass, dragging boundaries through dense regions — exactly
+    what single-probe search pays for), while on the smooth
+    quasi-random manifold it WINS (0.945 vs 0.875 at 32 cells).
+    Centroid training must be validated against a held-out recall
+    set per corpus; keep nprobe ≥ 2 as the insurance either way.
 
     Deterministic Lloyd iterations, Spark-shaped:
 

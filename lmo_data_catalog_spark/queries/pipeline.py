@@ -114,9 +114,10 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks), so the rows-only differential is stable across
     runs/partitionings; there is no value-exact SQL oracle because the
     centroid update is iterative — the documented weaker check for
-    iterative algorithms. SCALING.md §ANN measures both seedings and
-    finds k-means LOSES at nprobe=1 on the replica-clustered probe
-    corpus (balanced cells drag boundaries through dense regions) —
+    iterative algorithms. SCALING.md §ANN measures both seedings on
+    two corpus geometries: k-means LOSES at nprobe=1 on the
+    replica-clustered corpus (balanced cells drag boundaries through
+    dense regions) and WINS on the smooth quasi-random manifold —
     the operator exists because centroid training is corpus-dependent
     and must be measurable, not because it always wins."""
     from ..operators.similarity import (
