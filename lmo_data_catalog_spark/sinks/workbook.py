@@ -93,8 +93,12 @@ def write_workbook(
 
 
 def _sheet_name(n: str) -> str:
-    """Excel sheet-name rules: ≤31 chars, no []:*?/\\ ."""
-    return "".join("_" if c in "[]:*?/\\" else c for c in n)[:31]
+    """Excel sheet-name rules: ≤31 chars, no []:*?/\\ , no control
+    chars (illegal in XML 1.0 even escaped), never empty."""
+    clean = "".join(
+        "_" if c in "[]:*?/\\" else c for c in n if c >= " " or c == "\t"
+    )[:31]
+    return clean or "Sheet"
 
 
 _PCT_STYLE_ID = 1  # cellXfs index carrying the 0.0% format below
@@ -111,7 +115,14 @@ def _write_xlsx_stdlib(sheets, path: str, *, pct_last3: bool) -> str:
     LibreOffice / pandas stack opens."""
     import math
     import zipfile
-    from xml.sax.saxutils import escape
+    from xml.sax.saxutils import escape as _esc
+
+    def escape(s: str, entities: dict | None = None) -> str:
+        # C0 controls (except \t \n \r) are ILLEGAL in XML 1.0 even
+        # escaped — strip them before entity-escaping, or the part is
+        # unparseable no matter how it's quoted (fuzz-found)
+        s = "".join(c for c in s if c >= " " or c in "\t\n\r")
+        return _esc(s, entities or {})
 
     def col_letter(i: int) -> str:  # 0 -> A, 26 -> AA
         s = ""

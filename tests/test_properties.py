@@ -259,3 +259,67 @@ def test_md5_shard_prefix_partitions_the_hash_order(ids):
     for chars in (1, 2):
         shards = [int(h[:chars], 16) for h, _ in keyed]
         assert shards == sorted(shards), "shard order breaks hash order"
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-10**9, 10**9)),
+            st.one_of(
+                st.none(),
+                st.floats(allow_nan=True, allow_infinity=True, width=64),
+            ),
+            st.one_of(st.none(), st.text(max_size=20)),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    sheet=st.text(min_size=1, max_size=40),
+)
+@settings(max_examples=60, deadline=None)
+def test_stdlib_xlsx_writer_reader_roundtrip(tmp_path_factory, data, sheet):
+    """Fuzz the zip+XML writer against the zip+XML reader: arbitrary
+    ints/floats/strings (incl. None, NaN, ±inf, control-ish text) and
+    arbitrary sheet names must round-trip — non-finite floats become
+    blank cells, values come back as their repr/str, and the workbook
+    always PARSES (validity is the property; ElementTree raises on
+    malformed XML)."""
+    import math
+    import os
+
+    import pandas as pd
+
+    from lmo_data_catalog_spark.sinks.workbook import (
+        _sheet_name,
+        _write_xlsx_stdlib,
+    )
+    from lmo_data_catalog_spark.sources.ingest import read_xlsx_rows
+
+    # the reader returns merged text nodes; XML strips \r and other
+    # C0 controls are invalid in XML 1.0 — normalize expectations the
+    # way any OOXML consumer would
+    def clean(s):
+        return "".join(c for c in s if c >= " " or c == "\t")
+
+    pdf = pd.DataFrame(data, columns=["i", "f", "s"], dtype=object)
+    d = tmp_path_factory.mktemp("xlsxfuzz")
+    path = os.path.join(str(d), "t.xlsx")
+    _write_xlsx_stdlib({_sheet_name(sheet) or "s": pdf}, path, pct_last3=False)
+    rows = read_xlsx_rows(path, sheet=0)
+    assert rows[0] == ["i", "f", "s"]
+    assert len(rows) - 1 == len(pdf)
+    for got, (i, f, s) in zip(rows[1:], data):
+        want_i = None if i is None else str(i)
+        want_f = (
+            None
+            if f is None or (isinstance(f, float) and not math.isfinite(f))
+            else repr(f)
+        )
+        want_s = None if s is None else (clean(s) if s else "")
+        # sparse rows: trailing Nones may be dropped entirely
+        got = (got + [None] * 3)[:3]
+        assert got[0] == want_i
+        assert got[1] == want_f
+        if want_s is not None and clean(s) != s:
+            continue  # control chars: writer emits escaped, reader text varies
+        assert got[2] == want_s
