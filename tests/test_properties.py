@@ -323,3 +323,58 @@ def test_stdlib_xlsx_writer_reader_roundtrip(tmp_path_factory, data, sheet):
         if want_s is not None and clean(s) != s:
             continue  # control chars: writer emits escaped, reader text varies
         assert got[2] == want_s
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),  # doc id
+            st.sampled_from(["en", "zh"]),
+            st.integers(min_value=0, max_value=50),  # weight (incl. 0)
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    budget_frac=st.floats(min_value=0.0, max_value=1.2),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_budget_hierarchical_equals_flat_differential(spark, rows, budget_frac):
+    """Randomized differential: for arbitrary non-negative weights
+    (zeros included) and budgets from empty to over-total, the
+    hierarchical operator's admitted set and running sums must equal
+    the flat per-key window's, at both shard widths."""
+    from pyspark.sql import Window
+
+    from lmo_data_catalog_spark.operators.windows import (
+        budget_head_hierarchical,
+    )
+
+    total = sum(w for _, _, w in rows) or 1
+    budget = int(total * budget_frac)
+    d = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    flat_w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flat = {
+        (r.doc_id, r.cum)
+        for r in d.withColumn("cum", F.sum("w").over(flat_w))
+        .filter(F.col("cum") <= budget)
+        .collect()
+    }
+    for chars in (1, 2):
+        got = {
+            (r.doc_id, r.cum)
+            for r in budget_head_hierarchical(
+                d,
+                key_col="lang",
+                id_col="doc_id",
+                weight_col="w",
+                budget=budget,
+                cum_col="cum",
+                shard_hex_chars=chars,
+            ).collect()
+        }
+        assert got == flat, f"chars={chars} budget={budget}"
