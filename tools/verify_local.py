@@ -6,6 +6,7 @@ order-insensitive multiset of row values (floats to 1e-9 rel
 tolerance, plus an exact-repr check to flag hash-risk drift).
 
 Usage: python tools/verify_local.py [--no-aqe] [sf_dir] [query ...]
+       python tools/verify_local.py --all-axes   # the 3-axis ritual
 
 ``--no-aqe`` disables adaptive query execution for the Spark side —
 the round-5 robustness axis proving no result depends on runtime
@@ -15,6 +16,7 @@ re-planning (VERIFY_SF001.md records 117/117 under it).
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -116,5 +118,32 @@ def main() -> int:
     return 1 if failures else 0
 
 
+def all_axes() -> int:
+    """The end-of-round ritual in one command: the full differential
+    at the driver's sf0.01, again with AQE disabled (no result may
+    depend on runtime re-planning), and again at sf0.001 (no oracle
+    may carry a scale-dependent assumption). Each axis runs in a
+    fresh subprocess so session conf cannot leak between them."""
+    import subprocess
+
+    axes = [
+        ("sf0.01", ["/root/testdata/sf0.01"]),
+        ("sf0.01 --no-aqe", ["--no-aqe", "/root/testdata/sf0.01"]),
+        ("sf0.001", ["/root/testdata/sf0.001"]),
+    ]
+    rc = 0
+    for label, args in axes:
+        print(f"=== axis: {label} ===", flush=True)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), *args]
+        )
+        rc = rc or p.returncode
+        print(f"=== axis {label}: {'PASS' if p.returncode == 0 else 'FAIL'} ===",
+              flush=True)
+    return rc
+
+
 if __name__ == "__main__":
+    if "--all-axes" in sys.argv:
+        raise SystemExit(all_axes())
     raise SystemExit(main())
