@@ -260,13 +260,14 @@ def heavy_hitters_cms(
     """
     from pyspark.sql import functions as F
 
-    sketch_bytes = bytes(
-        df.agg(
-            F.count_min_sketch(
-                F.col(item_col), F.lit(eps), F.lit(confidence), F.lit(seed)
-            ).alias("sk")
-        ).first()["sk"]
-    )
+    raw = df.agg(
+        F.count_min_sketch(
+            F.col(item_col), F.lit(eps), F.lit(confidence), F.lit(seed)
+        ).alias("sk")
+    ).first()["sk"]
+    if raw is None:  # empty input -> no sketch, no hitters
+        return []
+    sketch_bytes = bytes(raw)
     if candidates is None:
         candidates = [
             r[0]
