@@ -378,3 +378,50 @@ def test_budget_hierarchical_equals_flat_differential(spark, rows, budget_frac):
             ).collect()
         }
         assert got == flat, f"chars={chars} budget={budget}"
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=39),
+            st.integers(min_value=0, max_value=39),
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_connected_components_matches_union_find(spark, edges):
+    """Randomized differential for the pointer-jumping CC: arbitrary
+    edge multisets (self-loops and duplicates included) over 40 nodes
+    must produce exactly the per-component min labels a plain
+    union-find computes."""
+    from lmo_data_catalog_spark.operators.dedup import (
+        connected_components,
+    )
+
+    parent = list(range(40))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(40)}
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "id_a long, id_b long"
+    )
+    nodes = spark.range(40).select("id")
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(
+            pairs, nodes, id_col="id", max_iter=16
+        ).collect()
+    }
+    assert got == want
