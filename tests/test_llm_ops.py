@@ -408,9 +408,17 @@ def test_lsh_multiprobe_superset_and_recall(spark):
         r.vec_id
         for r in lsh_multiprobe_topk(emb, planes=planes, **kw).collect()
     ]
+    multi2 = [
+        r.vec_id
+        for r in lsh_multiprobe_topk(
+            emb, planes=planes, radius=2, **kw
+        ).collect()
+    ]
     hits_s = len(set(single) & set(exact))
     hits_m = len(set(multi) & set(exact))
+    hits_m2 = len(set(multi2) & set(exact))
     assert hits_m >= hits_s
+    assert hits_m2 >= hits_m  # wider Hamming ball only adds candidates
     # the query vector itself always survives probing (it is in its
     # own bucket and is its own nearest neighbor)
     assert 0 in multi and multi[0] == 0
