@@ -1053,3 +1053,50 @@ def click_purchase_attribution_batch(
         epoch_us("purchase_ts").alias("purchase_us"),
         "purchase_value",
     )
+
+
+@query(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, MIN(date_trunc('week', ts)) AS cw
+        FROM events GROUP BY user_id
+    ),
+    a AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    )
+    SELECT CAST(f.cw AS DATE) AS cohort_week,
+           CAST(datediff('day', f.cw, a.w) / 7 AS INTEGER) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("analytics", "cohort", "retention"),
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by the week of their
+    FIRST event; each cell counts distinct cohort members active
+    week_offset weeks later — the product-analytics staple. Both
+    engines truncate weeks to Monday, event time stays integer-safe
+    (offsets are day-diffs / 7 on aligned week starts; only DATE and
+    ints cross the engine boundary). Plan: two keyed aggregates + one
+    user join + one final aggregate — every shuffle on user_id or the
+    (cohort, offset) pair, no window, fully parallel at 100 TB (the
+    first-seen side is |users| rows; AQE picks the join strategy
+    since user count scales with the corpus)."""
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts").cast("timestamp")).alias("w"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("w").alias("cw"))
+    activity = ev.distinct()
+    return (
+        activity.join(first, on="user_id")
+        .groupBy(
+            F.col("cw").cast("date").alias("cohort_week"),
+            (F.datediff(F.col("w"), F.col("cw")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
