@@ -389,3 +389,60 @@ def budget_head_hierarchical(
         .filter(F.col(cum_col) <= budget)
         .drop("__h", "__shard", "__off")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    *,
+    value_col: str,
+    order_col: str | None = None,
+    ascending: bool = True,
+    tiebreak_cols: Sequence[str] = (),
+    name: str = "running_sum",
+    num_buckets: int = 32,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """EXACT cumulative sum over a GLOBAL ordering without a global
+    window sort — the running-total counterpart to
+    :func:`global_row_number` (same cliff: ``SUM() OVER (ORDER BY …)``
+    with no PARTITION BY funnels the table through one task).
+
+    Same three bounded passes: approxQuantile cut points on
+    ``order_col`` (defaults to ``value_col``) → per-bucket SUMs folded
+    into cumulative offsets on the driver (``num_buckets`` rows) →
+    per-bucket running sum + the bucket's offset literal. Ties on a
+    cut value stay in one bucket (strict boundary), so any
+    deterministic (order, tiebreak) total order reproduces the global
+    window bit-for-bit — PROVIDED ``value_col`` sums are
+    order-insensitive: use DECIMAL for money (the repo's monetary-sum
+    rule); float offsets would re-associate additions.
+    """
+    order_col = order_col or value_col
+    bounds = df.approxQuantile(
+        order_col, [i / num_buckets for i in range(1, num_buckets)],
+        relative_error,
+    )
+    b = df.withColumn(
+        "__bucket", _bucket_expr(order_col, ascending, bounds, num_buckets)
+    )
+    totals = {
+        r["__bucket"]: r["t"]
+        for r in b.groupBy("__bucket")
+        .agg(F.sum(value_col).alias("t"))
+        .collect()
+    }
+    offsets, acc = {}, None
+    for p in sorted(totals):
+        offsets[p] = acc
+        acc = totals[p] if acc is None else acc + totals[p]
+    off = F.lit(None)
+    for p, o in offsets.items():
+        off = F.when(F.col("__bucket") == p, F.lit(o)).otherwise(off)
+    direction = F.asc if ascending else F.desc
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(direction(order_col), *[F.asc(c) for c in tiebreak_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(value_col).over(w) + F.coalesce(off, F.lit(0))
+    return b.withColumn(name, running).drop("__bucket")

@@ -1100,3 +1100,69 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "pareto_part_classes",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS revenue
+        FROM lineitem GROUP BY l_partkey
+    ),
+    c AS (
+        SELECT l_partkey, revenue,
+               SUM(revenue) OVER (
+                   ORDER BY revenue DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum,
+               SUM(revenue) OVER () AS total
+        FROM rev
+    )
+    SELECT l_partkey, revenue,
+           CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                WHEN cum * 100 <= total * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+    tags=("analytics", "pareto", "ranking"),
+)
+def pareto_part_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification: parts ranked by revenue, running
+    revenue share cut at 80% (A) and 95% (B) — the inventory-analysis
+    staple whose naive plan is the unpartitioned-window cliff. Here
+    the global cumulative sum comes from ``operators/windows.py::
+    global_running_sum`` (quantile buckets → per-bucket running sum +
+    driver-folded offsets — each task sorts one bucket), and every
+    monetary value is DECIMAL so partial-sum order cannot move a
+    class boundary: cum*100 <= total*80 is exact integer-scaled
+    decimal arithmetic in both engines."""
+    from ..operators.windows import global_running_sum
+
+    cat = Catalog(spark, sf_dir)
+    rev = cat.lineitem.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias(
+            "revenue"
+        )
+    )
+    c = global_running_sum(
+        rev,
+        value_col="revenue",
+        ascending=False,
+        tiebreak_cols=["l_partkey"],
+        name="cum",
+    )
+    total = rev.agg(F.sum("revenue").alias("__total"))
+    return (
+        c.crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            "revenue",
+            F.when(
+                F.col("cum") * 100 <= F.col("__total") * 80, "A"
+            )
+            .when(F.col("cum") * 100 <= F.col("__total") * 95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )

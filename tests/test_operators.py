@@ -309,3 +309,45 @@ def test_global_row_numbers_multi_matches_global_windows(spark):
     assert j.filter(F.col("ra") != F.col("ra_exact")).count() == 0
     assert j.filter(F.col("rb") != F.col("rb_exact")).count() == 0
     assert got.select("n").first()[0] == 1500
+
+
+def test_global_running_sum_matches_single_task_window(spark):
+    """global_running_sum must be bit-identical to the unpartitioned
+    SUM() OVER (ORDER BY ...) window, under ties and both directions,
+    on DECIMAL values (order-insensitive sums — the operator's stated
+    precondition for exactness)."""
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+
+    from lmo_data_catalog_spark.operators.windows import global_running_sum
+
+    rows = [
+        (i, Decimal(str(round(((i * 7919) % 100) / 4, 2))))
+        for i in range(500)
+    ]
+    # plant heavy ties so cut-value boundaries are exercised
+    rows += [(1000 + i, Decimal("7.25")) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, v decimal(18,4)")
+    for asc in (True, False):
+        direction = F.asc if asc else F.desc
+        w = (
+            Window.orderBy(direction("v"), F.asc("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        want = {
+            (r.id, r.cum)
+            for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+        }
+        got = {
+            (r.id, r.cum)
+            for r in global_running_sum(
+                df,
+                value_col="v",
+                ascending=asc,
+                tiebreak_cols=["id"],
+                name="cum",
+                num_buckets=8,
+            ).collect()
+        }
+        assert got == want

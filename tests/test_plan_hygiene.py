@@ -38,6 +38,7 @@ ALLOWED_BNLJ = {
     "customer_rfm_segments",  # 1-row corpus-max-date + total attach
     "dormant_rich_customers",  # scalar-subquery broadcast
     "orders_above_avg_price",  # scalar avg broadcast
+    "pareto_part_classes",  # 1-row grand-total broadcast
     "resample_daily_orders",  # 1-row min/max spine bounds
     "tfidf_top_terms",  # 1-row doc-count broadcast
     "trailing_7d_distinct_users",  # 1-row spine bounds
