@@ -310,7 +310,11 @@ STATIC_SECTIONS = [
     "`global_row_numbers` amortizes k orderings into ONE multi-column",
     "quantile job + ONE grouping-sets bucket count (2 driver actions",
     "instead of 2k) — `customer_rfm_segments` ranks three dimensions",
-    "this way.",
+    "this way. Round 6 extends the same machinery to exact global",
+    "RUNNING SUMS (`global_running_sum`: per-bucket totals fold into",
+    "driver offsets; bit-identical to `SUM() OVER (ORDER BY …)` for",
+    "order-insensitive value types like DECIMAL) — the",
+    "`pareto_part_classes` ABC classification runs on it.",
     "",
 ]
 
