@@ -1166,3 +1166,40 @@ def pareto_part_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("abc_class"),
         )
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("analytics", "sequence", "markov"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition counts (the Markov matrix behind
+    path analysis): per user, order events by time and count
+    (previous type → next type) pairs. One keyed window (lag over
+    user_id — bounded state, no global sort) + one aggregate; the
+    (ts, event_id) tiebreak makes the sequence deterministic under
+    simultaneous events."""
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        s.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
