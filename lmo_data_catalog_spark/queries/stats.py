@@ -1,0 +1,585 @@
+"""Statistical-aggregate and corpus-balance queries (round-6 breadth).
+
+Extension surface beyond the reference catalog build
+(01_source_me.R:1-346): the descriptive-statistics layer a user of the
+catalog reaches for next — correlation/regression aggregates, modes,
+distribution-balance metrics (entropy / KL / Gini), percentile-trimmed
+corpora, weighted sampling, and interval sweep-line analytics. Every
+query follows the registry conventions (identical aliases + identical
+float parenthesization in both engines, ROUND at the final projection,
+no raw timestamps) and is shaped for 100 TB: map-side partial
+aggregation into bounded group counts, windows only over keys or over
+already-aggregated (bounded-cardinality) frames, top-k via
+TakeOrderedAndProject, and integer/rational arithmetic wherever a
+ranking depends on it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..functions import epoch_us
+from ..registry import query
+
+# Fibonacci multiplicative hash constants (same literals as
+# queries.pipeline): uniform, engine-portable pseudo-randomness from
+# integer ids without relying on either engine's RNG.
+_KNUTH = 2654435761
+_M32 = 4294967296
+
+
+# ------------------------------------------------- correlation / regression
+
+
+@query(
+    "corr_regression_price_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+           ROUND(covar_samp(l_extendedprice, l_quantity), 6) AS covar_pq,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("analytic", "statistics"),
+)
+def corr_regression_price_quantity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-group correlation + least-squares fit as pure aggregates.
+
+    Spark's corr/covar/regr_* family are single-pass co-moment
+    aggregates (Welford-style partial states merged across partitions)
+    — a distributed OLS fit with NO shuffle beyond the 3-group
+    hash aggregate, no ML library, no collect. The classic
+    "regression needs a driver-side solver" trap is avoided: for
+    simple linear regression the sufficient statistics ARE the
+    aggregate state. Verified cross-engine to 6 dp against DuckDB's
+    implementations of the same SQL-standard aggregates.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    p, q = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.corr(p, q), 6).alias("corr_pq"),
+            F.round(F.covar_samp(p, q), 6).alias("covar_pq"),
+            F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 6).alias(
+                "slope"
+            ),
+            F.round(
+                F.expr("regr_intercept(l_extendedprice, l_quantity)"), 6
+            ).alias("intercept"),
+            F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 6).alias(
+                "r2"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ------------------------------------------------------- deterministic mode
+
+
+@query(
+    "mode_order_priority_by_status",
+    oracle="""
+    WITH counts AS (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM orders
+        GROUP BY o_orderstatus, o_orderpriority
+    ),
+    ranked AS (
+        SELECT o_orderstatus, o_orderpriority, cnt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY cnt DESC, o_orderpriority
+               ) AS rn
+        FROM counts
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           cnt AS mode_count
+    FROM ranked WHERE rn = 1
+    ORDER BY o_orderstatus
+    """,
+    tags=("analytic", "statistics"),
+)
+def mode_order_priority_by_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic per-group mode (most frequent value, ties broken
+    by value order) — NOT the engines' ``mode()`` aggregate, whose tie
+    choice is implementation-defined and would flake the differential.
+    Aggregate first (bounded status×priority cardinality), then a
+    window over the tiny counts frame: the expensive pass is the
+    map-side combined count; the mode pick costs nothing at any scale.
+    """
+    orders = Catalog(spark, sf_dir).orders
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("mode_count"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------- corpus balance: entropy / KL
+
+
+@query(
+    "lang_entropy_by_source",
+    oracle="""
+    WITH counts AS (
+        SELECT source, lang, COUNT(*) AS c
+        FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT source, SUM(c) AS t FROM counts GROUP BY source)
+    SELECT counts.source,
+           SUM(c) AS n_docs,
+           ROUND(-SUM((CAST(c AS DOUBLE) / t) * LN(CAST(c AS DOUBLE) / t)),
+                 6) AS entropy_nats
+    FROM counts JOIN tot ON counts.source = tot.source
+    GROUP BY counts.source
+    ORDER BY counts.source
+    """,
+    tags=("llm", "corpus-balance"),
+)
+def lang_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each source's language distribution —
+    the corpus-balance diagnostic before mixture reweighting. Two
+    bounded aggregations (source×lang, then source) and one join on
+    the tiny per-source totals; the raw table is touched exactly once.
+    Float expression parenthesized identically in both engines (the
+    PMI convention, shapes.py:521) so doubles match before ROUND.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    counts = docs.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("source").agg(F.sum("c").alias("t"))
+    p = F.col("c").cast("double") / F.col("t")
+    return (
+        counts.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "lang_kl_by_source",
+    oracle="""
+    WITH counts AS (
+        SELECT source, lang, COUNT(*) AS c
+        FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT source, SUM(c) AS t FROM counts GROUP BY source),
+    corpus AS (SELECT lang, SUM(c) AS cl FROM counts GROUP BY lang),
+    alltot AS (SELECT SUM(c) AS ta FROM counts)
+    SELECT counts.source,
+           ROUND(SUM((CAST(c AS DOUBLE) / t)
+                     * LN((CAST(c AS DOUBLE) / t)
+                          / (CAST(cl AS DOUBLE) / ta))), 6) AS kl_nats
+    FROM counts
+    JOIN tot ON counts.source = tot.source
+    JOIN corpus ON counts.lang = corpus.lang
+    CROSS JOIN alltot
+    GROUP BY counts.source
+    ORDER BY counts.source
+    """,
+    tags=("llm", "corpus-balance"),
+)
+def lang_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence (nats) of each source's language mix against the
+    corpus-wide mix — how unrepresentative each source is; drives
+    per-source mixture corrections. Same bounded-aggregate shape as
+    the entropy query plus a broadcast of the 1-row corpus total.
+    KL is finite by construction here: every (source, lang) cell
+    contributes to the corpus marginal, so q > 0 wherever p > 0.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    counts = docs.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("source").agg(F.sum("c").alias("t"))
+    corpus = counts.groupBy("lang").agg(F.sum("c").alias("cl"))
+    alltot = counts.agg(F.sum("c").alias("ta"))
+    p = F.col("c").cast("double") / F.col("t")
+    q = F.col("cl").cast("double") / F.col("ta")
+    return (
+        counts.join(tot, "source")
+        .join(corpus, "lang")
+        .join(F.broadcast(alltot))
+        .groupBy("source")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_nats"))
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------------------------ Gini balance
+
+
+@query(
+    "gini_source_balance",
+    oracle="""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS c FROM documents GROUP BY source
+    ),
+    ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c, source) AS i FROM counts
+    )
+    SELECT COUNT(*) AS n_sources,
+           SUM(c) AS total_docs,
+           ROUND(CAST(2 * SUM(i * c) - (COUNT(*) + 1) * SUM(c) AS DOUBLE)
+                 / (COUNT(*) * SUM(c)), 6) AS gini
+    FROM ranked
+    """,
+    tags=("llm", "corpus-balance"),
+)
+def gini_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the per-source document-count distribution
+    (0 = perfectly balanced corpus, →1 = one source dominates), via
+    the rank formula G = (2·Σi·cᵢ − (n+1)·Σcᵢ) / (n·Σcᵢ) on counts
+    sorted ascending. Everything left of the division is INTEGER —
+    the only float op is one division, so the value is bit-identical
+    cross-engine regardless of summation order. The unpartitioned
+    window runs over the per-source counts (bounded cardinality, a
+    few rows), never over the raw table.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    counts = docs.groupBy("source").agg(F.count("*").alias("c"))
+    w = Window.orderBy("c", "source")
+    ranked = counts.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").alias("n_sources"),
+        F.sum("c").alias("total_docs"),
+        F.round(
+            (
+                2 * F.sum(F.col("i") * F.col("c"))
+                - (F.count("*") + 1) * F.sum("c")
+            ).cast("double")
+            / (F.count("*") * F.sum("c")),
+            6,
+        ).alias("gini"),
+    )
+
+
+# ------------------------------------------------------- weighted sampling
+
+
+#: engine-portable uniform in (0, 1) from the doc id (Fibonacci hash).
+_U_SQL = (
+    f"(CAST(((doc_id * {_KNUTH}) % {_M32}) + 1 AS DOUBLE) / {_M32 + 1}.0)"
+)
+
+
+@query(
+    "weighted_sample_docs",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars,
+           ROUND(LN({_U_SQL}) / CAST(n_chars AS DOUBLE), 6) AS sample_key
+    FROM documents
+    ORDER BY LN({_U_SQL}) / CAST(n_chars AS DOUBLE) DESC, doc_id
+    LIMIT 100
+    """,
+    tags=("llm", "sampling"),
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample without replacement (Efraimidis-
+    Spirakis A-ES): key = ln(u)/w with w = n_chars, keep the top-k
+    keys — longer documents are proportionally likelier, exactly the
+    quality/length-weighted corpus sampling step of a training-data
+    build. u comes from the Fibonacci hash of the id (the
+    stratified_sample_langs convention), so the "random" draw is
+    reproducible across engines, runs, and partitionings. The global
+    top-k compiles to TakeOrderedAndProject: each partition keeps its
+    local 100, the driver merges — no global sort, no shuffle of the
+    losers, at any corpus size.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    u = (((F.col("doc_id") * _KNUTH) % _M32) + 1).cast("double") / (
+        _M32 + 1
+    )
+    key = F.log(u) / F.col("n_chars").cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(key, 6).alias("sample_key"),
+            key.alias("__k"),
+        )
+        .orderBy(F.col("__k").desc(), "doc_id")
+        .limit(100)
+        .drop("__k")
+    )
+
+
+# ------------------------------------------------------- per-source capping
+
+
+@query(
+    "source_cap_docs",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS total_docs,
+           SUM(CASE WHEN rn <= 300 THEN 1 ELSE 0 END) AS kept_docs,
+           SUM(CASE WHEN rn <= 300 THEN n_chars ELSE 0 END) AS kept_chars
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("llm", "sampling"),
+)
+def source_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (CCNet-style over-representation
+    control): keep at most 300 docs per source in deterministic
+    hash order, report kept/total per source. The hash order makes
+    the kept set a uniform sample of the source, reproducible across
+    engines. Scale note: a bare PARTITION BY source window makes the
+    hottest source one task's sort — so the plan pre-prunes with a
+    per-(source, input-partition) rank first, which is map-side
+    (spark_partition_id is a partition-local column), keeping at most
+    cap rows per source per partition before the keyed shuffle. The
+    global rank then runs on ≤ cap × n_partitions rows per source,
+    bounded regardless of source skew; kept/total counts come from
+    the pre-pruned and raw frames respectively.
+    """
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "source", "n_chars"
+    )
+    cap = 300
+    hash_ord = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+    # Map-side pre-prune: any row ranked > cap within its own input
+    # partition cannot be in the source's global top-cap.
+    wl = Window.partitionBy("source", F.spark_partition_id()).orderBy(
+        *hash_ord
+    )
+    local = (
+        docs.withColumn("__lrn", F.row_number().over(wl))
+        .filter(F.col("__lrn") <= cap)
+        .drop("__lrn")
+    )
+    wg = Window.partitionBy("source").orderBy(*hash_ord)
+    kept = (
+        local.withColumn("__rn", F.row_number().over(wg))
+        .filter(F.col("__rn") <= cap)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )
+    totals = docs.groupBy("source").agg(F.count("*").alias("total_docs"))
+    return (
+        totals.join(kept, "source")
+        .select("source", "total_docs", "kept_docs", "kept_chars")
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------- percentile-trimmed corpus stats
+
+
+@query(
+    "doclen_trim_percentile",
+    oracle="""
+    WITH bounds AS (
+        SELECT lang,
+               quantile_cont(n_chars, 0.05) AS p05,
+               quantile_cont(n_chars, 0.95) AS p95
+        FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           COUNT(*) AS kept_docs,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_kept_chars,
+           ROUND(MIN(p05), 6) AS p05,
+           ROUND(MIN(p95), 6) AS p95
+    FROM documents d JOIN bounds b ON d.lang = b.lang
+    WHERE n_chars >= p05 AND n_chars <= p95
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+    tags=("llm", "quality"),
+)
+def doclen_trim_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-percentile corpus trim: drop each language's shortest
+    and longest 5% of documents (the heavy-tail cleanup before token
+    budgeting) and report the surviving distribution. Exact
+    ``percentile`` (linear interpolation — same definition as
+    DuckDB's quantile_cont, verified to 6 dp) over each language,
+    then a broadcast of the tiny per-lang bounds back onto the scan.
+    Scale note: exact percentile buffers each group's values — fine
+    for bounded-domain ints like n_chars, but at 100 TB swap in
+    approx_percentile(…, 1e-4) or the bounded-domain exact variant
+    (group by (lang, n_chars) counts + cumulative window, which
+    shuffles only the distinct-value histogram, not the corpus).
+    """
+    docs = Catalog(spark, sf_dir).documents
+    bounds = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("p05"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95"),
+    )
+    return (
+        docs.join(F.broadcast(bounds), "lang")
+        .filter(
+            (F.col("n_chars") >= F.col("p05"))
+            & (F.col("n_chars") <= F.col("p95"))
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 6).alias(
+                "avg_kept_chars"
+            ),
+            F.round(F.min("p05"), 6).alias("p05"),
+            F.round(F.min("p95"), 6).alias("p95"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ------------------------------------------------- time-weighted averages
+
+
+@query(
+    "time_weighted_avg_value",
+    oracle="""
+    WITH stepped AS (
+        SELECT user_id, value,
+               LEAD(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) - epoch_us(ts) AS dur
+        FROM events
+    )
+    SELECT user_id,
+           ROUND(SUM(value * CAST(dur AS DOUBLE))
+                 / CAST(SUM(dur) AS DOUBLE), 6) AS twa_value,
+           COUNT(*) AS n_segments
+    FROM stepped
+    WHERE dur IS NOT NULL AND dur > 0
+    GROUP BY user_id
+    ORDER BY twa_value DESC, user_id
+    LIMIT 25
+    """,
+    tags=("timeseries", "analytic"),
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of a step series per user: each event's
+    value holds until the next event, so TWA = Σ(valueᵢ·durᵢ)/Σdurᵢ —
+    the correct average for irregularly-sampled state (plain AVG
+    over-weights bursts). One keyed LEAD window + one keyed
+    aggregate; durations are integer microseconds (epoch_us both
+    engines), so only the final weighted mean is float. Top-25 via
+    TakeOrderedAndProject. Zero-duration segments (same-timestamp
+    events) carry no time weight and are excluded in both engines.
+    """
+    ev = Catalog(spark, sf_dir).events
+    t = epoch_us("ts")
+    w = Window.partitionBy("user_id").orderBy(t.asc(), F.col("event_id"))
+    stepped = ev.select(
+        "user_id",
+        "value",
+        (F.lead(t).over(w) - t).alias("dur"),
+    )
+    return (
+        stepped.filter(F.col("dur").isNotNull() & (F.col("dur") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dur").cast("double"))
+                / F.sum("dur").cast("double"),
+                6,
+            ).alias("twa_value"),
+            F.count("*").alias("n_segments"),
+        )
+        .orderBy(F.col("twa_value").desc(), "user_id")
+        .limit(25)
+    )
+
+
+# ------------------------------------------------ interval sweep-line stats
+
+
+@query(
+    "max_concurrent_intervals",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id, epoch_us(ts) AS t, 1 AS delta FROM events
+        UNION ALL
+        SELECT user_id, epoch_us(ts) + 1800000000 AS t, -1 AS delta
+        FROM events
+    ),
+    swept AS (
+        SELECT user_id,
+               SUM(delta) OVER (
+                   PARTITION BY user_id ORDER BY t, delta
+               ) AS conc
+        FROM pts
+    ),
+    per_user AS (
+        SELECT user_id, MAX(conc) AS max_conc FROM swept GROUP BY user_id
+    )
+    SELECT max_conc, COUNT(*) AS n_users
+    FROM per_user
+    GROUP BY max_conc
+    ORDER BY max_conc
+    """,
+    tags=("timeseries", "analytic"),
+)
+def max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line maximum concurrency: treat each event as a 30-minute
+    activity interval and find, per user, the peak number of
+    simultaneously-open intervals — then histogram users by that
+    peak (concurrent-session analysis without an O(n²) self-join).
+    Classic +1/−1 boundary-point trick: union starts and ends, one
+    keyed running sum, one max. All arithmetic is integer
+    microseconds. Ordering (t, delta) closes intervals before opening
+    new ones at the same instant (half-open [t, t+30 min)
+    semantics); the default RANGE window frame aggregates tied peers
+    identically in both engines. Scales as two keyed shuffles on
+    user_id — the sweep never leaves the key's partition.
+    """
+    ev = Catalog(spark, sf_dir).events
+    t = epoch_us("ts")
+    starts = ev.select(
+        "user_id", t.alias("t"), F.lit(1).alias("delta")
+    )
+    ends = ev.select(
+        "user_id",
+        (t + 1800000000).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    pts = starts.unionAll(ends)
+    w = Window.partitionBy("user_id").orderBy("t", "delta")
+    swept = pts.withColumn("conc", F.sum("delta").over(w))
+    per_user = swept.groupBy("user_id").agg(F.max("conc").alias("max_conc"))
+    return (
+        per_user.groupBy("max_conc")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("max_conc")
+    )

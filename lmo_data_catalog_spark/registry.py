@@ -42,7 +42,15 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 def load_all() -> None:
     """Import every query-definition module, populating REGISTRY."""
-    from .queries import advanced, breadth, core, llm, pipeline, shapes  # noqa: F401
+    from .queries import (  # noqa: F401
+        advanced,
+        breadth,
+        core,
+        llm,
+        pipeline,
+        shapes,
+        stats,
+    )
 
 
 load_all()
