@@ -37,6 +37,7 @@ ALLOWED_BNLJ = {
     "corpus_mixture_sample",  # 1-row grand token total
     "customer_rfm_segments",  # 1-row corpus-max-date + total attach
     "dormant_rich_customers",  # scalar-subquery broadcast
+    "lang_kl_by_source",  # 1-row corpus-total broadcast
     "orders_above_avg_price",  # scalar avg broadcast
     "pareto_part_classes",  # 1-row grand-total broadcast
     "resample_daily_orders",  # 1-row min/max spine bounds
