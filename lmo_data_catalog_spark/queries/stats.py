@@ -583,3 +583,285 @@ def max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("max_conc")
     )
+
+
+# ------------------------------------------------------ graph: PageRank
+
+
+@query(
+    "pagerank_part_cooccurrence",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM deg),
+    r1 AS (
+        SELECT e.dst AS node,
+               (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+               + CAST(0.85 AS DOUBLE) * SUM(r.rank / deg.d) AS rank
+        FROM edges e JOIN deg ON e.src = deg.src
+        JOIN r0 r ON r.node = e.src
+        GROUP BY e.dst
+    ),
+    r2 AS (
+        SELECT e.dst AS node,
+               (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+               + CAST(0.85 AS DOUBLE) * SUM(r.rank / deg.d) AS rank
+        FROM edges e JOIN deg ON e.src = deg.src
+        JOIN r1 r ON r.node = e.src
+        GROUP BY e.dst
+    ),
+    r3 AS (
+        SELECT e.dst AS node,
+               (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+               + CAST(0.85 AS DOUBLE) * SUM(r.rank / deg.d) AS rank
+        FROM edges e JOIN deg ON e.src = deg.src
+        JOIN r2 r ON r.node = e.src
+        GROUP BY e.dst
+    )
+    SELECT node AS p_partkey, ROUND(rank, 6) AS pagerank
+    FROM r3
+    ORDER BY p_partkey
+    """,
+    tags=("graph", "iterative"),
+)
+def pagerank_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-occurrence graph (parts are linked
+    when bought in the same order), 3 damped power-iteration rounds —
+    item centrality for recommendation-style ranking. Because the
+    round count is FIXED, the "iterative" algorithm is one lazy plan
+    AND expressible as an unrolled CTE chain, putting a graph
+    iteration under the value-exact differential (most iterative ops
+    get only the rows-only check). Per round: one keyed join + one
+    keyed aggregate (operators/graph.py::pagerank); the basket
+    self-join that builds the edges is the bounded-fanout
+    cooccurrence shape. Teleport constant written as
+    (1.0 − 0.85) in BOTH engines so the doubles agree bit-for-bit.
+    """
+    from ..operators.graph import pagerank
+
+    li = (
+        Catalog(spark, sf_dir)
+        .lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.toDF("l_orderkey", "src")
+    b = li.toDF("l_orderkey", "dst")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    ranks = pagerank(edges, n_iter=3, damping=0.85)
+    return ranks.select(
+        F.col("node").alias("p_partkey"),
+        F.round("rank", 6).alias("pagerank"),
+    ).orderBy("p_partkey")
+
+
+# ----------------------------------------------------- robust MAD outliers
+
+
+@query(
+    "mad_price_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.5) AS med
+        FROM orders GROUP BY o_orderpriority
+    ),
+    dev AS (
+        SELECT o.o_orderpriority, ABS(o_totalprice - med) AS d
+        FROM orders o JOIN med ON o.o_orderpriority = med.o_orderpriority
+    ),
+    mad AS (
+        SELECT o_orderpriority, quantile_cont(d, 0.5) AS mad
+        FROM dev GROUP BY o_orderpriority
+    )
+    SELECT dev.o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(mad), 6) AS mad,
+           SUM(CASE WHEN d > (CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE))
+                             * mad
+                    THEN 1 ELSE 0 END) AS n_outliers
+    FROM dev JOIN mad ON dev.o_orderpriority = mad.o_orderpriority
+    GROUP BY dev.o_orderpriority
+    ORDER BY dev.o_orderpriority
+    """,
+    tags=("analytic", "statistics", "robust"),
+)
+def mad_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen: median absolute deviation per order
+    priority, flagging orders beyond 3 robust standard deviations
+    (MAD × 1.4826 ≈ σ under normality) — the complement to
+    ``zscore_price_outliers`` that extreme values cannot corrupt,
+    since the median ignores them. Two exact-percentile passes
+    (median of price, then median of |price − median|) with the tiny
+    per-priority frames broadcast back between passes. The deviation
+    subtree feeds both the MAD aggregate and the outlier count; at
+    scale persist it (cache.track) instead of recomputing — here the
+    double scan is cheaper than the cache.
+    """
+    orders = Catalog(spark, sf_dir).orders
+    med = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    dev = orders.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("d"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.expr("percentile(d, 0.5)").alias("mad")
+    )
+    thresh = (F.lit(3.0) * F.lit(1.4826)) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("d") > thresh, 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------- Benford digit audit
+
+
+@query(
+    "benford_price_digits",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c
+        FROM orders WHERE o_totalprice > 0
+    ),
+    digits AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+               COUNT(*) AS n_obs
+        FROM cents GROUP BY 1
+    ),
+    tot AS (
+        SELECT digit, n_obs, SUM(n_obs) OVER () AS n FROM digits
+    )
+    SELECT digit, n_obs,
+           ROUND(LOG10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / digit),
+                 6) AS expected_share,
+           ROUND(((CAST(n_obs AS DOUBLE)
+                   - LOG10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / digit)
+                     * n)
+                  * (CAST(n_obs AS DOUBLE)
+                     - LOG10(CAST(1.0 AS DOUBLE)
+                             + CAST(1.0 AS DOUBLE) / digit) * n))
+                 / (LOG10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / digit)
+                    * n), 6) AS chi2_term
+    FROM tot
+    ORDER BY digit
+    """,
+    tags=("analytic", "data-quality"),
+)
+def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data screen for a data catalog's quality layer. The
+    first digit is taken from the DECIMAL CENTS integer (prices are
+    2 dp), never via floor(log10(x)): the float-log path misassigns
+    exact powers of ten when log10 lands one ulp under an integer,
+    and integer→string is bit-exact in both engines. Expected share
+    is log10(1 + 1/d); χ² terms are emitted per digit (sum them for
+    the test statistic). One map-side aggregate into 9 rows; the
+    window total runs over those 9 rows, not the table.
+    """
+    orders = Catalog(spark, sf_dir).orders
+    cents = orders.filter(F.col("o_totalprice") > 0).select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c")
+    )
+    digits = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    ).groupBy("digit").agg(F.count("*").alias("n_obs"))
+    tot = digits.withColumn(
+        "n", F.sum("n_obs").over(Window.partitionBy())
+    )
+    share = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    exp_n = share * F.col("n")
+    diff = F.col("n_obs").cast("double") - exp_n
+    return tot.select(
+        "digit",
+        "n_obs",
+        F.round(share, 6).alias("expected_share"),
+        F.round((diff * diff) / exp_n, 6).alias("chi2_term"),
+    ).orderBy("digit")
+
+
+# ------------------------------------------------------- event path mining
+
+
+@query(
+    "top_event_paths",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id
+               ) AS rn
+        FROM events
+    ),
+    firsts AS (
+        SELECT user_id,
+               MAX(CASE WHEN rn = 1 THEN event_type END) AS e1,
+               MAX(CASE WHEN rn = 2 THEN event_type END) AS e2,
+               MAX(CASE WHEN rn = 3 THEN event_type END) AS e3
+        FROM ordered WHERE rn <= 3
+        GROUP BY user_id
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           COUNT(*) AS n_users
+    FROM firsts
+    WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+    tags=("timeseries", "funnel"),
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common onboarding paths: each user's first three events as an
+    ordered 'a>b>c' string, counted across users — the path-mining
+    primitive behind funnel discovery (funnel_view_purchase checks a
+    KNOWN sequence; this FINDS the frequent ones). One keyed window
+    ranks per user (rn ≤ 3 filters map-side), a conditional-agg
+    pivot folds the triple into one row per user without
+    array_agg's nondeterministic ordering, and the path count is
+    map-side combinable with a TakeOrdered top-20.
+    """
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy(
+        epoch_us("ts").asc(), F.col("event_id")
+    )
+    ordered = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    firsts = ordered.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("e1"),
+        F.max(F.when(F.col("rn") == 2, F.col("event_type"))).alias("e2"),
+        F.max(F.when(F.col("rn") == 3, F.col("event_type"))).alias("e3"),
+    )
+    return (
+        firsts.filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path"),
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(20)
+    )
