@@ -865,3 +865,70 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "path")
         .limit(20)
     )
+
+
+# -------------------------------------------------- per-doc token entropy
+
+
+@query(
+    "token_entropy_per_doc",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+    ),
+    sums AS (
+        SELECT doc_id, SUM(c) AS t,
+               SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS s
+        FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, t AS n_tokens,
+           ROUND(LN(CAST(t AS DOUBLE)) - s / t, 6) AS token_entropy
+    FROM sums
+    WHERE t >= 10
+    ORDER BY doc_id
+    """,
+    tags=("llm", "quality"),
+)
+def token_entropy_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution entropy (nats) — the
+    repetitiveness quality signal orthogonal to dup_ngram_fraction:
+    low entropy means a few tokens dominate (boilerplate, keyword
+    stuffing) even when no n-gram literally repeats. Uses the
+    join-free identity H = ln(t) − Σc·ln(c)/t, so the whole signal
+    is ONE explode + two keyed aggregations on doc_id (the second is
+    map-side: counts for a doc land in one partition) — no
+    per-doc totals join. Everything is JVM expressions; tokens
+    follow the corpus convention (operators/text.py::tokens, same
+    split regex as the DuckDB oracle). Docs under 10 tokens are
+    excluded — their entropy is all small-sample noise.
+    """
+    from ..operators.text import tokens
+
+    docs = Catalog(spark, sf_dir).documents
+    words = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("w")
+    )
+    counts = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    cd = F.col("c").cast("double")
+    sums = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("t"),
+        F.sum(cd * F.log(cd)).alias("s"),
+    )
+    return (
+        sums.filter(F.col("t") >= 10)
+        .select(
+            "doc_id",
+            F.col("t").alias("n_tokens"),
+            F.round(
+                F.log(F.col("t").cast("double"))
+                - F.col("s") / F.col("t"),
+                6,
+            ).alias("token_entropy"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,198 @@
+"""Versioned parquet tables: snapshot isolation via a manifest log.
+
+Reference status: extension surface. The reference catalog
+(01_source_me.R:1-346) republishes its whole output annually with no
+history; a production catalog at 100 TB needs what the lakehouse
+formats provide — atomic commits, time travel, rollback — without
+rewriting data. This is the minimal manifest-log design those formats
+share (a Delta/Iceberg-lite, built on nothing but parquet + JSON):
+
+- Data files are IMMUTABLE. A commit writes new parquet files into
+  ``data/c<version>-<token>/`` and then publishes a JSON manifest
+  ``_versions/v<version>.json`` naming every live data directory.
+  Readers resolve a manifest and read exactly those files — never a
+  directory listing, so a half-written commit is invisible and S3-style
+  eventual listing consistency doesn't matter.
+- The manifest publish is a single atomic ``os.rename`` of a temp
+  file. Version numbers are dense integers; a writer that loses the
+  race to its version number raises ``CommitConflict`` (optimistic
+  concurrency, single-winner — retry by re-reading the head).
+- ``overwrite`` commits reference only the new files; ``append``
+  commits reference the parent's files plus the new ones. Both are
+  O(metadata): no data file is ever copied or rewritten.
+- ``rollback(v)`` is itself a new commit whose file list is version
+  v's — history is append-only, rollbacks are auditable, and
+  ``vacuum`` can still reclaim files unreferenced by retained heads.
+
+Scale notes: the manifest holds directory paths, not per-file lists,
+so it stays tiny regardless of file count; reads hand Spark an
+explicit path list (partition pruning and predicate pushdown apply
+per normal parquet scan); schema evolution across commits is read
+with ``mergeSchema``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published this version first; re-read and retry."""
+
+
+class VersionedTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self._versions_dir = os.path.join(self.root, "_versions")
+        self._data_dir = os.path.join(self.root, "data")
+        os.makedirs(self._versions_dir, exist_ok=True)
+        os.makedirs(self._data_dir, exist_ok=True)
+
+    # ------------------------------------------------------------ manifests
+
+    def versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self._versions_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def head(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._versions_dir, f"v{version:05d}.json")
+
+    def _load_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def _publish(self, version: int, manifest: dict) -> None:
+        """Atomic single-winner publish of one manifest version."""
+        final = self._manifest_path(version)
+        if os.path.exists(final):
+            raise CommitConflict(
+                f"version {version} already published at {final}"
+            )
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        try:
+            # Atomic on POSIX; os.rename refuses nothing, so guard the
+            # race by linking: link() fails with EEXIST if a concurrent
+            # writer won, leaving its manifest untouched.
+            os.link(tmp, final)
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"version {version} was published concurrently"
+            ) from e
+        finally:
+            os.unlink(tmp)
+
+    # -------------------------------------------------------------- writes
+
+    def commit(
+        self, df: DataFrame, *, mode: str = "append", operation: str | None = None
+    ) -> int:
+        """Write ``df`` as a new snapshot version; returns the version.
+
+        ``append`` carries forward the parent snapshot's files;
+        ``overwrite`` starts from only the new files. Data lands
+        before the manifest, so a crash mid-commit leaves orphan
+        files (reclaimed by vacuum) but never a corrupt table.
+        """
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        parent = self.head()
+        version = (parent or 0) + 1
+        cdir = f"c{version:05d}-{uuid.uuid4().hex[:8]}"
+        df.write.parquet(os.path.join(self._data_dir, cdir))
+        dirs = [cdir]
+        if mode == "append" and parent is not None:
+            dirs = self._load_manifest(parent)["data_dirs"] + dirs
+        self._publish(
+            version,
+            {
+                "version": version,
+                "parent": parent,
+                "operation": operation or mode,
+                "data_dirs": dirs,
+            },
+        )
+        return version
+
+    def rollback(self, to_version: int) -> int:
+        """Publish a new head whose snapshot is ``to_version``'s."""
+        old = self._load_manifest(to_version)
+        parent = self.head()
+        version = (parent or 0) + 1
+        self._publish(
+            version,
+            {
+                "version": version,
+                "parent": parent,
+                "operation": f"rollback({to_version})",
+                "data_dirs": old["data_dirs"],
+            },
+        )
+        return version
+
+    # --------------------------------------------------------------- reads
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read at ``version`` (default: current head).
+
+        mergeSchema unions columns across commits, so appends may add
+        columns without rewriting history (absent columns read NULL).
+        """
+        v = self.head() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no versions in {self.root}")
+        dirs = self._load_manifest(v)["data_dirs"]
+        paths = [os.path.join(self._data_dir, d) for d in dirs]
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    # -------------------------------------------------------------- vacuum
+
+    def vacuum(self, *, keep_last: int = 1) -> list[str]:
+        """Drop manifests beyond the last ``keep_last`` and delete data
+        directories no retained manifest references. Returns the
+        deleted directory names. Time travel earlier than the retained
+        window is gone after this — that's the storage/history trade.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        keep, drop = vs[-keep_last:], vs[:-keep_last]
+        live: set[str] = set()
+        for v in keep:
+            live.update(self._load_manifest(v)["data_dirs"])
+        removed = []
+        for d in os.listdir(self._data_dir):
+            if d not in live:
+                shutil.rmtree(os.path.join(self._data_dir, d))
+                removed.append(d)
+        for v in drop:
+            os.unlink(self._manifest_path(v))
+        return sorted(removed)
+
+    def history(self) -> list[dict]:
+        """Commit log, oldest first: version/parent/operation."""
+        out = []
+        for v in self.versions():
+            m = self._load_manifest(v)
+            out.append(
+                {
+                    "version": m["version"],
+                    "parent": m["parent"],
+                    "operation": m["operation"],
+                }
+            )
+        return out

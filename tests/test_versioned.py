@@ -1,0 +1,110 @@
+"""Versioned parquet table (sources/versioned.py): snapshot commits,
+time travel, rollback, optimistic-concurrency conflict, vacuum, and
+schema evolution — the sink/metadata surface the DuckDB oracle cannot
+reach, pinned here like the workbook sinks."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from lmo_data_catalog_spark.sources.versioned import (
+    CommitConflict,
+    VersionedTable,
+)
+
+
+def df_of(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+def rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    assert t.head() is None
+    v1 = t.commit(df_of(spark, [(1, "a"), (2, "b")], ["id", "val"]))
+    v2 = t.commit(df_of(spark, [(3, "c")], ["id", "val"]))
+    v3 = t.commit(
+        df_of(spark, [(9, "z")], ["id", "val"]), mode="overwrite"
+    )
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert rows_set(t.read(1)) == {(1, "a"), (2, "b")}
+    assert rows_set(t.read(2)) == {(1, "a"), (2, "b"), (3, "c")}
+    assert rows_set(t.read()) == {(9, "z")}
+    assert [h["operation"] for h in t.history()] == [
+        "append",
+        "append",
+        "overwrite",
+    ]
+
+
+def test_rollback_is_a_new_auditable_commit(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(df_of(spark, [(1, "a")], ["id", "val"]))
+    t.commit(df_of(spark, [(2, "b")], ["id", "val"]))
+    v = t.rollback(1)
+    assert v == 3 and t.head() == 3
+    assert rows_set(t.read()) == {(1, "a")}
+    # history keeps the bad version; nothing was deleted
+    assert rows_set(t.read(2)) == {(1, "a"), (2, "b")}
+    assert t.history()[-1]["operation"] == "rollback(1)"
+
+
+def test_concurrent_publish_single_winner(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(df_of(spark, [(1, "a")], ["id", "val"]))
+    # Two writers race for version 2 (both read head == 1): the first
+    # publish wins, the second raises and leaves the winner untouched.
+    winner = {"version": 2, "parent": 1, "operation": "append",
+              "data_dirs": t._load_manifest(1)["data_dirs"]}
+    t._publish(2, winner)
+    with pytest.raises(CommitConflict):
+        t._publish(2, {**winner, "operation": "loser"})
+    assert t.head() == 2
+    assert t._load_manifest(2)["operation"] == "append"
+    # The loser retries against the new head and lands as version 3.
+    v3 = t.commit(df_of(spark, [(3, "c")], ["id", "val"]))
+    assert v3 == 3
+    assert rows_set(t.read()) == {(1, "a"), (3, "c")}
+
+
+def test_vacuum_reclaims_unreferenced_files_only(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(df_of(spark, [(1, "a")], ["id", "val"]))
+    t.commit(df_of(spark, [(9, "z")], ["id", "val"]), mode="overwrite")
+    removed = t.vacuum(keep_last=1)
+    # v1's directory is gone, v2 still reads
+    assert len(removed) == 1
+    assert t.versions() == [2]
+    assert rows_set(t.read()) == {(9, "z")}
+    with pytest.raises(FileNotFoundError):
+        t._load_manifest(1)
+    # all remaining data dirs are referenced
+    live = set(t._load_manifest(2)["data_dirs"])
+    assert set(os.listdir(t._data_dir)) == live
+
+
+def test_schema_evolution_reads_null_for_missing_columns(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(df_of(spark, [(1, "a")], ["id", "val"]))
+    t.commit(df_of(spark, [(2, "b", 7.5)], ["id", "val", "score"]))
+    got = {
+        (r["id"], r["val"], r["score"]) for r in t.read().collect()
+    }
+    assert got == {(1, "a", None), (2, "b", 7.5)}
+
+
+def test_crash_mid_commit_leaves_readers_consistent(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(df_of(spark, [(1, "a")], ["id", "val"]))
+    # Simulate a crashed writer: data landed, manifest never published.
+    df_of(spark, [(99, "junk")], ["id", "val"]).write.parquet(
+        os.path.join(t._data_dir, "c99999-deadbeef")
+    )
+    assert rows_set(t.read()) == {(1, "a")}  # orphan invisible
+    removed = t.vacuum(keep_last=1)  # orphan reclaimed
+    assert removed == ["c99999-deadbeef"]
