@@ -99,7 +99,12 @@ class VersionedTable:
     # -------------------------------------------------------------- writes
 
     def commit(
-        self, df: DataFrame, *, mode: str = "append", operation: str | None = None
+        self,
+        df: DataFrame,
+        *,
+        mode: str = "append",
+        operation: str | None = None,
+        stats_col: str | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot version; returns the version.
 
@@ -107,6 +112,12 @@ class VersionedTable:
         ``overwrite`` starts from only the new files. Data lands
         before the manifest, so a crash mid-commit leaves orphan
         files (reclaimed by vacuum) but never a corrupt table.
+
+        ``stats_col`` records a zone map (min/max of that column) for
+        the new data directory in the manifest — one tiny aggregate at
+        commit time that lets :meth:`merge` skip directories whose key
+        range cannot intersect an update batch (the Delta/Iceberg
+        data-skipping idea at directory granularity).
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -115,8 +126,18 @@ class VersionedTable:
         cdir = f"c{version:05d}-{uuid.uuid4().hex[:8]}"
         df.write.parquet(os.path.join(self._data_dir, cdir))
         dirs = [cdir]
+        stats: dict[str, dict] = {}
+        if stats_col is not None:
+            from pyspark.sql import functions as F
+
+            row = df.agg(
+                F.min(stats_col).alias("mn"), F.max(stats_col).alias("mx")
+            ).collect()[0]
+            stats[cdir] = {"col": stats_col, "min": row["mn"], "max": row["mx"]}
         if mode == "append" and parent is not None:
-            dirs = self._load_manifest(parent)["data_dirs"] + dirs
+            pm = self._load_manifest(parent)
+            dirs = pm["data_dirs"] + dirs
+            stats = {**pm.get("stats", {}), **stats}
         self._publish(
             version,
             {
@@ -124,6 +145,112 @@ class VersionedTable:
                 "parent": parent,
                 "operation": operation or mode,
                 "data_dirs": dirs,
+                "stats": stats,
+            },
+        )
+        return version
+
+    def merge(
+        self,
+        updates: DataFrame | None,
+        key: str,
+        *,
+        deletes: DataFrame | None = None,
+        stats_col: str | None = None,
+    ) -> int:
+        """MERGE (upsert + delete) with zone-map directory pruning.
+
+        Semantics: rows of the head snapshot whose ``key`` appears in
+        ``updates`` (or ``deletes``) are replaced (or dropped); new
+        keys in ``updates`` are inserted. Copy-on-write at DIRECTORY
+        granularity: a directory whose recorded [min, max] zone map
+        cannot contain any touched key is carried forward verbatim —
+        no read, no rewrite — so a merge that touches one day of a
+        date-keyed table rewrites one day, not 100 TB. Directories
+        without a zone map (or with a different stats column) are
+        conservatively rewritten. The touched-key bound is the
+        batch's [min, max]; for sparse scattered keys a Bloom filter
+        per directory (operators/bloom.py) tightens the same test
+        without changing the contract.
+
+        ``updates``/``deletes`` are driver-side-bounded only in their
+        min/max aggregate; row data stays distributed throughout.
+        """
+        from pyspark.sql import functions as F
+
+        head = self.head()
+        if head is None:
+            raise FileNotFoundError(f"no versions in {self.root}")
+        touched = None
+        for batch in (updates, deletes):
+            if batch is None:
+                continue
+            r = batch.agg(
+                F.min(key).alias("mn"), F.max(key).alias("mx")
+            ).collect()[0]
+            if r["mn"] is None:
+                continue
+            lo, hi = r["mn"], r["mx"]
+            touched = (
+                (lo, hi)
+                if touched is None
+                else (min(touched[0], lo), max(touched[1], hi))
+            )
+        manifest = self._load_manifest(head)
+        stats = manifest.get("stats", {})
+        keep_dirs, rewrite_dirs = [], []
+        for d in manifest["data_dirs"]:
+            zm = stats.get(d)
+            prunable = (
+                touched is not None
+                and zm is not None
+                and zm.get("col") == key
+                and zm["min"] is not None
+                and (zm["max"] < touched[0] or zm["min"] > touched[1])
+            )
+            (keep_dirs if prunable else rewrite_dirs).append(d)
+        version = head + 1
+        new_dirs = list(keep_dirs)
+        new_stats = {d: stats[d] for d in keep_dirs if d in stats}
+        if rewrite_dirs or updates is not None:
+            parts = []
+            if rewrite_dirs:
+                old = self.spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self._data_dir, d) for d in rewrite_dirs]
+                )
+                gone = [
+                    b.select(F.col(key).alias("__k")).distinct()
+                    for b in (updates, deletes)
+                    if b is not None
+                ]
+                for g in gone:
+                    old = old.join(
+                        g, old[key] == g["__k"], "left_anti"
+                    )
+                parts.append(old)
+            if updates is not None:
+                parts.append(updates)
+            merged = parts[0]
+            for p in parts[1:]:
+                merged = merged.unionByName(p, allowMissingColumns=True)
+            cdir = f"c{version:05d}-{uuid.uuid4().hex[:8]}"
+            merged.write.parquet(os.path.join(self._data_dir, cdir))
+            new_dirs.append(cdir)
+            sc = stats_col or key
+            row = (
+                self.spark.read.parquet(os.path.join(self._data_dir, cdir))
+                .agg(F.min(sc).alias("mn"), F.max(sc).alias("mx"))
+                .collect()[0]
+            )
+            new_stats[cdir] = {"col": sc, "min": row["mn"], "max": row["mx"]}
+        self._publish(
+            version,
+            {
+                "version": version,
+                "parent": head,
+                "operation": f"merge(key={key})",
+                "data_dirs": new_dirs,
+                "stats": new_stats,
             },
         )
         return version

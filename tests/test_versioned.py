@@ -108,3 +108,62 @@ def test_crash_mid_commit_leaves_readers_consistent(spark, tmp_path):
     assert rows_set(t.read()) == {(1, "a")}  # orphan invisible
     removed = t.vacuum(keep_last=1)  # orphan reclaimed
     assert removed == ["c99999-deadbeef"]
+
+
+def test_merge_upserts_deletes_and_prunes_directories(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    # Three appends with disjoint key ranges, zone maps recorded.
+    t.commit(df_of(spark, [(i, "v1") for i in range(0, 10)],
+                   ["id", "val"]), stats_col="id")
+    t.commit(df_of(spark, [(i, "v1") for i in range(10, 20)],
+                   ["id", "val"]), stats_col="id")
+    t.commit(df_of(spark, [(i, "v1") for i in range(20, 30)],
+                   ["id", "val"]), stats_col="id")
+    before = t._load_manifest(3)["data_dirs"]
+
+    updates = df_of(spark, [(12, "NEW"), (14, "NEW"), (99, "INS")],
+                    ["id", "val"])
+    deletes = df_of(spark, [(13,)], ["id"])
+    v = t.merge(updates, "id", deletes=deletes)
+    assert v == 4
+
+    got = {(r["id"], r["val"]) for r in t.read().collect()}
+    want = {(i, "v1") for i in range(0, 30) if i not in (12, 13, 14)}
+    want |= {(12, "NEW"), (14, "NEW"), (99, "INS")}
+    assert got == want
+
+    # Dirs 1 and 3 (ranges 0-9, 20-29) are outside [12, 99]... range
+    # [20, 29] overlaps [12, 99], so only dir 1 is pruned; dirs 2+3
+    # rewritten into the merge directory.
+    after = t._load_manifest(4)["data_dirs"]
+    assert before[0] in after          # 0-9 carried forward verbatim
+    assert before[1] not in after      # 10-19 rewritten
+    assert before[2] not in after      # 20-29 overlaps the batch range
+    # pruned directory keeps its zone map
+    zm = t._load_manifest(4)["stats"][before[0]]
+    assert (zm["min"], zm["max"]) == (0, 9)
+
+
+def test_merge_prunes_everything_outside_a_tight_batch(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    for lo in (0, 10, 20):
+        t.commit(df_of(spark, [(i, "v1") for i in range(lo, lo + 10)],
+                       ["id", "val"]), stats_col="id")
+    before = t._load_manifest(3)["data_dirs"]
+    v = t.merge(df_of(spark, [(15, "NEW")], ["id", "val"]), "id")
+    after = t._load_manifest(v)["data_dirs"]
+    # Only the middle directory intersects [15, 15].
+    assert before[0] in after and before[2] in after
+    assert before[1] not in after
+    got = {(r["id"], r["val"]) for r in t.read().collect()}
+    assert (15, "NEW") in got and len(got) == 30
+
+
+def test_merge_delete_only(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(df_of(spark, [(1, "a"), (2, "b"), (3, "c")],
+                   ["id", "val"]), stats_col="id")
+    v = t.merge(None, "id", deletes=df_of(spark, [(2,)], ["id"]))
+    assert {(r["id"], r["val"]) for r in t.read(v).collect()} == {
+        (1, "a"), (3, "c")
+    }
