@@ -286,6 +286,39 @@ class VersionedTable:
         paths = [os.path.join(self._data_dir, d) for d in dirs]
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
+    def read_range(
+        self, key: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """Zone-map-pruned snapshot read: only the directories whose
+        recorded [min, max] for ``key`` can intersect [lo, hi].
+        Directories without a zone map for ``key`` are conservatively
+        included, so the result always contains every row with
+        ``key`` ∈ [lo, hi] (it may contain others — filter if exact
+        bounds matter). This is the READ half of what :meth:`merge`
+        does for writes; an incremental consumer touching one key
+        range scans one range's directories, not the table.
+        """
+        v = self.head() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no versions in {self.root}")
+        m = self._load_manifest(v)
+        stats = m.get("stats", {})
+        dirs = []
+        for d in m["data_dirs"]:
+            zm = stats.get(d)
+            prunable = (
+                zm is not None
+                and zm.get("col") == key
+                and zm["min"] is not None
+                and (zm["max"] < lo or zm["min"] > hi)
+            )
+            if not prunable:
+                dirs.append(d)
+        if not dirs:
+            return self.read(v).limit(0)
+        paths = [os.path.join(self._data_dir, d) for d in dirs]
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
     # -------------------------------------------------------------- vacuum
 
     def vacuum(self, *, keep_last: int = 1) -> list[str]:

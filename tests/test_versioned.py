@@ -167,3 +167,19 @@ def test_merge_delete_only(spark, tmp_path):
     assert {(r["id"], r["val"]) for r in t.read(v).collect()} == {
         (1, "a"), (3, "c")
     }
+
+
+def test_read_range_prunes_by_zone_map(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    for lo in (0, 10, 20):
+        t.commit(df_of(spark, [(i, "v") for i in range(lo, lo + 10)],
+                       ["id", "val"]), stats_col="id")
+    # range confined to the middle directory
+    mid = t.read_range("id", 12, 17)
+    assert {r["id"] for r in mid.collect()} == set(range(10, 20))
+    # spanning two directories
+    two = t.read_range("id", 5, 15)
+    assert {r["id"] for r in two.collect()} == set(range(0, 20))
+    # disjoint from everything -> empty (schema preserved)
+    none = t.read_range("id", 1000, 2000)
+    assert none.count() == 0 and none.columns == ["id", "val"]
