@@ -55,6 +55,7 @@ def update_incremental_agg(
     *,
     keys: list[str],
     specs: dict[str, tuple[str, ...]],
+    operation: str | None = None,
 ) -> int:
     """Fold one append batch into the aggregate state table.
 
@@ -73,7 +74,9 @@ def update_incremental_agg(
     part = _partial(batch, keys, specs)
     if table.head() is None:
         return table.commit(
-            part.sort(*keys), stats_col=key, operation="incremental-init"
+            part.sort(*keys),
+            stats_col=key,
+            operation=operation or "incremental-init",
         )
     bounds = part.agg(
         F.min(key).alias("mn"), F.max(key).alias("mx")
@@ -83,7 +86,7 @@ def update_incremental_agg(
     state = table.read_range(key, bounds["mn"], bounds["mx"])
     touched = state.join(part.select(*keys).distinct(), keys, "semi")
     new_rows = _merge_states(touched, part, keys, specs)
-    return table.merge(new_rows.sort(*keys), key)
+    return table.merge(new_rows.sort(*keys), key, operation=operation)
 
 
 def read_aggregate(

