@@ -932,3 +932,124 @@ def token_entropy_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ----------------------------------------------- concentration: HHI / top-1%
+
+
+@query(
+    "hhi_source_concentration",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, source, COUNT(*) AS c
+        FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+        SELECT lang, SUM(c) AS t, COUNT(*) AS n_sources,
+               SUM(c * c) AS s2
+        FROM counts GROUP BY lang
+    )
+    SELECT lang, n_sources,
+           ROUND(CAST(s2 AS DOUBLE)
+                 / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS hhi
+    FROM tot
+    ORDER BY lang
+    """,
+    tags=("llm", "corpus-balance"),
+)
+def hhi_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of each language's source
+    mix: HHI = Σ(cᵢ/t)² — 1/n_sources when perfectly balanced, 1.0
+    when one source owns the language. Unlike the entropy variant
+    this is PURE RATIONAL arithmetic (Σcᵢ² and t² are integers; the
+    only float op is one division), so the value is bit-identical
+    cross-engine by construction, no log-ulp caveat. Two bounded
+    aggregations, zero joins. At extreme counts (t > ~3·10⁹) move the
+    squaring after the cast to double, as written here.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    counts = docs.groupBy("lang", "source").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("lang").agg(
+        F.sum("c").alias("t"),
+        F.count("*").alias("n_sources"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    td = F.col("t").cast("double")
+    return tot.select(
+        "lang",
+        "n_sources",
+        F.round(F.col("s2").cast("double") / (td * td), 6).alias("hhi"),
+    ).orderBy("lang")
+
+
+@query(
+    "top1pct_revenue_share",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT spend,
+               ROW_NUMBER() OVER (ORDER BY spend DESC, o_custkey) AS rn
+        FROM spend
+    ),
+    tot AS (SELECT COUNT(*) AS n, SUM(spend) AS total FROM spend)
+    SELECT n AS n_customers,
+           CAST(FLOOR((CAST(n AS DOUBLE) + 99.0) / 100.0) AS BIGINT)
+               AS top_pct_customers,
+           ROUND(CAST(SUM(CASE WHEN rn <= CAST(FLOOR(
+                           (CAST(n AS DOUBLE) + 99.0) / 100.0) AS BIGINT)
+                      THEN spend END) AS DOUBLE)
+                 / CAST(MIN(total) AS DOUBLE), 6) AS top_share
+    FROM ranked CROSS JOIN tot
+    GROUP BY n
+    """,
+    tags=("analytic", "concentration"),
+)
+def top1pct_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the share of total spend held by the
+    top 1% of customers (k = ⌈n/100⌉, ties broken by custkey) — the
+    whale-curve number behind account-tiering decisions. Spends are
+    summed in DECIMAL so the ranking is summation-order-independent
+    (the shapes.py monetary convention), and the global rank uses
+    ``global_row_number`` — per-bucket sorts + broadcast offsets, no
+    single-task window — so the plan holds at any customer count.
+    The 1-row totals frame is a broadcast scalar attach.
+    """
+    from ..operators.windows import global_row_number
+
+    orders = Catalog(spark, sf_dir).orders
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    ranked = global_row_number(
+        spend,
+        value_col="spend",
+        ascending=False,
+        tiebreak_cols=["o_custkey"],
+        name="rn",
+    )
+    tot = spend.agg(
+        F.count("*").alias("n"), F.sum("spend").alias("total")
+    )
+    k = F.floor((F.col("n").cast("double") + 99.0) / 100.0).cast("long")
+    return (
+        ranked.join(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.min(k).alias("top_pct_customers"),
+            F.round(
+                F.sum(F.when(F.col("rn") <= k, F.col("spend")))
+                .cast("double")
+                / F.min("total").cast("double"),
+                6,
+            ).alias("top_share"),
+        )
+        .select(
+            F.col("n").alias("n_customers"),
+            "top_pct_customers",
+            "top_share",
+        )
+    )

@@ -40,6 +40,7 @@ ALLOWED_BNLJ = {
     "lang_kl_by_source",  # 1-row corpus-total broadcast
     "orders_above_avg_price",  # scalar avg broadcast
     "pareto_part_classes",  # 1-row grand-total broadcast
+    "top1pct_revenue_share",  # 1-row customer-count/total attach
     "resample_daily_orders",  # 1-row min/max spine bounds
     "tfidf_top_terms",  # 1-row doc-count broadcast
     "trailing_7d_distinct_users",  # 1-row spine bounds
