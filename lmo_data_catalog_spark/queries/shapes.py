@@ -1,5 +1,5 @@
-"""Decision-support query shapes (TPC-H Q2/Q12/Q14/Q15/Q17/Q18/Q19/Q20
-analogues over the testdata schema) plus corpus-statistics pipeline ops
+"""Decision-support query shapes (TPC-H Q2/Q4/Q7/Q8/Q12/Q14/Q15/Q17/
+Q18/Q19/Q20/Q21 analogues over the testdata schema) plus corpus-statistics pipeline ops
 (PMI collocations, per-label embedding centroids).
 
 Reference status: extension surface. The reference
@@ -1083,4 +1083,325 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg("__r_rn").alias("r_seg"),
         seg("__f_rn").alias("f_seg"),
         seg("__m_rn").alias("m_seg"),
+    )
+
+
+# ------------------------------------------------- Q4: late-order priorities
+
+_DEC_REV = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * CAST(1 - l_discount AS DECIMAL(6,4))"
+)
+
+
+@query(
+    "late_order_priority_counts",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1997-01-01'
+      AND o.o_orderdate <  DATE '1997-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("analytic", "semi-join"),
+)
+def late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: this schema has no commitdate, so
+    "late" = a lineitem shipped >90 days after the order date): how
+    many of a quarter's orders, per priority, had a late shipment.
+    The EXISTS is a left-semi join on orderkey with the lateness
+    predicate as a join-side condition — Spark hash-semi-joins on the
+    equi part and applies the date filter inside the join, never
+    materializing the match multiplicity. The quarter filter prunes
+    the orders scan before the join at any scale.
+    """
+    cat = Catalog(spark, sf_dir)
+    orders = cat.orders.filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = cat.lineitem.select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------- Q7: nation-pair trade volume
+
+
+@query(
+    "nation_pair_trade_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(ROUND(SUM(volume), 4) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               EXTRACT(year FROM l.l_shipdate) AS l_year,
+               {_DEC_REV} AS volume
+        FROM supplier s, lineitem l, orders o, customer c,
+             nation n1, nation n2
+        WHERE s.s_suppkey = l.l_suppkey
+          AND o.o_orderkey = l.l_orderkey
+          AND c.c_custkey = o.o_custkey
+          AND s.s_nationkey = n1.n_nationkey
+          AND c.c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("analytic", "multi-join"),
+)
+def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: yearly shipping volume between two nations in
+    both directions. The 25-row nation dim is broadcast onto supplier
+    and customer FIRST, shrinking both to the two relevant nations
+    before any fact join; the cross-nation disjunction (which couples
+    the two sides) is applied after the last keyed join, when every
+    surviving row already belongs to the 2×2 nation candidate set.
+    Revenue summed in DECIMAL (exact, order-independent), cast to
+    double only for output — the shapes.py monetary convention.
+    """
+    cat = Catalog(spark, sf_dir)
+    pair = ("NATION_1", "NATION_2")
+    nat = cat.nation.filter(F.col("n_name").isin(*pair))
+    supp = (
+        cat.supplier.join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        cat.customer.join(
+            F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    vol = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
+    )
+    joined = (
+        cat.lineitem.join(
+            supp, F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == pair[0])
+                & (F.col("cust_nation") == pair[1])
+            )
+            | (
+                (F.col("supp_nation") == pair[1])
+                & (F.col("cust_nation") == pair[0])
+            )
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            vol.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(F.sum("volume"), 4).cast("double").alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ----------------------------------------------------- Q8: market share
+
+
+@query(
+    "nation_market_share",
+    oracle=f"""
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+        SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+               {_DEC_REV} AS volume,
+               n2.n_name AS nation
+        FROM part p, lineitem l, orders o, customer c, supplier s,
+             nation n1, region r, nation n2
+        WHERE p.p_partkey = l.l_partkey
+          AND l.l_orderkey = o.o_orderkey
+          AND o.o_custkey = c.c_custkey
+          AND c.c_nationkey = n1.n_nationkey
+          AND n1.n_regionkey = r.r_regionkey
+          AND r.r_name = 'AMERICA'
+          AND s.s_suppkey = l.l_suppkey
+          AND s.s_nationkey = n2.n_nationkey
+          AND p.p_type = 'PROMO'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tags=("analytic", "multi-join"),
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's yearly share of the PROMO-part
+    market sold into AMERICA-region customers. An 8-table join where
+    plan order is the whole game: part is filtered to one type and
+    joined FIRST (it prunes the fact hardest), the region→nation
+    customer gate and the supplier→nation attach use broadcast of the
+    non-scaling dims, and the share is one conditional aggregation
+    over the surviving rows. DECIMAL volume; double only at the final
+    division.
+    """
+    cat = Catalog(spark, sf_dir)
+    nat = cat.nation
+    amer_nations = nat.join(
+        F.broadcast(cat.region.filter(F.col("r_name") == "AMERICA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("__amer_nk"))
+    cust = cat.customer.join(
+        F.broadcast(amer_nations),
+        F.col("c_nationkey") == F.col("__amer_nk"),
+        "left_semi",
+    ).select("c_custkey")
+    supp = cat.supplier.join(
+        F.broadcast(nat.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    promo = cat.part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    vol = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
+    )
+    rows = (
+        cat.lineitem.join(
+            promo, F.col("l_partkey") == F.col("p_partkey"), "inner"
+        )
+        .join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        rows.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("nation") == "NATION_3", F.col("volume"))
+                    .otherwise(zero)
+                ).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ------------------------------------------- Q21: sole late supplier
+
+
+@query(
+    "sole_late_supplier",
+    oracle="""
+    WITH l1 AS (
+        SELECT l.l_orderkey, l.l_suppkey, o.o_orderdate
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s.s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+    FROM l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 25
+    """,
+    tags=("analytic", "semi-join", "anti-join"),
+)
+def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (lateness adapted to shipdate − orderdate >
+    90 days): suppliers who were the ONLY late supplier on finished
+    multi-supplier orders — the classic EXISTS / NOT-EXISTS double
+    correlated subquery, compiled to one left-semi plus one
+    left-anti hash join on orderkey (the non-equi supplier
+    inequality rides inside each join), so the whole query is three
+    keyed shuffles on orderkey plus the supplier-name attach. The
+    DISTINCT order count makes the result independent of how many of
+    a supplier's lines in the same order were late.
+    """
+    cat = Catalog(spark, sf_dir)
+    finished = cat.orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = cat.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    late1 = (
+        li.join(finished, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("__ok2"), F.col("l_suppkey").alias("__sk2")
+    )
+    with_other = late1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("__ok2"))
+        & (F.col("l_suppkey") != F.col("__sk2")),
+        "left_semi",
+    )
+    late3 = late1.select(
+        F.col("l_orderkey").alias("__ok3"),
+        F.col("l_suppkey").alias("__sk3"),
+    )
+    sole = with_other.join(
+        late3,
+        (F.col("l_orderkey") == F.col("__ok3"))
+        & (F.col("l_suppkey") != F.col("__sk3")),
+        "left_anti",
+    )
+    return (
+        sole.join(
+            cat.supplier, F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
     )
