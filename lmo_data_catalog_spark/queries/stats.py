@@ -1053,3 +1053,116 @@ def top1pct_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_share",
         )
     )
+
+
+# ------------------------------------- recursive CTE / lateral SQL surface
+
+
+@query(
+    "reachable_event_types",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id
+               ) AS next_type
+        FROM events
+    ),
+    edges AS (
+        SELECT DISTINCT event_type AS src, next_type AS dst
+        FROM ordered
+        WHERE next_type IS NOT NULL AND next_type <> event_type
+    ),
+    paths(src, dst, hops) AS (
+        SELECT src, dst, 1 FROM edges
+        UNION ALL
+        SELECT p.src, e.dst, p.hops + 1
+        FROM paths p JOIN edges e ON p.dst = e.src
+        WHERE p.hops < 4
+    )
+    SELECT src, dst, MIN(hops) AS min_hops
+    FROM paths
+    GROUP BY src, dst
+    ORDER BY src, dst
+    """,
+    tags=("graph", "recursive-cte"),
+)
+def reachable_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded transitive closure via WITH RECURSIVE (new in Spark
+    4.0): which event types are reachable from which through observed
+    user transitions, and in how few hops. The recursion is
+    depth-capped (hops < 4), so termination is by construction even
+    on cyclic transition graphs, and the UNION ALL + MIN(hops)
+    formulation gives both engines identical semantics (recursive
+    UNION-dedup support differs across engines; aggregation outside
+    doesn't). The edge list is the per-user LEAD window contracted to
+    DISTINCT type pairs — bounded by |types|², so each recursive step
+    is a tiny join no matter the corpus size; the expensive pass (the
+    keyed window over events) runs exactly once.
+    """
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy(
+        epoch_us("ts").asc(), F.col("event_id")
+    )
+    edges = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .distinct()
+    )
+    edges.createOrReplaceTempView("__reach_edges")
+    return spark.sql("""
+        WITH RECURSIVE paths(src, dst, hops) AS (
+            SELECT src, dst, 1 FROM __reach_edges
+            UNION ALL
+            SELECT p.src, e.dst, p.hops + 1
+            FROM paths p JOIN __reach_edges e ON p.dst = e.src
+            WHERE p.hops < 4
+        )
+        SELECT src, dst, MIN(hops) AS min_hops
+        FROM paths
+        GROUP BY src, dst
+        ORDER BY src, dst
+    """)
+
+
+@query(
+    "lateral_top_customers_per_nation",
+    oracle="""
+    SELECT n.n_name, t.c_name, ROUND(t.c_acctbal, 2) AS acctbal
+    FROM nation n, LATERAL (
+        SELECT c_name, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2
+    ) t
+    ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+    """,
+    tags=("analytic", "lateral"),
+)
+def lateral_top_customers_per_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Correlated LATERAL subquery (per-nation top-2 customers by
+    balance) — the SQL-standard spelling of top-N-per-group, run
+    through ``spark.sql`` to pin the engine's lateral-join surface.
+    Catalyst decorrelates it into the same ranked-window plan the
+    DataFrame API would build; the point of the query is that the
+    LATERAL form round-trips the differential, not a new plan shape.
+    Deterministic: balance ties broken by custkey inside the lateral,
+    names in the outer ordering.
+    """
+    Catalog(spark, sf_dir).register_all()
+    return spark.sql("""
+        SELECT n.n_name, t.c_name, ROUND(t.c_acctbal, 2) AS acctbal
+        FROM nation n, LATERAL (
+            SELECT c_name, c_acctbal FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+    """)
