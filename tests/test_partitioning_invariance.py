@@ -40,6 +40,15 @@ SENSITIVE = [
     # r6: multiprobe top-k ties broken on (cosine, vec_id) must not
     # move when candidate arrival order changes
     "ann_lsh_multiprobe",
+    # r6 stats module: A-ES weighted top-k ranks on a log expression;
+    # the whale-curve share ranks DECIMAL sums through the bucketed
+    # global row_number; TWA ranks a float ratio; PageRank's rank
+    # vector is a 3-round float fixpoint — all rank/sum shapes whose
+    # answers must not move with layout
+    "weighted_sample_docs",
+    "top1pct_revenue_share",
+    "time_weighted_avg_value",
+    "pagerank_part_cooccurrence",
 ]
 
 
