@@ -425,3 +425,80 @@ def test_connected_components_matches_union_find(spark, edges):
         ).collect()
     }
     assert got == want
+
+
+# ------------------------------------------------ sweep-line max concurrency
+
+
+@prop
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),       # user
+            st.integers(min_value=0, max_value=50),      # start time
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    dur=st.integers(min_value=1, max_value=20),
+)
+def test_sweep_line_matches_brute_force_overlap(spark, events, dur):
+    """The +1/−1 running-sum sweep must equal the brute-force per-user
+    max over time points of |intervals covering t| — including
+    half-open [t, t+dur) boundary semantics (an interval ending at t
+    does not overlap one starting at t)."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(events, ["u", "t"])
+    starts = df.select("u", "t", F.lit(1).alias("d"))
+    ends = df.select("u", (F.col("t") + dur).alias("t"), F.lit(-1).alias("d"))
+    w = Window.partitionBy("u").orderBy("t", "d")
+    got = {
+        r["u"]: r["mx"]
+        for r in starts.unionAll(ends)
+        .withColumn("c", F.sum("d").over(w))
+        .groupBy("u")
+        .agg(F.max("c").alias("mx"))
+        .collect()
+    }
+    want = {}
+    for u in {u for u, _ in events}:
+        ts = [t for uu, t in events if uu == u]
+        # max coverage is attained at some interval start
+        want[u] = max(
+            sum(1 for t2 in ts if t2 <= t < t2 + dur) for t in ts
+        )
+    assert got == want
+
+
+# -------------------------------------------------------- Gini rank formula
+
+
+@prop
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=1000), min_size=1, max_size=12
+    )
+)
+def test_gini_rank_formula_matches_definition(spark, counts):
+    """G = (2·Σi·cᵢ − (n+1)·Σcᵢ)/(n·Σcᵢ) on ascending-sorted counts
+    must equal the mean-absolute-difference definition
+    G = Σᵢⱼ|cᵢ−cⱼ| / (2n²·mean)."""
+    from pyspark.sql import Window
+
+    rows = [(f"s{i}", c) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, ["source", "c"])
+    w = Window.orderBy("c", "source")
+    ranked = df.withColumn("i", F.row_number().over(w))
+    got = ranked.agg(
+        (
+            (2 * F.sum(F.col("i") * F.col("c")) - (F.count("*") + 1) * F.sum("c"))
+            .cast("double")
+            / (F.count("*") * F.sum("c"))
+        ).alias("g")
+    ).first()["g"]
+    n = len(counts)
+    mean = sum(counts) / n
+    mad = sum(abs(a - b) for a in counts for b in counts)
+    want = mad / (2 * n * n * mean)
+    assert got == pytest.approx(want, rel=1e-12, abs=1e-12)
