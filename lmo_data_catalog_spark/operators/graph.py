@@ -44,10 +44,14 @@ def pagerank(
     add — so cross-engine drift is limited to summation-order ulps,
     absorbed by the caller's final ROUND.
     """
+    from .. import cache
+
     deg = edges.groupBy(src).agg(F.count("*").alias("__deg"))
-    # Edge list annotated with the source's out-degree; reused every
-    # round, worth materializing once for many rounds.
-    ed = edges.join(deg, src)
+    # Edge list annotated with the source's out-degree. Every round's
+    # plan references it, and Catalyst does not dedupe shared
+    # subtrees — without a persist the (possibly expensive) edge
+    # build would re-execute once per round inside the final action.
+    ed = cache.track(edges.join(deg, src))
     ranks = deg.select(
         F.col(src).alias("node"), F.lit(1.0).alias("rank")
     )
