@@ -102,3 +102,46 @@ def bloom_might_contain(
         hit = bit == 1
         cond = hit if cond is None else (cond & hit)
     return cond
+
+
+def build_bloom_bitset_agg(
+    df, col: str, *, m_bits: int = 8192, k: int = 3
+) -> list[int]:
+    """Distributed Bloom build: the aggregation swap the module
+    docstring prescribes for value sets too big to collect. Each row
+    contributes k seeded xxhash64 positions (values cast to string so
+    any key type probes identically); positions fold into
+    ``m_bits/64`` words via a map-side-combinable BIT_OR, and only
+    those words reach the driver. Probe with ``bloom_might_contain``
+    on the SAME cast-to-string column — hashing is bit-identical to
+    the driver-side builder by construction.
+    """
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    c = F.col(col).cast("string")
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m_bits))
+                for i in range(k)
+            ]
+        )
+    ).alias("p")
+    words = (
+        df.select(pos)
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod(F.col("p"), F.lit(64)).cast("int"),
+            ).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    out = [0] * (m_bits // 64)
+    for r in words:
+        out[r["w"]] = r["bits"]
+    return out

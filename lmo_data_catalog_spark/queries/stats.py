@@ -1101,11 +1101,13 @@ def reachable_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a tiny join no matter the corpus size; the expensive pass (the
     keyed window over events) runs exactly once.
     """
+    from .. import cache
+
     ev = Catalog(spark, sf_dir).events
     w = Window.partitionBy("user_id").orderBy(
         epoch_us("ts").asc(), F.col("event_id")
     )
-    edges = (
+    edges = cache.track(
         ev.select(
             F.col("event_type").alias("src"),
             F.lead("event_type").over(w).alias("dst"),
@@ -1113,6 +1115,9 @@ def reachable_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
         .distinct()
     )
+    # persist before registering: the view is referenced once per
+    # recursion depth, and without it each step re-runs the 1M-row
+    # window that builds the (tiny) edge list.
     edges.createOrReplaceTempView("__reach_edges")
     return spark.sql("""
         WITH RECURSIVE paths(src, dst, hops) AS (

@@ -105,6 +105,7 @@ class VersionedTable:
         mode: str = "append",
         operation: str | None = None,
         stats_col: str | None = None,
+        bloom_bits: int | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot version; returns the version.
 
@@ -117,7 +118,12 @@ class VersionedTable:
         the new data directory in the manifest — one tiny aggregate at
         commit time that lets :meth:`merge` skip directories whose key
         range cannot intersect an update batch (the Delta/Iceberg
-        data-skipping idea at directory granularity).
+        data-skipping idea at directory granularity). ``bloom_bits``
+        additionally records an m-bit Bloom filter of the column
+        (distributed BIT_OR build, ~m/8 bytes of manifest) so merge
+        can prune a directory even when a SPARSE batch's [min, max]
+        envelope spans it — the zone map answers ranges, the Bloom
+        answers membership.
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -134,6 +140,15 @@ class VersionedTable:
                 F.min(stats_col).alias("mn"), F.max(stats_col).alias("mx")
             ).collect()[0]
             stats[cdir] = {"col": stats_col, "min": row["mn"], "max": row["mx"]}
+            if bloom_bits:
+                from ..operators.bloom import build_bloom_bitset_agg
+
+                stats[cdir]["bloom"] = {
+                    "k": 3,
+                    "words": build_bloom_bitset_agg(
+                        df, stats_col, m_bits=bloom_bits
+                    ),
+                }
         if mode == "append" and parent is not None:
             pm = self._load_manifest(parent)
             dirs = pm["data_dirs"] + dirs
@@ -158,6 +173,7 @@ class VersionedTable:
         deletes: DataFrame | None = None,
         stats_col: str | None = None,
         operation: str | None = None,
+        bloom_bits: int | None = None,
     ) -> int:
         """MERGE (upsert + delete) with zone-map directory pruning.
 
@@ -170,9 +186,15 @@ class VersionedTable:
         date-keyed table rewrites one day, not 100 TB. Directories
         without a zone map (or with a different stats column) are
         conservatively rewritten. The touched-key bound is the
-        batch's [min, max]; for sparse scattered keys a Bloom filter
-        per directory (operators/bloom.py) tightens the same test
-        without changing the contract.
+        batch's [min, max]; when a directory also carries a Bloom
+        filter (``bloom_bits`` at commit/merge time), a sparse
+        scattered batch whose envelope spans the directory can still
+        prune it: the batch keys are probed against the directory's
+        bitset (one tiny Spark job per candidate directory, batch
+        keys never collected) and a zero-hit directory is carried
+        forward. False positives only cost an unnecessary rewrite;
+        false negatives are impossible for recorded keys, so
+        correctness never depends on the filter.
 
         ``updates``/``deletes`` are driver-side-bounded only in their
         min/max aggregate; row data stays distributed throughout.
@@ -210,6 +232,42 @@ class VersionedTable:
                 and (zm["max"] < touched[0] or zm["min"] > touched[1])
             )
             (keep_dirs if prunable else rewrite_dirs).append(d)
+        if touched is not None and rewrite_dirs:
+            # Bloom pass: range-overlapping dirs with a bitset can
+            # still prove no batch key lives there.
+            from ..operators.bloom import bloom_might_contain
+
+            frames = [
+                b.select(F.col(key).cast("string").alias("__k"))
+                for b in (updates, deletes)
+                if b is not None
+            ]
+            keys_df = frames[0]
+            for fdf in frames[1:]:
+                keys_df = keys_df.unionByName(fdf)
+            keys_df = keys_df.distinct().persist()
+            try:
+                still = []
+                for d in rewrite_dirs:
+                    zm = stats.get(d)
+                    bl = (zm or {}).get("bloom")
+                    if bl and zm.get("col") == key:
+                        hit = (
+                            keys_df.filter(
+                                bloom_might_contain(
+                                    F.col("__k"), bl["words"], k=bl["k"]
+                                )
+                            )
+                            .limit(1)
+                            .count()
+                        )
+                        if hit == 0:
+                            keep_dirs.append(d)
+                            continue
+                    still.append(d)
+                rewrite_dirs = still
+            finally:
+                keys_df.unpersist()
         version = head + 1
         new_dirs = list(keep_dirs)
         new_stats = {d: stats[d] for d in keep_dirs if d in stats}
@@ -244,6 +302,19 @@ class VersionedTable:
                 .collect()[0]
             )
             new_stats[cdir] = {"col": sc, "min": row["mn"], "max": row["mx"]}
+            if bloom_bits:
+                from ..operators.bloom import build_bloom_bitset_agg
+
+                new_stats[cdir]["bloom"] = {
+                    "k": 3,
+                    "words": build_bloom_bitset_agg(
+                        self.spark.read.parquet(
+                            os.path.join(self._data_dir, cdir)
+                        ),
+                        sc,
+                        m_bits=bloom_bits,
+                    ),
+                }
         self._publish(
             version,
             {
@@ -268,6 +339,7 @@ class VersionedTable:
                 "parent": parent,
                 "operation": f"rollback({to_version})",
                 "data_dirs": old["data_dirs"],
+                "stats": old.get("stats", {}),
             },
         )
         return version

@@ -183,3 +183,47 @@ def test_read_range_prunes_by_zone_map(spark, tmp_path):
     # disjoint from everything -> empty (schema preserved)
     none = t.read_range("id", 1000, 2000)
     assert none.count() == 0 and none.columns == ["id", "val"]
+
+
+def test_bloom_prunes_range_spanning_sparse_batch(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    for lo in (0, 100, 200):
+        t.commit(
+            df_of(spark, [(i, "v") for i in range(lo, lo + 10)],
+                  ["id", "val"]),
+            stats_col="id",
+            bloom_bits=1024,
+        )
+    before = t._load_manifest(3)["data_dirs"]
+    # Batch keys {15, 205}: the [15, 205] envelope SPANS dir 2
+    # (100-109), but neither key is in it — only the Bloom can prove
+    # that. Key 15 hits nothing (insert); 205 rewrites dir 3.
+    v = t.merge(
+        df_of(spark, [(15, "NEW"), (205, "NEW")], ["id", "val"]),
+        "id",
+        bloom_bits=1024,
+    )
+    after = t._load_manifest(v)["data_dirs"]
+    assert before[0] in after      # 0-9: zone-map pruned (below 15)
+    assert before[1] in after      # 100-109: BLOOM pruned
+    assert before[2] not in after  # 200-209: contains 205, rewritten
+    got = {(r["id"], r["val"]) for r in t.read().collect()}
+    want = {(i, "v") for i in range(0, 10)}
+    want |= {(i, "v") for i in range(100, 110)}
+    want |= {(i, "v") for i in range(200, 210) if i != 205}
+    want |= {(15, "NEW"), (205, "NEW")}
+    assert got == want
+    # the merge directory carries its own bloom for future merges
+    newdir = [d for d in after if d not in before][0]
+    assert "bloom" in t._load_manifest(v)["stats"][newdir]
+
+
+def test_rollback_preserves_zone_maps(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(df_of(spark, [(1, "a")], ["id", "val"]), stats_col="id")
+    t.commit(df_of(spark, [(2, "b")], ["id", "val"]), stats_col="id")
+    v = t.rollback(1)
+    assert t._load_manifest(v)["stats"] != {}
+    # pruned merges still work after a rollback
+    t.merge(df_of(spark, [(50, "c")], ["id", "val"]), "id")
+    assert (50, "c") in {(r["id"], r["val"]) for r in t.read().collect()}
