@@ -41,7 +41,11 @@ def with_quality_metrics(
     Metrics reflect the rows flowing through THIS point of the plan,
     which is exactly what a quality monitor wants (post-filter rows,
     not table rows). One Observation instance is single-use; call
-    again per action (Spark contract).
+    again per action (Spark contract). Placement caveat: attach the
+    observation ABOVE any global sort (or other node whose physical
+    strategy re-executes its child, e.g. range-exchange boundary
+    sampling) — counters below such a node fire once per pass and
+    double-count.
     """
     obs = Observation(name)
     exprs = [F.count(F.lit(1)).alias("rows")]

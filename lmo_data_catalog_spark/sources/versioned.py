@@ -136,7 +136,13 @@ class VersionedTable:
         if stats_col is not None:
             from pyspark.sql import functions as F
 
-            row = df.agg(
+            # Stats read back the WRITTEN files, not ``df``: re-running
+            # the input plan would double-execute arbitrary upstream
+            # work (and double-count any df.observe metrics riding it).
+            written = self.spark.read.parquet(
+                os.path.join(self._data_dir, cdir)
+            )
+            row = written.agg(
                 F.min(stats_col).alias("mn"), F.max(stats_col).alias("mx")
             ).collect()[0]
             stats[cdir] = {"col": stats_col, "min": row["mn"], "max": row["mx"]}
@@ -146,7 +152,7 @@ class VersionedTable:
                 stats[cdir]["bloom"] = {
                     "k": 3,
                     "words": build_bloom_bitset_agg(
-                        df, stats_col, m_bits=bloom_bits
+                        written, stats_col, m_bits=bloom_bits
                     ),
                 }
         if mode == "append" and parent is not None:

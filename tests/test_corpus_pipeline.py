@@ -1,0 +1,60 @@
+"""End-to-end corpus build (plans/corpus_pipeline.py): the funnel
+composes quality gate → exact dedup → near-dedup → split → versioned
+snapshot, and each stage's guarantee must hold on the OUTPUT."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lmo_data_catalog_spark import cache
+from lmo_data_catalog_spark.operators import text as T
+from lmo_data_catalog_spark.operators.dedup import minhash_lsh_dedup_pairs
+from lmo_data_catalog_spark.plans.corpus_pipeline import (
+    build_corpus_snapshot,
+)
+from lmo_data_catalog_spark.sources.versioned import VersionedTable
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_corpus_snapshot_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    try:
+        res = build_corpus_snapshot(spark, SF, out)
+    finally:
+        cache.release_all()
+    sc = res["stage_counts"]
+    # monotone attrition through the funnel
+    assert sc["raw"] >= sc["quality_gated"] >= sc["exact_deduped"]
+    assert sc["exact_deduped"] >= sc["near_deduped"] > 0
+    # the snapshot reads back with exactly the final rows + split col
+    t = VersionedTable(spark, out)
+    snap = t.read(res["version"])
+    assert snap.count() == sc["near_deduped"]
+    assert set(
+        r["split"] for r in snap.select("split").distinct().collect()
+    ) <= {"train", "val", "test"}
+    # observe metrics rode the write action
+    assert res["metrics"]["rows"] == sc["near_deduped"]
+    assert res["metrics"]["text_nulls"] == 0
+    # stage guarantees hold ON THE OUTPUT:
+    # no exact duplicates survive
+    n_fp = (
+        snap.select(T.fingerprint("text").alias("fp")).distinct().count()
+    )
+    assert n_fp == sc["near_deduped"]
+    # no near-dup pair survives at the pipeline's threshold
+    try:
+        leftover = minhash_lsh_dedup_pairs(
+            snap, id_col="doc_id", text_col="text", threshold=0.8
+        ).count()
+    finally:
+        cache.release_all()
+    assert leftover == 0
+    # every surviving doc passes the quality gate it was filtered by
+    q = T.gopher_quality(snap)
+    assert q.filter(~F.col("quality_pass")).count() == 0
+    # snapshot manifest carries zone map + bloom for future merges
+    st = t._load_manifest(res["version"])["stats"]
+    (zm,) = st.values()
+    assert zm["col"] == "doc_id" and "bloom" in zm
