@@ -1,0 +1,45 @@
+"""Shuffle budgets: each listed query's physical plan must not grow
+new exchanges. test_plan_hygiene.py bans anti-pattern NODES; this
+pins the exchange COUNT for representative plans, so a refactor that
+quietly adds a shuffle (lost broadcast, dropped partial agg, new
+unbucketed join) fails CI with a number, not a vibe. Budgets are the
+current measured counts (BENCH.md plan notes) — lower is always fine.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lmo_data_catalog_spark.registry import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+#: query -> max allowed Exchange nodes in the AQE-final physical plan.
+#: counts include Broadcast/Reused exchange nodes (string count over
+#: the initial adaptive plan), so they are higher than BENCH.md's
+#: shuffle-only "px" notes — that's fine, the guard is against GROWTH.
+BUDGETS = {
+    "flagship_brand_revenue": 3,
+    "agg_pricing_summary": 1,
+    "cooccurrence_part_pairs": 4,
+    "minhash_lsh_pairs": 16,
+    "promo_revenue_share": 2,
+    "top1pct_revenue_share": 6,
+    "lang_entropy_by_source": 6,
+    "corr_regression_price_quantity": 2,
+    "max_concurrent_intervals": 3,
+    "token_entropy_per_doc": 3,
+    "nation_market_share": 9,
+    "sole_late_supplier": 7,
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_exchange_count_within_budget(spark, name):
+    df = REGISTRY[name].builder(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange")
+    assert n <= BUDGETS[name], (
+        f"{name}: {n} exchanges > budget {BUDGETS[name]} — a shuffle "
+        "crept in; check broadcasts/partial aggregation"
+    )
