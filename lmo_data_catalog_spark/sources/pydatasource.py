@@ -33,7 +33,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 SCHEMA = (
@@ -158,5 +160,87 @@ class EventsGenDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent registration: ``spark.read.format("events_gen")``."""
+    """Idempotent registration: ``spark.read.format("events_gen")``
+    and ``df.write.format("jsonl_sink")``."""
     spark.dataSource.register(EventsGenDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)
+
+
+# --------------------------------------------------------------- write path
+
+
+class _ShardCommit(WriterCommitMessage):
+    """One task's commit message: the shard it staged + row count."""
+
+    def __init__(self, tmp_name: str, rows: int):
+        self.tmp_name = tmp_name
+        self.rows = rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Executor-side JSONL shard writer with a two-phase commit.
+
+    Each task streams its partition to ``_tmp-<uuid>.jsonl`` and
+    reports the staged name; only the DRIVER's ``commit`` renames
+    staged shards to ``part-<i>.jsonl`` and publishes a ``_SUCCESS``
+    manifest naming them — so readers that resolve the manifest never
+    see a torn write, and a failed/speculated task's orphan staging
+    file is ignored (and removed by ``abort``). This is the same
+    manifest-publish idea as :mod:`.versioned`, demonstrated through
+    Spark's DataSourceWriter task-commit protocol.
+    """
+
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires .option('path', ...)")
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        _os.makedirs(self.path, exist_ok=True)
+        name = f"_tmp-{_uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(_os.path.join(self.path, name), "w") as fh:
+            for row in iterator:
+                rec = {k: row[i] for i, k in enumerate(self.fields)}
+                fh.write(_json.dumps(rec, default=str) + "\n")
+                n += 1
+        return _ShardCommit(name, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os as _os
+
+        files, total = [], 0
+        for i, m in enumerate(messages):
+            final = f"part-{i:05d}.jsonl"
+            _os.rename(
+                _os.path.join(self.path, m.tmp_name),
+                _os.path.join(self.path, final),
+            )
+            files.append(final)
+            total += m.rows
+        with open(_os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            _json.dump({"files": files, "rows": total}, fh)
+
+    def abort(self, messages):
+        import os as _os
+
+        for m in messages:
+            try:
+                _os.unlink(_os.path.join(self.path, m.tmp_name))
+            except FileNotFoundError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
+        return JsonlSinkWriter(self.options, schema)

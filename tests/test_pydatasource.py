@@ -119,3 +119,51 @@ def test_stream_all_committed_restart_one_batch_regression():
     [part2] = r.partitions({"offset": committed}, {"offset": nxt})
     ids = [row[0] for row in r.read(part2)]
     assert ids == list(range(committed, nxt))  # no replay, no gap
+
+
+def test_jsonl_sink_writer_commit_protocol(spark, tmp_path):
+    """Custom write path (DataSourceWriter): staged shards become
+    visible only through the driver commit's _SUCCESS manifest, and
+    the written rows round-trip."""
+    import json
+    import os
+
+    from lmo_data_catalog_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    out = str(tmp_path / "sink")
+    df = (
+        spark.read.format("events_gen")
+        .option("rows", 100)
+        .load()
+        .select("event_id", "user_id", "event_type")
+    )
+    df.write.format("jsonl_sink").option("path", out).mode("append").save()
+
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["rows"] == 100
+    # manifest names exactly the committed shards; no staging leftovers
+    on_disk = {f for f in os.listdir(out) if f != "_SUCCESS"}
+    assert set(manifest["files"]) == on_disk
+    assert not any(f.startswith("_tmp-") for f in on_disk)
+    # rows round-trip through a plain JSON read
+    back = spark.read.json([os.path.join(out, f) for f in manifest["files"]])
+    got = {(r["event_id"], r["user_id"], r["event_type"]) for r in back.collect()}
+    want = {(r[0], r[1], r[2]) for r in df.collect()}
+    assert got == want
+
+
+def test_jsonl_sink_abort_removes_staging(spark, tmp_path):
+    import os
+
+    from lmo_data_catalog_spark.sources.pydatasource import (
+        JsonlSinkWriter,
+        _ShardCommit,
+    )
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    open(os.path.join(out, "_tmp-dead.jsonl"), "w").write("{}\n")
+    w = JsonlSinkWriter({"path": out}, spark.range(1).schema)
+    w.abort([_ShardCommit("_tmp-dead.jsonl", 1)])
+    assert os.listdir(out) == []
