@@ -22,7 +22,11 @@ BUDGETS = {
     "flagship_brand_revenue": 3,
     "agg_pricing_summary": 1,
     "cooccurrence_part_pairs": 4,
-    "minhash_lsh_pairs": 16,
+    # (minhash_lsh_pairs deliberately absent: its operator persists
+    # shared intermediates, so the plan string depends on cache state
+    # and the count flakes between isolated and full-suite runs)
+    "mode_order_priority_by_status": 3,
+    "window_running_total": 2,
     "promo_revenue_share": 2,
     "top1pct_revenue_share": 6,
     "lang_entropy_by_source": 6,
