@@ -227,3 +227,15 @@ def test_rollback_preserves_zone_maps(spark, tmp_path):
     # pruned merges still work after a rollback
     t.merge(df_of(spark, [(50, "c")], ["id", "val"]), "id")
     assert (50, "c") in {(r["id"], r["val"]) for r in t.read().collect()}
+
+
+def test_diff_between_snapshots(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(df_of(spark, [(1, "a"), (2, "b"), (3, "c")], ["id", "val"]),
+             stats_col="id")
+    t.merge(df_of(spark, [(2, "B2"), (4, "d")], ["id", "val"]), "id",
+            deletes=df_of(spark, [(3,)], ["id"]))
+    got = {(r["id"], r["change"]) for r in t.diff(1, 2, "id").collect()}
+    assert got == {(4, "added"), (3, "removed"), (2, "changed")}
+    # unchanged rows are absent; diff of a version with itself is empty
+    assert t.diff(2, 2, "id").count() == 0
