@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import cache
 from ..catalog import Catalog
 from ..operators import text as T
 from ..operators.dedup import connected_components, minhash_lsh_dedup_pairs
@@ -68,7 +69,10 @@ def build_corpus_snapshot(
 
     # --- 2. exact dedup (content fingerprint, keep min doc_id) ----------
     wfp = Window.partitionBy("__fp").orderBy("doc_id")
-    exact = (
+    # persisted: exact feeds the near-dup pair build, the cluster node
+    # list, the keeper semi-join, and the final write — without the
+    # persist each consumer re-runs the gate + dedup window.
+    exact = cache.track(
         gated.withColumn("__fp", T.fingerprint("text"))
         .withColumn("__rn", F.row_number().over(wfp))
         .filter(F.col("__rn") == 1)

@@ -191,10 +191,17 @@ class JsonlSinkWriter(DataSourceWriter):
     """
 
     def __init__(self, options, schema):
+        import uuid as _uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_sink requires .option('path', ...)")
         self.fields = [f.name for f in schema.fields]
+        # per-commit token: final shard names are unique across
+        # writes, so a second append can never rename over an earlier
+        # commit's shards; the manifest (last-writer-wins) names only
+        # the latest commit's files.
+        self.token = _uuid.uuid4().hex[:8]
 
     def write(self, iterator):
         import json as _json
@@ -217,7 +224,7 @@ class JsonlSinkWriter(DataSourceWriter):
 
         files, total = [], 0
         for i, m in enumerate(messages):
-            final = f"part-{i:05d}.jsonl"
+            final = f"part-{self.token}-{i:05d}.jsonl"
             _os.rename(
                 _os.path.join(self.path, m.tmp_name),
                 _os.path.join(self.path, final),

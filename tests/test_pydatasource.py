@@ -167,3 +167,28 @@ def test_jsonl_sink_abort_removes_staging(spark, tmp_path):
     w = JsonlSinkWriter({"path": out}, spark.range(1).schema)
     w.abort([_ShardCommit("_tmp-dead.jsonl", 1)])
     assert os.listdir(out) == []
+
+
+def test_jsonl_sink_second_append_keeps_prior_shards(spark, tmp_path):
+    import json
+    import os
+
+    from lmo_data_catalog_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    out = str(tmp_path / "sink")
+    df = (
+        spark.read.format("events_gen")
+        .option("rows", 10)
+        .load()
+        .select("event_id")
+    )
+    df.write.format("jsonl_sink").option("path", out).mode("append").save()
+    first = set(json.load(open(os.path.join(out, "_SUCCESS")))["files"])
+    df.write.format("jsonl_sink").option("path", out).mode("append").save()
+    second = set(json.load(open(os.path.join(out, "_SUCCESS")))["files"])
+    # distinct shard names: the second commit never renamed over the
+    # first; both commits' files coexist, manifest names the latest
+    assert first.isdisjoint(second)
+    on_disk = {f for f in os.listdir(out) if f != "_SUCCESS"}
+    assert on_disk == first | second
