@@ -481,3 +481,23 @@ class VersionedTable:
             .select(F.col(key), F.lit("changed").alias("change"))
         )
         return added.unionByName(removed).unionByName(changed)
+
+    def commit_retry(
+        self, df: DataFrame, *, attempts: int = 5, **kwargs
+    ) -> int:
+        """Optimistic-concurrency loop around :meth:`commit`: on
+        :class:`CommitConflict` re-read the head and try the next
+        version number. ``append`` semantics commute (the snapshot is
+        parent ∪ new files regardless of arrival order), so losers
+        retry safely; for read-modify-write patterns (merge,
+        incremental maintenance) the CALLER must recompute against
+        the new head instead — blind retry would resurrect
+        overwritten rows, which is why merge has no retry wrapper.
+        """
+        last: CommitConflict | None = None
+        for _ in range(attempts):
+            try:
+                return self.commit(df, **kwargs)
+            except CommitConflict as e:  # lost the race; head moved
+                last = e
+        raise last

@@ -239,3 +239,34 @@ def test_diff_between_snapshots(spark, tmp_path):
     assert got == {(4, "added"), (3, "removed"), (2, "changed")}
     # unchanged rows are absent; diff of a version with itself is empty
     assert t.diff(2, 2, "id").count() == 0
+
+
+def test_threaded_append_race_single_winner_per_version(spark, tmp_path):
+    """Eight real writer threads, three appends each, all racing the
+    same table through commit_retry: every version number is won by
+    exactly one writer and no rows are lost."""
+    import threading
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    errors = []
+
+    def writer(wid: int):
+        try:
+            for j in range(3):
+                t.commit_retry(
+                    df_of(spark, [(wid * 10 + j, f"w{wid}")], ["id", "val"]),
+                    attempts=50,
+                )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    assert t.head() == 24  # dense version numbers, one winner each
+    got = {(r["id"], r["val"]) for r in t.read().collect()}
+    want = {(w * 10 + j, f"w{w}") for w in range(8) for j in range(3)}
+    assert got == want
