@@ -1171,3 +1171,71 @@ def lateral_top_customers_per_nation(
         ) t
         ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
     """)
+
+
+# ------------------------------------------------- seasonal decomposition
+
+
+@query(
+    "weekday_seasonal_indices",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+        FROM orders GROUP BY 1
+    ),
+    trended AS (
+        SELECT d, r,
+               AVG(CAST(r AS DOUBLE)) OVER (
+                   ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+               ) AS trend,
+               COUNT(*) OVER (
+                   ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+               ) AS wn
+        FROM daily
+    )
+    SELECT isodow(d) AS weekday,
+           COUNT(*) AS n_days,
+           ROUND(AVG(CAST(r AS DOUBLE) - trend), 6) AS seasonal_index
+    FROM trended
+    WHERE wn = 7
+    GROUP BY isodow(d)
+    ORDER BY weekday
+    """,
+    tags=("timeseries", "decomposition"),
+)
+def weekday_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition, the weekday layer:
+    daily revenue → centered 7-day moving-average trend → per-ISO-
+    weekday mean of the detrended series. A positive index says that
+    weekday systematically beats its local trend — the
+    seasonality-vs-trend split behind anomaly baselines and forecast
+    features. The unpartitioned trend window runs over the DAILY
+    aggregate (bounded by calendar span, a few thousand rows — the
+    documented exception to the global-window rule), never the fact
+    table; edge days without a full 7-day window are excluded
+    identically in both engines (wn = 7). Weekday via Spark
+    ``weekday()+1`` == DuckDB ``isodow`` (1 = Monday).
+    """
+    orders = Catalog(spark, sf_dir).orders
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r"))
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = daily.select(
+        "d",
+        "r",
+        F.avg(F.col("r").cast("double")).over(w).alias("trend"),
+        F.count("*").over(w).alias("wn"),
+    )
+    return (
+        trended.filter(F.col("wn") == 7)
+        .groupBy((F.weekday("d") + 1).alias("weekday"))
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(
+                F.avg(F.col("r").cast("double") - F.col("trend")), 6
+            ).alias("seasonal_index"),
+        )
+        .orderBy("weekday")
+    )
