@@ -1239,3 +1239,73 @@ def weekday_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("weekday")
     )
+
+
+# ---------------------------------------------- random projection (JL) ----
+
+_RP_IN_DIM = 64   # embeddings.embedding dimensionality (queries/llm.py)
+_RP_OUT_DIM = 8
+
+
+def _rp_sign(i: int, j: int) -> int:
+    """Deterministic ±1 from the Fibonacci hash of the matrix cell —
+    the same engine-portable pseudo-randomness as the samplers."""
+    return 1 if ((i * _RP_IN_DIM + j) * _KNUTH) % _M32 < _M32 // 2 else -1
+
+
+def _rp_sql_component(i: int) -> str:
+    terms = [
+        f"({'' if _rp_sign(i, j) > 0 else '-'}"
+        f"CAST(embedding[{j + 1}] AS DOUBLE))"
+        for j in range(_RP_IN_DIM)
+    ]
+    return "ROUND((" + " + ".join(terms) + f") / SQRT({_RP_OUT_DIM}.0), 6)"
+
+
+@query(
+    "random_projection_embeddings",
+    oracle=f"""
+    SELECT vec_id,
+           {", ".join(f"{_rp_sql_component(i)} AS rp{i}"
+                      for i in range(_RP_OUT_DIM))}
+    FROM embeddings
+    ORDER BY vec_id
+    LIMIT 500
+    """,
+    tags=("similarity", "dimensionality-reduction"),
+)
+def random_projection_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 → 8 dims with a
+    deterministic ±1 (Achlioptas) matrix: the cheap distance-
+    preserving reduction run before ANN indexing when the full
+    embedding is overkill. The matrix lives in the PLAN as literal
+    sign arrays — no matrix table, no join, no UDF; each component is
+    an ``aggregate`` left fold whose addition order matches the
+    oracle's explicit left-associated 64-term sum exactly (0.0 + t₀
+    = t₀ in IEEE, then identical pairing), so values are bit-equal
+    before ROUND. The fold form matters operationally too: the
+    expanded 512-node literal expression tree costs ~17 s of
+    analysis/codegen per run, the fold ~2 s cold / 0.1 s warm — same
+    math, two orders of magnitude less plan. Map-only; sqrt(8) is
+    correctly rounded in both engines, so the scale factor is exact.
+    """
+    emb = Catalog(spark, sf_dir).embeddings
+    cols = []
+    for i in range(_RP_OUT_DIM):
+        signs = (
+            "array("
+            + ",".join(f"{_rp_sign(i, j)}.0D" for j in range(_RP_IN_DIM))
+            + ")"
+        )
+        cols.append(
+            F.expr(
+                f"round(aggregate(sequence(0, {_RP_IN_DIM - 1}), 0.0D,"
+                f" (acc, j) -> acc"
+                f" + CAST(element_at(embedding, j + 1) AS DOUBLE)"
+                f" * element_at({signs}, j + 1))"
+                f" / sqrt({_RP_OUT_DIM}.0), 6)"
+            ).alias(f"rp{i}")
+        )
+    return emb.select("vec_id", *cols).orderBy("vec_id").limit(500)
