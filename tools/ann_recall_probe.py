@@ -209,6 +209,25 @@ def ivf_kmeans_run(emb, queries, n_cents: int, nprobe: int):
     return out
 
 
+def rp_project(M, out_dim: int):
+    """Deterministic Achlioptas ±1 projection — the same sign matrix
+    as the registry's random_projection_embeddings (Fibonacci-hash
+    parity per cell), applied in numpy for the recall measurement."""
+    d = M.shape[1]
+    S = np.array(
+        [
+            [
+                1.0
+                if ((i * d + j) * 2654435761) % 4294967296 < 2147483648
+                else -1.0
+                for j in range(d)
+            ]
+            for i in range(out_dim)
+        ]
+    )
+    return (M @ S.T) / np.sqrt(out_dim)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("ann_recall_probe")
@@ -290,6 +309,17 @@ def main() -> None:
                 )
             )
             print(results[-1])
+        for od in (8, 16):
+            r = recall(exact_topk(ids, rp_project(M, od), qids), truth)
+            results.append(
+                (
+                    corpus_label,
+                    f"JL-RP {od} dims (brute)",
+                    f"100% @ {od}/{DIM} flops",
+                    r,
+                )
+            )
+            print(results[-1])
         emb.unpersist()
 
     load1 = os.getloadavg()[0]
@@ -311,6 +341,12 @@ def main() -> None:
         "",
         "Operating points, read off the measurements (not folklore):",
         "",
+        "- JL random projection (registry",
+        "  `random_projection_embeddings`) trades DIMENSIONS where",
+        "  LSH/IVF trade CANDIDATES: a full scan at od/64 of the",
+        "  flops. Its recall is the quality ceiling for any index",
+        "  built in the projected space — combine (project, then",
+        "  bucket) only when the JL rows above are acceptable.",
         "- Single-probe LSH decays as planes grow (smaller buckets miss",
         "  true neighbors); multi-probe r=1 (`lsh_multiprobe_topk`,",
         "  registry `ann_lsh_multiprobe`) recovers 2-3x the recall for",
