@@ -1309,3 +1309,209 @@ def random_projection_embeddings(
             ).alias(f"rp{i}")
         )
     return emb.select("vec_id", *cols).orderBy("vec_id").limit(500)
+
+
+# ------------------------------------------ higher moments from power sums
+
+
+@query(
+    "moments_quantity_by_flag",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DOUBLE)) AS s1,
+               SUM(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE))
+                   AS s2,
+               SUM(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+                   * CAST(l_quantity AS DOUBLE)) AS s3,
+               SUM(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+                   * CAST(l_quantity AS DOUBLE)
+                   * CAST(l_quantity AS DOUBLE)) AS s4
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND(s1 / n, 6) AS mean_qty,
+           ROUND(((s3 / n) - (3.0 * (s1 / n)) * (s2 / n)
+                  + (2.0 * (s1 / n)) * (s1 / n) * (s1 / n))
+                 / POWER((s2 / n) - (s1 / n) * (s1 / n), 1.5),
+                 6) AS skewness_g1,
+           ROUND(((s4 / n) - (4.0 * (s1 / n)) * (s3 / n)
+                  + (6.0 * (s1 / n)) * (s1 / n) * (s2 / n)
+                  - (3.0 * (s1 / n)) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / (((s2 / n) - (s1 / n) * (s1 / n))
+                    * ((s2 / n) - (s1 / n) * (s1 / n)))
+                 - 3.0, 6) AS excess_kurtosis_g2
+    FROM s
+    ORDER BY l_returnflag
+    """,
+    tags=("analytic", "statistics"),
+)
+def moments_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per group — derived from raw power
+    sums (ΣX..ΣX⁴) in ONE map-side-combined aggregate rather than the
+    engines' skewness()/kurtosis(), whose population-vs-sample
+    definitions disagree between Spark (g) and DuckDB (G) and would
+    never hash-match. The moment formulas are spelled with identical
+    parenthesization in both engines; power sums are safe here
+    because l_quantity is small (1..50 — no catastrophic
+    cancellation; for wide-range columns shift by a pivot first).
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    x = F.col("l_quantity").cast("double")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    var = (s2 / n) - mu * mu
+    g1 = ((s3 / n) - (3.0 * mu) * (s2 / n) + (2.0 * mu) * mu * mu) / F.pow(
+        var, 1.5
+    )
+    g2 = (
+        (s4 / n)
+        - (4.0 * mu) * (s3 / n)
+        + (6.0 * mu) * mu * (s2 / n)
+        - (3.0 * mu) * mu * mu * mu
+    ) / (var * var) - 3.0
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(mu, 6).alias("mean_qty"),
+        F.round(g1, 6).alias("skewness_g1"),
+        F.round(g2, 6).alias("excess_kurtosis_g2"),
+    ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------- series autocorrelation
+
+
+@query(
+    "daily_revenue_autocorr",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS r
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT r,
+               LAG(r, 1) OVER (ORDER BY d) AS r1,
+               LAG(r, 7) OVER (ORDER BY d) AS r7
+        FROM daily
+    )
+    SELECT COUNT(*) AS n_days,
+           ROUND(corr(r, r1), 6) AS autocorr_lag1,
+           ROUND(corr(r, r7), 6) AS autocorr_lag7
+    FROM lagged
+    """,
+    tags=("timeseries", "statistics"),
+)
+def daily_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-7 autocorrelation of the daily revenue series —
+    the stationarity/weekly-seasonality diagnostic read alongside
+    ``weekday_seasonal_indices`` (a high lag-7 value is the numeric
+    trace of the weekday effect). Daily DECIMAL totals first (exact,
+    bounded by calendar span), then two LAGs over that small frame
+    and one corr() aggregate; corr ignores the NULL lead-in rows
+    identically in both engines (pairwise-complete semantics).
+    """
+    orders = Catalog(spark, sf_dir).orders
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("r")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "r",
+        F.lag("r", 1).over(w).alias("r1"),
+        F.lag("r", 7).over(w).alias("r7"),
+    )
+    return lagged.agg(
+        F.count("*").alias("n_days"),
+        F.round(F.corr("r", "r1"), 6).alias("autocorr_lag1"),
+        F.round(F.corr("r", "r7"), 6).alias("autocorr_lag7"),
+    )
+
+
+# ------------------------------------------- chi-square independence test
+
+
+@query(
+    "chi2_priority_status_independence",
+    oracle="""
+    WITH obs AS (
+        SELECT o_orderpriority AS p, o_orderstatus AS s, COUNT(*) AS o
+        FROM orders GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT p, s, o,
+               SUM(o) OVER (PARTITION BY p) AS rp,
+               SUM(o) OVER (PARTITION BY s) AS cs,
+               SUM(o) OVER () AS n
+        FROM obs
+    )
+    SELECT MIN(n) AS n_orders,
+           (COUNT(DISTINCT p) - 1) * (COUNT(DISTINCT s) - 1) AS dof,
+           ROUND(SUM(((CAST(o AS DOUBLE)
+                       - (CAST(rp AS DOUBLE) * cs) / n)
+                      * (CAST(o AS DOUBLE)
+                         - (CAST(rp AS DOUBLE) * cs) / n))
+                     / ((CAST(rp AS DOUBLE) * cs) / n)), 6) AS chi2,
+           ROUND(SQRT(SUM(((CAST(o AS DOUBLE)
+                            - (CAST(rp AS DOUBLE) * cs) / n)
+                           * (CAST(o AS DOUBLE)
+                              - (CAST(rp AS DOUBLE) * cs) / n))
+                          / ((CAST(rp AS DOUBLE) * cs) / n))
+                      / (MIN(n)
+                         * LEAST(COUNT(DISTINCT p) - 1,
+                                 COUNT(DISTINCT s) - 1))), 6) AS cramers_v
+    FROM tot
+    """,
+    tags=("analytic", "statistics", "data-quality"),
+)
+def chi2_priority_status_independence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pearson chi-square independence test between order priority and
+    status, with Cramér's V effect size — the categorical-association
+    audit a catalog's quality layer runs on suspicious column pairs
+    (V ≈ 0: independent; → 1: one determines the other). One
+    map-side contingency count into a ≤|P|·|S| frame; row/column
+    margins via windows over that tiny frame; the statistic is one
+    aggregate with the expected-count expression spelled identically
+    in both engines.
+    """
+    orders = Catalog(spark, sf_dir).orders
+    obs = orders.groupBy(
+        F.col("o_orderpriority").alias("p"),
+        F.col("o_orderstatus").alias("s"),
+    ).agg(F.count("*").alias("o"))
+    tot = obs.select(
+        "p",
+        "s",
+        "o",
+        F.sum("o").over(Window.partitionBy("p")).alias("rp"),
+        F.sum("o").over(Window.partitionBy("s")).alias("cs"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = (F.col("rp").cast("double") * F.col("cs")) / F.col("n")
+    dev = F.col("o").cast("double") - e
+    chi2 = F.sum((dev * dev) / e)
+    dof_p = F.count_distinct(F.col("p")) - 1
+    dof_s = F.count_distinct(F.col("s")) - 1
+    return tot.agg(
+        F.min("n").alias("n_orders"),
+        (dof_p * dof_s).alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(chi2 / (F.min("n") * F.least(dof_p, dof_s))), 6
+        ).alias("cramers_v"),
+    )
