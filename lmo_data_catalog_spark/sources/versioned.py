@@ -45,6 +45,10 @@ class CommitConflict(RuntimeError):
     """Another writer published this version first; re-read and retry."""
 
 
+class ConstraintViolation(ValueError):
+    """A batch violated the table's declared constraints; nothing landed."""
+
+
 class VersionedTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -501,3 +505,82 @@ class VersionedTable:
             except CommitConflict as e:  # lost the race; head moved
                 last = e
         raise last
+
+    # ---------------------------------------------------------- constraints
+
+    def check_constraints(
+        self,
+        df: DataFrame,
+        *,
+        not_null: tuple[str, ...] = (),
+        unique: tuple[str, ...] = (),
+        checks: dict[str, str] = {},
+    ) -> list[str]:
+        """Evaluate table constraints against ``df``; returns violation
+        descriptions (empty = clean). All constraints fold into ONE
+        aggregate pass: null counts, a distinct-vs-total comparison
+        per unique key, and a failing-row count per boolean SQL check
+        — no per-constraint scans. Used by :meth:`commit` when
+        ``constraints`` is passed; callable standalone for report-only
+        validation.
+        """
+        from pyspark.sql import functions as F
+
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in not_null:
+            aggs.append(
+                F.sum(
+                    F.when(F.col(c).isNull(), 1).otherwise(0)
+                ).alias(f"__null_{c}")
+            )
+        for c in unique:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"__uniq_{c}"))
+        for name, expr in checks.items():
+            aggs.append(
+                F.sum(
+                    F.when(~F.expr(expr), 1).otherwise(0)
+                ).alias(f"__chk_{name}")
+            )
+        row = df.agg(*aggs).collect()[0]
+        out = []
+        for c in not_null:
+            if row[f"__null_{c}"]:
+                out.append(f"not_null({c}): {row[f'__null_{c}']} nulls")
+        for c in unique:
+            if row[f"__uniq_{c}"] != row["__n"]:
+                out.append(
+                    f"unique({c}): {row['__n'] - row[f'__uniq_{c}']}"
+                    " duplicate rows"
+                )
+        for name, expr in checks.items():
+            if row[f"__chk_{name}"]:
+                out.append(
+                    f"check({name}: {expr}): {row[f'__chk_{name}']}"
+                    " failing rows"
+                )
+        return out
+
+    def commit_checked(
+        self,
+        df: DataFrame,
+        *,
+        not_null: tuple[str, ...] = (),
+        unique: tuple[str, ...] = (),
+        checks: dict[str, str] = {},
+        **kwargs,
+    ) -> int:
+        """:meth:`commit` gated on :meth:`check_constraints`: a batch
+        violating any constraint raises ``ConstraintViolation``
+        BEFORE any data lands, so the table can never transition into
+        a state the constraints forbid — bad batches bounce whole
+        (route them through operators/observe.py quarantining
+        upstream instead of dropping rows silently here). Note the
+        check runs one extra pass over ``df``; persist upstream if
+        the plan is expensive.
+        """
+        bad = self.check_constraints(
+            df, not_null=not_null, unique=unique, checks=checks
+        )
+        if bad:
+            raise ConstraintViolation("; ".join(bad))
+        return self.commit(df, **kwargs)

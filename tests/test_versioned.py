@@ -270,3 +270,36 @@ def test_threaded_append_race_single_winner_per_version(spark, tmp_path):
     got = {(r["id"], r["val"]) for r in t.read().collect()}
     want = {(w * 10 + j, f"w{w}") for w in range(8) for j in range(3)}
     assert got == want
+
+
+def test_commit_checked_enforces_constraints(spark, tmp_path):
+    from lmo_data_catalog_spark.sources.versioned import ConstraintViolation
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    rules = dict(
+        not_null=("val",),
+        unique=("id",),
+        checks={"positive_id": "id >= 0"},
+    )
+    v = t.commit_checked(
+        df_of(spark, [(1, "a"), (2, "b")], ["id", "val"]), **rules
+    )
+    assert v == 1
+    for bad_rows, why in [
+        ([(3, None)], "not_null"),
+        ([(4, "d"), (4, "e")], "unique"),
+        ([(-1, "f")], "check"),
+    ]:
+        bad = spark.createDataFrame(bad_rows, "id long, val string")
+        with pytest.raises(ConstraintViolation) as ei:
+            t.commit_checked(bad, **rules)
+        assert why in str(ei.value)
+    # nothing landed: head unchanged, snapshot unchanged
+    assert t.head() == 1
+    assert rows_set(t.read()) == {(1, "a"), (2, "b")}
+    # report-only path lists every violation at once
+    msgs = t.check_constraints(
+        spark.createDataFrame([(-5, None), (-5, "x")], "id long, val string"),
+        **rules,
+    )
+    assert len(msgs) == 3
