@@ -502,3 +502,90 @@ def test_gini_rank_formula_matches_definition(spark, counts):
     mad = sum(abs(a - b) for a in counts for b in counts)
     want = mad / (2 * n * n * mean)
     assert got == pytest.approx(want, rel=1e-12, abs=1e-12)
+
+
+# ----------------------------------------- versioned merge: dict model
+
+
+@prop
+@given(
+    steps=st.lists(
+        st.tuples(
+            st.sampled_from(["upsert", "delete"]),
+            st.lists(
+                st.integers(min_value=0, max_value=30),
+                min_size=1,
+                max_size=6,
+                unique=True,
+            ),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_versioned_merge_matches_dict_model(spark, tmp_path_factory, steps):
+    """Model-based: a random sequence of keyed upsert/delete batches
+    applied through VersionedTable.merge must equal the same sequence
+    applied to a plain Python dict — for every intermediate VERSION,
+    exercised back through time travel at the end."""
+    from lmo_data_catalog_spark.sources.versioned import VersionedTable
+
+    tmp = tmp_path_factory.mktemp("vt")
+    t = VersionedTable(spark, str(tmp / "tbl"))
+    t.commit(
+        spark.createDataFrame(
+            [(k, f"init{k}") for k in range(0, 10)], "id long, val string"
+        ),
+        stats_col="id",
+    )
+    model = {k: f"init{k}" for k in range(0, 10)}
+    snapshots = [dict(model)]
+    for i, (op, keys) in enumerate(steps):
+        if op == "upsert":
+            rows = [(k, f"s{i}v{k}") for k in keys]
+            t.merge(
+                spark.createDataFrame(rows, "id long, val string"), "id"
+            )
+            model.update(dict(rows))
+        else:
+            t.merge(
+                None,
+                "id",
+                deletes=spark.createDataFrame(
+                    [(k,) for k in keys], "id long"
+                ),
+            )
+            for k in keys:
+                model.pop(k, None)
+        snapshots.append(dict(model))
+    for v, want in enumerate(snapshots, start=1):
+        got = {r["id"]: r["val"] for r in t.read(v).collect()}
+        assert got == want, f"version {v} diverged from model"
+
+
+# --------------------------------------- distributed Bloom: no false negs
+
+
+@prop
+@given(
+    values=st.lists(
+        st.integers(min_value=-(10**12), max_value=10**12),
+        min_size=1,
+        max_size=200,
+        unique=True,
+    )
+)
+def test_agg_bloom_build_has_no_false_negatives(spark, values):
+    from pyspark.sql import functions as F
+
+    from lmo_data_catalog_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom_bitset_agg,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], "x long")
+    words = build_bloom_bitset_agg(df, "x", m_bits=2048, k=3)
+    hits = df.filter(
+        bloom_might_contain(F.col("x").cast("string"), words)
+    ).count()
+    assert hits == len(values)  # every inserted value must test positive
