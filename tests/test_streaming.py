@@ -411,3 +411,55 @@ def test_incremental_agg_sink_replayed_batch_is_noop(spark, tmp_path):
     assert 7 in applied  # fold would skip -> no second commit
     assert t.head() == head
     assert {tuple(r) for r in t.read().collect()} == state
+
+
+def test_incremental_agg_sink_folds_multiple_micro_batches(
+    spark, batch_events, tmp_path
+):
+    """Two source files + maxFilesPerTrigger=1 force (at least) two
+    micro-batches: the state table must fold BOTH (equal to the batch
+    aggregate over the union) and record one stream-batch commit per
+    micro-batch."""
+    import os
+
+    from lmo_data_catalog_spark.sources.versioned import VersionedTable
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    half = batch_events.select("event_type", "value")
+    a = half.filter(F.col("event_type") <= "purchase")
+    b = half.filter(F.col("event_type") > "purchase")
+    a.coalesce(1).write.parquet(os.path.join(src_dir, "f=a"))
+    b.coalesce(1).write.parquet(os.path.join(src_dir, "f=b"))
+
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/*")
+    )
+    root = str(tmp_path / "mv")
+    ops.incremental_agg_sink(
+        stream,
+        root,
+        keys=["event_type"],
+        specs={"value": ("sum",)},
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    t = VersionedTable(spark, root)
+    folds = [
+        h for h in t.history()
+        if h["operation"].startswith("stream-batch=")
+        or h["operation"] == "incremental-init"
+    ]
+    assert len(folds) >= 2  # one state version per micro-batch
+    got = {
+        r["event_type"]: (r["row_count"], round(r["value_sum"], 6))
+        for r in t.read().collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], round(r["s"], 6))
+        for r in half.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
