@@ -97,7 +97,11 @@ def window_lag_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("W",),
 )
 def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit ROWS frame: cumulative revenue per group."""
+    """Explicit ROWS frame (UNBOUNDED PRECEDING..CURRENT ROW):
+    cumulative revenue per returnflag across years. The window is
+    keyed, so each task sorts one group's (tiny) yearly frame; for a
+    FEW-key running sum over raw facts use the per-(key, shard)
+    hierarchical machinery instead (SCALING.md §token budget)."""
     cat = Catalog(spark, sf_dir)
     w = (
         Window.partitionBy("grp")
@@ -141,7 +145,9 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT (distinct): nations having both customers and
-    suppliers."""
+    suppliers. Compiles to a left-semi join over pre-distinct
+    inputs — one keyed shuffle per side, map-side partial distinct;
+    no sort, no driver materialization at any scale."""
     cat = Catalog(spark, sf_dir)
     return cat.customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
         cat.supplier.select(F.col("s_nationkey").alias("nationkey"))
@@ -213,7 +219,11 @@ def union_all_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "semi"),
 )
 def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT SEMI join (EXISTS): customers with ≥1 order, by segment."""
+    """LEFT SEMI join (EXISTS): customers with ≥1 order, counted by
+    segment. The build side carries only the join key (o_custkey),
+    so the hash table stays narrow however wide orders is; the probe
+    side streams and never duplicates rows — the safe EXISTS plan at
+    any fact size."""
     cat = Catalog(spark, sf_dir)
     customer, orders = cat.customer, cat.orders
     return (
@@ -237,7 +247,11 @@ def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFra
     tags=("join", "anti"),
 )
 def join_anti_customers_without_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join (NOT EXISTS): customers with no urgent orders."""
+    """LEFT ANTI join (NOT EXISTS): customers with no urgent orders.
+    Same narrow-build shape as the semi join with the priority
+    filter pushed BELOW the join, so the anti build side holds only
+    urgent orderers — the selective side shrinks before it
+    shuffles."""
     cat = Catalog(spark, sf_dir)
     customer = cat.customer
     urgent = cat.orders.filter(F.col("o_orderpriority") == "1-URGENT")
@@ -262,7 +276,11 @@ def join_anti_customers_without_urgent(spark: SparkSession, sf_dir: str) -> Data
     tags=("join", "outer"),
 )
 def join_full_outer_nation_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL OUTER join of two aggregates with COALESCE'd key."""
+    """FULL OUTER join of two per-nation aggregates with a COALESCE'd
+    key. Full-outer cannot broadcast (both sides must surface
+    unmatched rows) so both hash-shuffle — cheap here because each
+    side is pre-aggregated to dimension cardinality before the
+    join."""
     cat = Catalog(spark, sf_dir)
     c = cat.customer.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
         F.count(F.lit(1)).alias("n_cust")
@@ -384,7 +402,10 @@ def rollup_year_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("cube",),
 )
 def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two dims — all 4 grouping sets in one pass."""
+    """CUBE over two dims — all 4 grouping sets in ONE scan: Spark
+    expands grouping sets map-side and partial-aggregates each, so
+    the fact table is never re-read per grouping; NULL-as-total rows
+    are the grouping markers, distinguishable via grouping_id."""
     cat = Catalog(spark, sf_dir)
     return cat.lineitem.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
@@ -402,7 +423,10 @@ def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("rollup", "sql"),
 )
 def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS through the spark.sql surface."""
+    """Explicit GROUPING SETS through the spark.sql surface — pins
+    that the SQL entry point plans the same single-scan grouping-set
+    expansion as the DataFrame cube/rollup queries (same Expand
+    node, same partial aggregation)."""
     cat = Catalog(spark, sf_dir)
     cat.lineitem.createOrReplaceTempView("lineitem_gs")
     return spark.sql(
@@ -468,7 +492,10 @@ def percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("date",),
 )
 def date_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """year/quarter/month extraction + aggregation."""
+    """year/quarter/month extraction + aggregation — calendar parts as
+    JVM date intrinsics inside whole-stage codegen feeding a bounded
+    group-by; extraction conventions verified against DuckDB's (the
+    differential would catch any week/dow convention drift)."""
     cat = Catalog(spark, sf_dir)
     return (
         cat.orders.groupBy(
@@ -496,7 +523,10 @@ def date_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("date", "join"),
 )
 def date_arith_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date arithmetic (datediff) across a join: order→ship latency."""
+    """Date arithmetic (datediff) across a join: order→ship latency
+    averaged per priority. Interval math stays integer days end-to-
+    end (no float round trip), the join is keyed on orderkey, and
+    the average is map-side combinable."""
     cat = Catalog(spark, sf_dir)
     days = F.datediff(
         F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
@@ -563,7 +593,12 @@ def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("json",),
 )
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON path extraction from the events.props string column."""
+    """JSON path extraction from the events.props string column via
+    get_json_object — single-key extraction avoids materializing a
+    full from_json struct when one field is needed, and runs
+    codegen-side (no Python). For multi-field or corrupt-tolerant
+    parsing, operators/observe.py::parse_json_quarantine is the
+    production path."""
     cat = Catalog(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("int")
     return cat.events.groupBy("event_type").agg(
@@ -586,7 +621,10 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar",),
 )
 def case_when_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conditional bucketing (when/otherwise chain)."""
+    """Conditional bucketing (when/otherwise chain) into price bands —
+    compiles to one codegen CASE expression; bands are disjoint so
+    the whole query is a single map-side-combinable aggregate over
+    exact decimal boundaries."""
     cat = Catalog(spark, sf_dir)
     bucket = (
         F.when(F.col("o_totalprice") < 50000, "low")

@@ -261,7 +261,11 @@ def cagr_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A4",),
 )
 def range_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Windowed year-range sums (SURVEY A4; 01_source_me.R:63-71)."""
+    """Windowed year-range sums (SURVEY A4; 01_source_me.R:63-71):
+    both year-band sums as conditional aggregates in ONE pass over
+    the unpivoted frame — the reference computes each range in a
+    separate mutate; fusing them reads the data once and both
+    partials combine map-side."""
     cat = Catalog(spark, sf_dir)
     long = _yearly_flag_revenue(cat)
     out = range_sums_agg(
