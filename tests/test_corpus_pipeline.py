@@ -58,3 +58,27 @@ def test_corpus_snapshot_end_to_end(spark, tmp_path):
     st = t._load_manifest(res["version"])["stats"]
     (zm,) = st.values()
     assert zm["col"] == "doc_id" and "bloom" in zm
+
+
+def test_corpus_build_is_deterministic_across_runs(spark, tmp_path):
+    """Two independent builds from the same input must produce
+    byte-identical row sets — pins end-to-end determinism through the
+    gate, fingerprint dedup, MinHash/LSH, connected components, and
+    the split (no RNG, no partition-order dependence anywhere)."""
+    results = []
+    for name in ("a", "b"):
+        out = str(tmp_path / name)
+        try:
+            res = build_corpus_snapshot(spark, SF, out)
+        finally:
+            cache.release_all()
+        t = VersionedTable(spark, out)
+        rows = {
+            tuple(r)
+            for r in t.read(res["version"])
+            .select("doc_id", "lang", "split")
+            .collect()
+        }
+        results.append((res["stage_counts"], rows))
+    assert results[0][0] == results[1][0]  # identical funnel counts
+    assert results[0][1] == results[1][1]  # identical surviving rows
