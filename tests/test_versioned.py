@@ -303,3 +303,33 @@ def test_commit_checked_enforces_constraints(spark, tmp_path):
         **rules,
     )
     assert len(msgs) == 3
+
+
+def test_vacuum_then_merge_keeps_pruning_and_consistency(spark, tmp_path):
+    """After vacuuming history away, the surviving head still carries
+    its zone maps/blooms, pruned merges still work, and no data a
+    retained manifest references was reclaimed."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    for lo in (0, 100):
+        t.commit(
+            df_of(spark, [(i, "v") for i in range(lo, lo + 10)],
+                  ["id", "val"]),
+            stats_col="id",
+            bloom_bits=512,
+        )
+    t.merge(df_of(spark, [(105, "X")], ["id", "val"]), "id",
+            bloom_bits=512)
+    removed = t.vacuum(keep_last=1)
+    assert t.versions() == [3]
+    # the low-range dir survived all merges AND the vacuum
+    got = {(r["id"], r["val"]) for r in t.read().collect()}
+    want = {(i, "v") for i in range(0, 10)}
+    want |= {(i, "v") for i in range(100, 110) if i != 105}
+    want |= {(105, "X")}
+    assert got == want
+    # merge after vacuum still prunes on the retained stats
+    before = t._load_manifest(3)["data_dirs"]
+    v = t.merge(df_of(spark, [(300, "NEW")], ["id", "val"]), "id")
+    after = t._load_manifest(v)["data_dirs"]
+    assert set(before) <= set(after)  # nothing rewritten: all pruned
+    assert removed  # vacuum actually reclaimed the rewritten dirs
