@@ -51,3 +51,15 @@ def test_entry_module_exposes_full_registry():
     assert set(q) == set(REGISTRY)
     oracles = entry.oracle_sql()
     assert set(oracles) <= set(q)
+
+
+def test_explain_archive_covers_every_query():
+    """explains/<name>.txt must exist for every registry query — a new
+    query isn't done until tools/make_bench_md.py regenerated the plan
+    archive (the same regenerate-artifacts convention the README count
+    pins for docs)."""
+    explains = Path(__file__).resolve().parents[1] / "explains"
+    missing = [
+        n for n in REGISTRY if not (explains / f"{n}.txt").exists()
+    ]
+    assert not missing, f"run tools/make_bench_md.py — missing: {missing}"
