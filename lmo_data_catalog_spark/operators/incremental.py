@@ -56,6 +56,7 @@ def update_incremental_agg(
     keys: list[str],
     specs: dict[str, tuple[str, ...]],
     operation: str | None = None,
+    props: dict | None = None,
 ) -> int:
     """Fold one append batch into the aggregate state table.
 
@@ -77,6 +78,7 @@ def update_incremental_agg(
             part.sort(*keys),
             stats_col=key,
             operation=operation or "incremental-init",
+            props=props,
         )
     bounds = part.agg(
         F.min(key).alias("mn"), F.max(key).alias("mx")
@@ -84,9 +86,17 @@ def update_incremental_agg(
     if bounds["mn"] is None:
         return table.head()  # empty batch: no new version
     state = table.read_range(key, bounds["mn"], bounds["mx"])
-    touched = state.join(part.select(*keys).distinct(), keys, "semi")
+    # Semi-join on the MERGE key alone (keys[0]), not the full
+    # composite key: merge() anti-joins existing rows by keys[0], so
+    # every state row sharing that value must ride along in new_rows
+    # or it would be silently dropped. Composite-key siblings pass
+    # through _merge_states unchanged (one row per full key group,
+    # nothing to merge with), so carrying them is value-neutral.
+    touched = state.join(part.select(key).distinct(), key, "semi")
     new_rows = _merge_states(touched, part, keys, specs)
-    return table.merge(new_rows.sort(*keys), key, operation=operation)
+    return table.merge(
+        new_rows.sort(*keys), key, operation=operation, props=props
+    )
 
 
 def read_aggregate(

@@ -33,12 +33,65 @@ with ``mergeSchema``.
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
 import os
 import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _stat_encode(v):
+    """Zone-map bound → (vtype tag, JSON-safe value).
+
+    Spark collects DATE/TIMESTAMP/DECIMAL columns as ``datetime.date``
+    / ``datetime.datetime`` / ``decimal.Decimal`` — none of which
+    ``json.dump`` can serialize, and the merge docstring advertises
+    date-keyed tables as the primary pruning use case. Bounds are
+    stored in a canonical string form tagged with their type so reads
+    can restore an ORDER-FAITHFUL native value (lexicographic ISO
+    strings happen to sort correctly for dates, but Decimal strings do
+    not — "9" > "10" — so decoding, not string comparison, is the
+    rule)."""
+    if isinstance(v, datetime.datetime):
+        return "timestamp", v.isoformat()
+    if isinstance(v, datetime.date):
+        return "date", v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return "decimal", str(v)
+    return None, v
+
+
+def _stat_decode(tag, v):
+    """Inverse of :func:`_stat_encode`; identity for untagged (legacy
+    or JSON-native) bounds."""
+    if v is None or tag is None:
+        return v
+    if tag == "timestamp":
+        return datetime.datetime.fromisoformat(v)
+    if tag == "date":
+        return datetime.date.fromisoformat(v)
+    if tag == "decimal":
+        return decimal.Decimal(v)
+    return v
+
+
+def _zm_bounds(zm: dict):
+    """Decoded (min, max) of one directory's zone map."""
+    tag = zm.get("vtype")
+    return _stat_decode(tag, zm["min"]), _stat_decode(tag, zm["max"])
+
+
+def _make_stats(col: str, mn, mx) -> dict:
+    tag_mn, enc_mn = _stat_encode(mn)
+    tag_mx, enc_mx = _stat_encode(mx)
+    zm = {"col": col, "min": enc_mn, "max": enc_mx}
+    tag = tag_mn or tag_mx
+    if tag is not None:
+        zm["vtype"] = tag
+    return zm
 
 
 class CommitConflict(RuntimeError):
@@ -110,6 +163,7 @@ class VersionedTable:
         operation: str | None = None,
         stats_col: str | None = None,
         bloom_bits: int | None = None,
+        props: dict | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot version; returns the version.
 
@@ -149,7 +203,7 @@ class VersionedTable:
             row = written.agg(
                 F.min(stats_col).alias("mn"), F.max(stats_col).alias("mx")
             ).collect()[0]
-            stats[cdir] = {"col": stats_col, "min": row["mn"], "max": row["mx"]}
+            stats[cdir] = _make_stats(stats_col, row["mn"], row["mx"])
             if bloom_bits:
                 from ..operators.bloom import build_bloom_bitset_agg
 
@@ -171,9 +225,29 @@ class VersionedTable:
                 "operation": operation or mode,
                 "data_dirs": dirs,
                 "stats": stats,
+                "props": self._next_props(parent, props),
             },
         )
         return version
+
+    def _next_props(self, parent: int | None, props: dict | None) -> dict:
+        """Table properties for a new manifest: the parent's, overlaid
+        with the commit's updates. Carrying properties in EVERY
+        manifest (not a sidecar) makes them atomic with the commit and
+        immune to vacuum — the exactly-once stream watermark
+        (streaming/ops.py::incremental_agg_sink) depends on both."""
+        base = {}
+        if parent is not None:
+            base = dict(self._load_manifest(parent).get("props", {}))
+        if props:
+            base.update(props)
+        return base
+
+    def get_props(self, version: int | None = None) -> dict:
+        v = self.head() if version is None else version
+        if v is None:
+            return {}
+        return self._load_manifest(v).get("props", {})
 
     def merge(
         self,
@@ -184,6 +258,7 @@ class VersionedTable:
         stats_col: str | None = None,
         operation: str | None = None,
         bloom_bits: int | None = None,
+        props: dict | None = None,
     ) -> int:
         """MERGE (upsert + delete) with zone-map directory pruning.
 
@@ -234,13 +309,12 @@ class VersionedTable:
         keep_dirs, rewrite_dirs = [], []
         for d in manifest["data_dirs"]:
             zm = stats.get(d)
-            prunable = (
-                touched is not None
-                and zm is not None
-                and zm.get("col") == key
-                and zm["min"] is not None
-                and (zm["max"] < touched[0] or zm["min"] > touched[1])
-            )
+            prunable = False
+            if touched is not None and zm is not None and zm.get("col") == key:
+                mn, mx = _zm_bounds(zm)
+                prunable = mn is not None and (
+                    mx < touched[0] or mn > touched[1]
+                )
             (keep_dirs if prunable else rewrite_dirs).append(d)
         if touched is not None and rewrite_dirs:
             # Bloom pass: range-overlapping dirs with a bitset can
@@ -311,7 +385,7 @@ class VersionedTable:
                 .agg(F.min(sc).alias("mn"), F.max(sc).alias("mx"))
                 .collect()[0]
             )
-            new_stats[cdir] = {"col": sc, "min": row["mn"], "max": row["mx"]}
+            new_stats[cdir] = _make_stats(sc, row["mn"], row["mx"])
             if bloom_bits:
                 from ..operators.bloom import build_bloom_bitset_agg
 
@@ -333,12 +407,18 @@ class VersionedTable:
                 "operation": operation or f"merge(key={key})",
                 "data_dirs": new_dirs,
                 "stats": new_stats,
+                "props": self._next_props(head, props),
             },
         )
         return version
 
     def rollback(self, to_version: int) -> int:
-        """Publish a new head whose snapshot is ``to_version``'s."""
+        """Publish a new head whose snapshot is ``to_version``'s.
+
+        Table properties come from the CURRENT head, not the rollback
+        target: props like the stream watermark are monotone guards,
+        not snapshot content, and rewinding them would re-admit
+        already-applied micro-batches."""
         old = self._load_manifest(to_version)
         parent = self.head()
         version = (parent or 0) + 1
@@ -350,6 +430,7 @@ class VersionedTable:
                 "operation": f"rollback({to_version})",
                 "data_dirs": old["data_dirs"],
                 "stats": old.get("stats", {}),
+                "props": self._next_props(parent, None),
             },
         )
         return version
@@ -389,12 +470,10 @@ class VersionedTable:
         dirs = []
         for d in m["data_dirs"]:
             zm = stats.get(d)
-            prunable = (
-                zm is not None
-                and zm.get("col") == key
-                and zm["min"] is not None
-                and (zm["max"] < lo or zm["min"] > hi)
-            )
+            prunable = False
+            if zm is not None and zm.get("col") == key:
+                mn, mx = _zm_bounds(zm)
+                prunable = mn is not None and (mx < lo or mn > hi)
             if not prunable:
                 dirs.append(d)
         if not dirs:
@@ -404,24 +483,50 @@ class VersionedTable:
 
     # -------------------------------------------------------------- vacuum
 
-    def vacuum(self, *, keep_last: int = 1) -> list[str]:
+    def vacuum(
+        self, *, keep_last: int = 1, grace_seconds: float = 0.0
+    ) -> list[str]:
         """Drop manifests beyond the last ``keep_last`` and delete data
         directories no retained manifest references. Returns the
         deleted directory names. Time travel earlier than the retained
         window is gone after this — that's the storage/history trade.
+
+        Concurrent-writer safety: a commit writes its data directory
+        BEFORE publishing its manifest, so an unreferenced directory
+        whose ``c<version>`` prefix exceeds the max retained version is
+        an in-flight commit, not garbage — it is always skipped (the
+        loser of a publish race rewrites into a fresh directory on
+        retry, so its abandoned dir becomes reclaimable once the head
+        passes it). ``grace_seconds`` additionally skips directories
+        younger than the given age as a clock-based belt for exotic
+        schedulers.
         """
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        import time
+
         vs = self.versions()
         keep, drop = vs[-keep_last:], vs[:-keep_last]
         live: set[str] = set()
         for v in keep:
             live.update(self._load_manifest(v)["data_dirs"])
+        max_kept = keep[-1] if keep else 0
+        now = time.time()
         removed = []
         for d in os.listdir(self._data_dir):
-            if d not in live:
-                shutil.rmtree(os.path.join(self._data_dir, d))
-                removed.append(d)
+            if d in live:
+                continue
+            try:
+                dir_version = int(d.split("-", 1)[0].lstrip("c"))
+            except ValueError:
+                dir_version = None
+            if dir_version is not None and dir_version > max_kept:
+                continue  # in-flight commit racing this vacuum
+            path = os.path.join(self._data_dir, d)
+            if grace_seconds and now - os.path.getmtime(path) < grace_seconds:
+                continue
+            shutil.rmtree(path)
+            removed.append(d)
         for v in drop:
             os.unlink(self._manifest_path(v))
         return sorted(removed)

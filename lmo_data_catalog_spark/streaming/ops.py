@@ -406,27 +406,37 @@ def incremental_agg_sink(
     per trigger instead of recomputed — and every trigger publishes an
     atomic snapshot readers can time-travel.
 
-    Exactly-once on top of at-least-once replay: each state commit is
-    tagged ``stream-batch=<id>``; a replayed micro-batch (failure
-    between the state commit and the offset commit) sees its id
-    already applied in the manifest history and becomes a no-op,
-    rather than double-counting — the transactional-sink pattern the
-    Structured Streaming guide prescribes for foreachBatch.
+    Exactly-once on top of at-least-once replay: every state commit
+    persists the max applied micro-batch id as a table property
+    (``stream_watermark``) IN the manifest it publishes — atomic with
+    the data, carried forward by every later commit, and therefore
+    immune to ``vacuum`` dropping old manifests (scanning history for
+    per-batch operation tags was not: a replay after a vacuum that
+    dropped its tag would double-count). A replayed micro-batch
+    (failure between the state commit and the offset commit) sees
+    ``batch_id <= watermark`` and becomes a no-op. Batch ids are
+    monotone per checkpoint, so a single high-water mark suffices;
+    legacy tables without the property fall back to the history-tag
+    scan once and adopt the watermark on their next commit.
     """
     from ..operators.incremental import update_incremental_agg
     from ..sources.versioned import VersionedTable
 
-    def applied_ids(table: VersionedTable) -> set[int]:
-        out = set()
+    def watermark(table: VersionedTable) -> int:
+        props = table.get_props()
+        if "stream_watermark" in props:
+            return int(props["stream_watermark"])
+        wm = -1  # legacy fallback: pre-watermark history tags
         for h in table.history():
             op = h["operation"] or ""
             if op.startswith("stream-batch="):
-                out.add(int(op.split("=", 1)[1]))
-        return out
+                wm = max(wm, int(op.split("=", 1)[1]))
+        return wm
 
     def fold(df: DataFrame, batch_id: int) -> None:
         table = VersionedTable(df.sparkSession, table_root)
-        if batch_id in applied_ids(table):
+        wm = watermark(table)
+        if batch_id <= wm:
             return  # replay of an already-applied micro-batch
         update_incremental_agg(
             table,
@@ -434,6 +444,7 @@ def incremental_agg_sink(
             keys=keys,
             specs=specs,
             operation=f"stream-batch={batch_id}",
+            props={"stream_watermark": batch_id},
         )
 
     q = (

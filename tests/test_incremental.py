@@ -104,3 +104,47 @@ def test_untouched_key_ranges_survive_merge_verbatim(spark, tmp_path):
         + [(105, 9.0)]
     )
     assert as_map(t.read()) == as_map(full_recompute(spark, all_rows))
+
+
+def test_composite_key_siblings_survive_merge(spark, tmp_path):
+    """Regression (r6 advice): merge() runs on keys[0] only, so a state
+    row sharing keys[0] with a touched key but differing in the
+    secondary key must be carried into the rewrite — dropping it is
+    silent row loss."""
+    from pyspark.sql import functions as F
+
+    def batch2(rows):
+        return spark.createDataFrame(rows, ["k", "g", "amount"])
+
+    t = VersionedTable(spark, str(tmp_path / "agg2"))
+    update_incremental_agg(
+        t,
+        batch2([(1, "a", 10.0), (1, "b", 20.0), (2, "a", 5.0)]),
+        keys=["k", "g"],
+        specs=SPECS,
+    )
+    # Touches only (1, 'a'); (1, 'b') shares the merge key k=1.
+    update_incremental_agg(
+        t, batch2([(1, "a", 1.0)]), keys=["k", "g"], specs=SPECS
+    )
+    got = {
+        (r["k"], r["g"]): (r["row_count"], r["amount_sum"])
+        for r in t.read().collect()
+    }
+    assert got == {
+        (1, "a"): (2, 11.0),
+        (1, "b"): (1, 20.0),  # the sibling row merge() would have lost
+        (2, "a"): (1, 5.0),
+    }
+    exp = (
+        batch2([(1, "a", 10.0), (1, "b", 20.0), (2, "a", 5.0), (1, "a", 1.0)])
+        .groupBy("k", "g")
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.sum("amount").alias("amount_sum"),
+            F.min("amount").alias("amount_min"),
+            F.max("amount").alias("amount_max"),
+        )
+    )
+    assert t.read().exceptAll(exp).count() == 0
+    assert exp.exceptAll(t.read()).count() == 0

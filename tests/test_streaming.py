@@ -399,18 +399,52 @@ def test_incremental_agg_sink_replayed_batch_is_noop(spark, tmp_path):
     update_incremental_agg(
         t, batch, keys=["k"], specs={"value": ("sum",)},
         operation="stream-batch=7",
+        props={"stream_watermark": 7},
     )
     head = t.head()
     state = {tuple(r) for r in t.read().collect()}
     # what incremental_agg_sink's fold does on a replayed id:
-    applied = {
-        int(h["operation"].split("=", 1)[1])
-        for h in t.history()
-        if h["operation"].startswith("stream-batch=")
-    }
-    assert 7 in applied  # fold would skip -> no second commit
+    assert int(t.get_props()["stream_watermark"]) >= 7  # fold skips
     assert t.head() == head
     assert {tuple(r) for r in t.read().collect()} == state
+
+
+def test_replay_guard_survives_vacuum(spark, tmp_path):
+    """Regression (r6 advice): the replay guard used to scan history
+    for stream-batch tags, which vacuum(keep_last=1) deletes — a
+    replayed batch after such a vacuum was re-applied and
+    double-counted. The watermark now rides in every manifest's props,
+    so it survives any retention policy."""
+    from lmo_data_catalog_spark.operators.incremental import (
+        update_incremental_agg,
+    )
+    from lmo_data_catalog_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "mv"))
+    for bid, rows in ((0, [("a", 1.0)]), (1, [("a", 2.0), ("b", 3.0)])):
+        update_incremental_agg(
+            t,
+            spark.createDataFrame(rows, ["k", "value"]),
+            keys=["k"],
+            specs={"value": ("sum",)},
+            operation=f"stream-batch={bid}",
+            props={"stream_watermark": bid},
+        )
+    t.vacuum(keep_last=1)
+    # history tags for batch 0 are gone, but the watermark is not:
+    ops_hist = [h["operation"] for h in t.history()]
+    assert not any(op.endswith("=0") for op in ops_hist)
+    assert int(t.get_props()["stream_watermark"]) == 1
+    # legacy-table fallback still works when props are absent entirely
+    legacy = VersionedTable(spark, str(tmp_path / "legacy"))
+    update_incremental_agg(
+        legacy,
+        spark.createDataFrame([("a", 1.0)], ["k", "value"]),
+        keys=["k"],
+        specs={"value": ("sum",)},
+        operation="stream-batch=4",
+    )
+    assert "stream_watermark" not in legacy.get_props()
 
 
 def test_incremental_agg_sink_folds_multiple_micro_batches(

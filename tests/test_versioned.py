@@ -102,12 +102,17 @@ def test_crash_mid_commit_leaves_readers_consistent(spark, tmp_path):
     t = VersionedTable(spark, str(tmp_path / "tbl"))
     t.commit(df_of(spark, [(1, "a")], ["id", "val"]))
     # Simulate a crashed writer: data landed, manifest never published.
+    # Its version (head+1) is indistinguishable from an IN-FLIGHT
+    # commit, so vacuum must leave it until the head passes it.
     df_of(spark, [(99, "junk")], ["id", "val"]).write.parquet(
-        os.path.join(t._data_dir, "c99999-deadbeef")
+        os.path.join(t._data_dir, "c00002-deadbeef")
     )
     assert rows_set(t.read()) == {(1, "a")}  # orphan invisible
-    removed = t.vacuum(keep_last=1)  # orphan reclaimed
-    assert removed == ["c99999-deadbeef"]
+    assert t.vacuum(keep_last=1) == []  # possibly in-flight: kept
+    t.commit(df_of(spark, [(2, "b")], ["id", "val"]))  # head reaches 2
+    removed = t.vacuum(keep_last=1)  # now provably dead: reclaimed
+    assert removed == ["c00002-deadbeef"]
+    assert rows_set(t.read()) == {(1, "a"), (2, "b")}
 
 
 def test_merge_upserts_deletes_and_prunes_directories(spark, tmp_path):
@@ -333,3 +338,113 @@ def test_vacuum_then_merge_keeps_pruning_and_consistency(spark, tmp_path):
     after = t._load_manifest(v)["data_dirs"]
     assert set(before) <= set(after)  # nothing rewritten: all pruned
     assert removed  # vacuum actually reclaimed the rewritten dirs
+
+
+def test_date_keyed_zone_maps_commit_merge_and_prune(spark, tmp_path):
+    """Regression (r6 advice): DATE/DECIMAL stats_col bounds are
+    datetime.date/Decimal objects json.dump cannot serialize — commit
+    used to crash AFTER the parquet write (orphaned data, no version).
+    Bounds are now stored in a tagged canonical form and decoded for
+    order-faithful comparison in merge/read_range."""
+    import datetime
+
+    t = VersionedTable(spark, str(tmp_path / "bydate"))
+    d = datetime.date
+    jan = df_of(
+        spark,
+        [(d(2024, 1, i), float(i)) for i in (1, 2, 3)],
+        ["day", "v"],
+    )
+    feb = df_of(
+        spark,
+        [(d(2024, 2, i), float(i)) for i in (1, 2)],
+        ["day", "v"],
+    )
+    t.commit(jan, stats_col="day")
+    t.commit(feb, stats_col="day")
+    jan_dir, feb_dir = t._load_manifest(t.head())["data_dirs"]
+    # manifest is valid JSON with ISO-tagged bounds
+    zm = t._load_manifest(t.head())["stats"][jan_dir]
+    assert zm["vtype"] == "date" and zm["min"] == "2024-01-01"
+    # a merge touching only February must carry January forward verbatim
+    upd = df_of(spark, [(d(2024, 2, 1), 99.0)], ["day", "v"])
+    t.merge(upd, "day")
+    dirs = t._load_manifest(t.head())["data_dirs"]
+    assert jan_dir in dirs and feb_dir not in dirs
+    assert rows_set(t.read()) == {
+        (d(2024, 1, 1), 1.0),
+        (d(2024, 1, 2), 2.0),
+        (d(2024, 1, 3), 3.0),
+        (d(2024, 2, 1), 99.0),
+        (d(2024, 2, 2), 2.0),
+    }
+    # read_range prunes by decoded date bounds
+    feb_read = t.read_range("day", d(2024, 2, 1), d(2024, 2, 28))
+    assert all(r["day"].month == 2 for r in feb_read.collect())
+
+
+def test_decimal_zone_maps_decode_order_faithfully(spark, tmp_path):
+    """Decimal('9') > Decimal('10') as strings but not as values —
+    pruning must compare decoded Decimals, and a merge touching 10
+    must NOT prune the directory holding 9..11."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("amt", T.DecimalType(10, 2)),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    t = VersionedTable(spark, str(tmp_path / "bydec"))
+    t.commit(
+        spark.createDataFrame(
+            [(Decimal("9.00"), "a"), (Decimal("11.00"), "b")], schema
+        ),
+        stats_col="amt",
+    )
+    zm = t._load_manifest(t.head())["stats"]
+    (only,) = zm.values()
+    assert only["vtype"] == "decimal"
+    t.merge(
+        spark.createDataFrame([(Decimal("10.00"), "new")], schema), "amt"
+    )
+    assert rows_set(t.read()) == {
+        (Decimal("9.00"), "a"),
+        (Decimal("11.00"), "b"),
+        (Decimal("10.00"), "new"),
+    }
+
+
+def test_vacuum_skips_inflight_commit_directories(spark, tmp_path):
+    """Regression (r6 advice): a concurrent commit writes its data dir
+    before publishing its manifest; vacuum racing that window must not
+    delete it. Directories whose c<version> prefix exceeds the max
+    retained version are in-flight, not garbage."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(df_of(spark, [(1, "a")], ["id", "val"]))
+    t.commit(df_of(spark, [(2, "b")], ["id", "val"]))
+    head = t.head()
+    # simulate the in-flight window: data dir for version head+1 exists,
+    # manifest not yet published
+    inflight = f"c{head + 1:05d}-deadbeef"
+    df_of(spark, [(3, "c")], ["id", "val"]).write.parquet(
+        os.path.join(t._data_dir, inflight)
+    )
+    # an abandoned orphan from a LOST race at an already-passed version
+    orphan = f"c{head:05d}-0badf00d"
+    df_of(spark, [(4, "d")], ["id", "val"]).write.parquet(
+        os.path.join(t._data_dir, orphan)
+    )
+    removed = t.vacuum(keep_last=1)
+    assert orphan in removed
+    assert inflight not in removed
+    assert os.path.isdir(os.path.join(t._data_dir, inflight))
+    # grace_seconds also protects arbitrarily-named young directories
+    young = "nonstandard-name"
+    df_of(spark, [(5, "e")], ["id", "val"]).write.parquet(
+        os.path.join(t._data_dir, young)
+    )
+    assert young not in t.vacuum(keep_last=1, grace_seconds=3600)
+    assert young in t.vacuum(keep_last=1)
