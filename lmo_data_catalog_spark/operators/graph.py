@@ -36,25 +36,31 @@ def pagerank(
 
     ``edges`` must contain every node as a ``src`` at least once
     (true by construction for symmetrized undirected graphs, where
-    each undirected edge contributes both directions) — dangling
-    nodes are out of scope here. Returns ``(node, rank)`` with
-    r₀ = 1 and rₖ₊₁(v) = (1−d) + d·Σ_{u→v} rₖ(u)/deg(u),
+    each undirected edge contributes both directions) — DANGLING
+    nodes (no out-edges) are out of scope here; use
+    :func:`pagerank_full` for directed graphs with sinks. Nodes with
+    no IN-edges are fine: the rank vector is rebuilt by left-joining
+    contributions onto the full node set each round, so a source-only
+    node keeps its ``(1−d)`` teleport share and keeps feeding its
+    out-neighbors (rebuilding from the contribution aggregate alone
+    would silently drop it after round one). Returns ``(node, rank)``
+    with r₀ = 1 and rₖ₊₁(v) = (1−d) + d·Σ_{u→v} rₖ(u)/deg(u),
     the classic uniform-start formulation. Float ops are ordered
-    identically to the oracle CTE chain: divide per edge, sum, scale,
-    add — so cross-engine drift is limited to summation-order ulps,
-    absorbed by the caller's final ROUND.
+    identically to the oracle CTE chain: divide per edge, sum,
+    coalesce, scale, add — so cross-engine drift is limited to
+    summation-order ulps, absorbed by the caller's final ROUND.
     """
     from .. import cache
 
     deg = edges.groupBy(src).agg(F.count("*").alias("__deg"))
     # Edge list annotated with the source's out-degree. Every round's
-    # plan references it, and Catalyst does not dedupe shared
-    # subtrees — without a persist the (possibly expensive) edge
-    # build would re-execute once per round inside the final action.
+    # plan references it (as does the node universe), and Catalyst
+    # does not dedupe shared subtrees — without a persist the
+    # (possibly expensive) edge build would re-execute once per round
+    # inside the final action.
     ed = cache.track(edges.join(deg, src))
-    ranks = deg.select(
-        F.col(src).alias("node"), F.lit(1.0).alias("rank")
-    )
+    nodes = cache.track(deg.select(F.col(src).alias("node")))
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for _ in range(n_iter):
         contrib = (
             ed.join(ranks, ed[src] == ranks["node"])
@@ -65,10 +71,160 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__s"))
         )
-        ranks = contrib.select(
+        ranks = nodes.join(contrib, "node", "left").select(
             "node",
-            (F.lit(1.0 - damping) + F.lit(damping) * F.col("__s")).alias(
-                "rank"
-            ),
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping)
+                * F.coalesce(F.col("__s"), F.lit(0.0))
+            ).alias("rank"),
         )
     return ranks
+
+
+def _pr_graph(edges: DataFrame, src: str, dst: str):
+    """Shared prep for the dangling-aware variants: persisted
+    (annotated edges, node universe, 1-row node count, dangling node
+    set). The node universe is src ∪ dst — sinks included."""
+    from .. import cache
+
+    deg = edges.groupBy(src).agg(F.count("*").alias("__deg"))
+    ed = cache.track(edges.join(deg, src))
+    nodes = cache.track(
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    # 1-row broadcast frames keep the whole round lazy — no driver
+    # collect of N or of the dangling mass.
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    dangling = cache.track(
+        nodes.join(
+            edges.select(F.col(src).alias("node")).distinct(),
+            "node",
+            "left_anti",
+        )
+    )
+    return ed, nodes, nn, dangling
+
+
+def _pr_round(
+    ed, nodes, nn, dangling, ranks: DataFrame, damping: float, src, dst
+) -> DataFrame:
+    """One dangling-aware power iteration:
+    rₖ₊₁(v) = (1−d) + d·(Σ_{u→v} rₖ(u)/deg(u) + Dₖ/N),
+    Dₖ = Σ_{u dangling} rₖ(u). Float order pinned for the oracle CTE:
+    coalesce(contrib, 0) + (dangling_mass / N), then scale, then add
+    the teleport term computed as (1.0 − damping) in both engines."""
+    contrib = (
+        ed.join(ranks, ed[src] == ranks["node"])
+        .select(
+            F.col(dst).alias("node"),
+            (F.col("rank") / F.col("__deg")).alias("__c"),
+        )
+        .groupBy("node")
+        .agg(F.sum("__c").alias("__s"))
+    )
+    dmass = (
+        ranks.join(dangling, "node", "semi")
+        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+    )
+    return (
+        nodes.join(contrib, "node", "left")
+        .crossJoin(F.broadcast(dmass))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "node",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("__s"), F.lit(0.0))
+                    + F.col("__dm") / F.col("__n")
+                )
+            ).alias("rank"),
+        )
+    )
+
+
+def pagerank_full(
+    edges: DataFrame,
+    *,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Dangling-aware PageRank over an arbitrary directed edge list.
+
+    Unlike :func:`pagerank`, the node universe is src ∪ dst and SINK
+    nodes (no out-edges) are first-class: each round their rank mass
+    Dₖ is redistributed uniformly (the standard dangling-node
+    treatment), so total mass stays exactly N·(1−d) + d·N = N instead
+    of leaking. A single lazy plan for ``n_iter < checkpoint_every``
+    — the dangling mass and node count ride as 1-row broadcast
+    frames, the rank vector is never collected — so the computation
+    remains expressible as an unrolled SQL CTE chain for the
+    value-exact differential (registry:
+    ``pagerank_dangling_part_supplier``). Each round references the
+    rank vector TWICE (contribution join + dangling-mass aggregate)
+    and Catalyst duplicates shared subtrees, so the logical plan
+    doubles per round; every ``checkpoint_every`` rounds the vector is
+    lazily localCheckpoint-ed, truncating lineage to keep plan size
+    linear for long runs (still no driver-side collect).
+
+    Scale shape per round: one keyed join + keyed aggregate (as
+    :func:`pagerank`), plus a semi join against the (persisted)
+    dangling set and one 1-row aggregate — O(edges) with no new
+    shuffle axis."""
+    ed, nodes, nn, dangling = _pr_graph(edges, src, dst)
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for i in range(1, n_iter + 1):
+        ranks = _pr_round(ed, nodes, nn, dangling, ranks, damping, src, dst)
+        if i % checkpoint_every == 0 and i < n_iter:
+            ranks = ranks.persist().localCheckpoint(eager=False)
+    return ranks
+
+
+def pagerank_converged(
+    edges: DataFrame,
+    *,
+    tol: float = 1e-6,
+    max_iter: int = 50,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 5,
+) -> tuple[DataFrame, int]:
+    """:func:`pagerank_full` iterated to an L1 fixed point: stop when
+    Σ|rₖ₊₁ − rₖ| < ``tol`` (or at ``max_iter``). Returns
+    ``(ranks, rounds_run)``.
+
+    Driver-side state is one scalar per round (the L1 delta — a 1-row
+    collect, which is also what forces evaluation, so each round runs
+    exactly once). The rank vector itself stays distributed and is
+    persisted per round with the previous round released;
+    ``localCheckpoint`` every ``checkpoint_every`` rounds truncates
+    lineage the way connected_components does, keeping plan size flat
+    no matter how slowly the chain mixes."""
+    ed, nodes, nn, dangling = _pr_graph(edges, src, dst)
+    ranks = nodes.select("node", F.lit(1.0).alias("rank")).persist()
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        nxt = _pr_round(
+            ed, nodes, nn, dangling, ranks, damping, src, dst
+        ).persist()
+        if rounds % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=False)
+        delta = (
+            nxt.withColumnRenamed("rank", "__r1")
+            .join(ranks.withColumnRenamed("rank", "__r0"), "node")
+            .agg(F.sum(F.abs(F.col("__r1") - F.col("__r0"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        ranks.unpersist()
+        ranks = nxt
+        if delta < tol:
+            break
+    return ranks, rounds

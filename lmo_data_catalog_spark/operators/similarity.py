@@ -280,6 +280,113 @@ def kmeans_centroids(
     return cents
 
 
+def quantize_expr(vec_col: str, scale: float) -> Column:
+    """``round_half_up(x * scale)`` per element, as BIGINT — written as
+    ``floor(x*scale + 0.5)`` because that exact formulation is engine-
+    portable (Spark ROUND is HALF_UP, DuckDB's is not; FLOOR on an
+    identical double is identical everywhere). ``scale`` must be a
+    power of two so ``x * scale`` is exact."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(scale) + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+
+
+def kmeans_cells_exact(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    iters: int = 3,
+    scale: float = 1024.0,
+) -> DataFrame:
+    """Deterministic Lloyd cell assignment with CROSS-ENGINE EXACT
+    arithmetic — the trainer behind the value-exact
+    ``ann_ivf_kmeans_topk`` differential.
+
+    :func:`kmeans_centroids` is honest about its one leak: per-cell
+    float means depend on partial-sum order, so centroid bits are
+    partition-dependent at ~1e-12 and the query it backs could only be
+    checked rows-only. This variant closes that leak by moving the
+    ONLY order-sensitive reduction onto integers:
+
+    - vectors are quantized once: ``q[i] = floor(x[i]·scale + 0.5)``
+      as BIGINT (``scale`` a power of two ⇒ the product is exact, so
+      both engines floor identical doubles);
+    - a centroid is the pair (elementwise INTEGER SUM of member
+      vectors, count) — integer addition commutes, so any partition
+      order and any engine produce the SAME sums;
+    - assignment ranks cells by the spherical score
+      ``dot(q, S_c) / |S_c|`` (|v| is cell-invariant, so dividing by
+      it cannot change the argmax), computed left-deep in double —
+      identical inputs + identical op order ⇒ identical doubles ⇒
+      identical argmax, with ties to the lowest cell id via
+      array_position(array_max);
+    - empty cells keep their previous (sum, count) state.
+
+    Scale shape per iteration: one corpus scan + ONE hash aggregate
+    (map-side partials, k rows out, no explode) + a k×(dim+1) driver
+    collect — the same bounded-driver contract as quantile cut points.
+    Returns ``df``'s rows with an added ``__cell`` column (1-based),
+    persisted via cache.track since callers fan out from it.
+    """
+    import math
+
+    from .. import cache
+
+    q = cache.track(
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            quantize_expr(vec_col, scale).alias("__q"),
+        )
+    )
+    seed = (
+        q.select(id_col, "__q").orderBy(id_col).limit(k).toPandas()["__q"]
+    )
+    state = [[int(x) for x in v] for v in seed]  # per-cell integer sums
+
+    def score_array() -> Column:
+        cols = []
+        for svec in state:
+            acc = 0.0
+            for s in svec:
+                fs = float(s)
+                acc += fs * fs  # left-deep, same order as _sql_dot(s, s)
+            cols.append(dot_literal("__q", svec) / F.lit(math.sqrt(acc)))
+        return F.array(*cols)
+
+    cell = F.expr("array_position(__scores, array_max(__scores))").cast(
+        "int"
+    )
+    for _ in range(iters):
+        agg = (
+            q.select(score_array().alias("__scores"), "__q")
+            .select(cell.alias("__cell"), "__q")
+            .groupBy("__cell")
+            .agg(
+                *[
+                    F.sum(F.col("__q")[i]).alias(f"__s{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new = list(state)
+        for row in agg:
+            new[row["__cell"] - 1] = [row[f"__s{i}"] for i in range(dim)]
+        state = new
+    return cache.track(
+        q.select(id_col, vec_col, score_array().alias("__scores")).select(
+            id_col, vec_col, cell.alias("__cell")
+        )
+    )
+
+
 def neardup_pairs_gemm(
     df: DataFrame,
     *,

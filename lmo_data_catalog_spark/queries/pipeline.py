@@ -101,46 +101,108 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_sql_assign(name: str, prev: str, dim: int = DIM) -> str:
+    """Assignment CTE: spherical score dot(q, S_c)/|S_c| as left-deep
+    double folds, ties to the lowest cell — mirrors
+    operators/similarity.py::kmeans_cells_exact bit-for-bit."""
+    dot_qs = _sql_dot("v.q", "c.s", dim)
+    dot_ss = _sql_dot("c.s", "c.s", dim)
+    return f"""
+    {name} AS MATERIALIZED (
+        SELECT vec_id, q, cell FROM (
+            SELECT v.vec_id, v.q, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY ({dot_qs}) / sqrt({dot_ss}) DESC, c.cell
+                   ) AS rn
+            FROM qv v CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    )"""
+
+
+def _kmeans_sql_round(i: int, dim: int = DIM) -> str:
+    """One unrolled Lloyd round as CTE text: assignment against
+    c{i-1}, then the INTEGER sum update (order-free, hence
+    engine-free), empty cells carrying the previous state forward.
+    MATERIALIZED keeps DuckDB from inlining the per-round-doubling
+    chain (c{i-1} is referenced by both a{i} and c{i})."""
+    sums = ", ".join(
+        f"CAST(SUM(q[{j + 1}]) AS BIGINT) AS s{j + 1}" for j in range(dim)
+    )
+    carry = ", ".join(
+        f"COALESCE(u.s{j + 1}, p.s[{j + 1}])" for j in range(dim)
+    )
+    return f"""
+    {_kmeans_sql_assign(f"a{i}", f"c{i - 1}", dim)},
+    u{i} AS MATERIALIZED (SELECT cell, {sums} FROM a{i} GROUP BY cell),
+    c{i} AS MATERIALIZED (
+        SELECT p.cell, list_value({carry}) AS s
+        FROM c{i - 1} p LEFT JOIN u{i} u ON p.cell = u.cell
+    )"""
+
+
+_KMEANS_IVF_SQL = f"""
+    WITH qv AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               list_transform(
+                   embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1024.0 + 0.5)
+                             AS BIGINT)
+               ) AS q
+        FROM embeddings
+    ),
+    seed AS (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 8),
+    c0 AS MATERIALIZED (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cell,
+               q AS s
+        FROM seed
+    ),
+    {",".join(_kmeans_sql_round(i) for i in (1, 2, 3))},
+    {_kmeans_sql_assign("af", "c3")},
+    qc AS (SELECT cell FROM af WHERE vec_id = 0),
+    qe AS (SELECT embedding AS qvec FROM qv WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND({_sql_cosine('e.embedding', 'qe.qvec')}, 6) AS cosine
+    FROM qv e
+    JOIN af ON af.vec_id = e.vec_id
+    JOIN qc ON af.cell = qc.cell
+    CROSS JOIN qe
+    ORDER BY {_sql_cosine('e.embedding', 'qe.qvec')} DESC, e.vec_id
+    LIMIT 10
+"""
+
+
 @query(
     "ann_ivf_kmeans_topk",
-    oracle=None,  # iterative algorithm — documented rows-only check
-    tags=("similarity", "ann", "ivf", "kmeans", "no_oracle"),
+    oracle=_KMEANS_IVF_SQL,
+    tags=("similarity", "ann", "ivf", "kmeans"),
 )
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with k-means-refined cells: 3 deterministic Lloyd
-    iterations replace ``ann_ivf_topk``'s first-8-ids seeding
-    (``operators/similarity.py::kmeans_centroids``), then search only
-    the query's cell. Fully deterministic (fixed init, lowest-id
-    tie-breaks), so the rows-only differential is stable across
-    runs/partitionings; there is no value-exact SQL oracle because the
-    centroid update is iterative — the documented weaker check for
-    iterative algorithms. SCALING.md §ANN measures both seedings on
-    two corpus geometries: k-means LOSES at nprobe=1 on the
-    replica-clustered corpus (balanced cells drag boundaries through
-    dense regions) and WINS on the smooth quasi-random manifold —
-    the operator exists because centroid training is corpus-dependent
-    and must be measurable, not because it always wins."""
-    from ..operators.similarity import (
-        dot_literal,
-        kmeans_centroids,
-    )
+    iterations replace ``ann_ivf_topk``'s static first-8-ids seeding,
+    then search only the query's cell. Formerly the registry's one
+    rows-only query; now VALUE-EXACT under an unrolled-CTE oracle via
+    ``operators/similarity.py::kmeans_cells_exact`` — the centroid
+    update is an elementwise INTEGER sum over quantized vectors
+    (order-free, so partition layout and engine cannot move a bit)
+    and every float score is a left-deep double fold both engines
+    evaluate identically. The final cell search scores the ORIGINAL
+    float embeddings (quantization only steers training). SCALING.md
+    §ANN measures k-means vs static seeding on two corpus geometries:
+    k-means LOSES at nprobe=1 on the replica-clustered corpus and
+    WINS on the smooth quasi-random manifold — centroid training is
+    corpus-dependent and must be measurable, not assumed."""
+    from ..operators.similarity import kmeans_cells_exact
 
     cat = Catalog(spark, sf_dir)
-    e = cat.embeddings
-    cents = kmeans_centroids(
-        e, id_col="vec_id", vec_col="embedding", dim=DIM, k=8, iters=3
+    assigned = kmeans_cells_exact(
+        cat.embeddings,
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=DIM,
+        k=8,
+        iters=3,
     )
-    scores = F.array(*[dot_literal("embedding", c) for c in cents])
-    cell = F.expr("array_position(__scores, array_max(__scores))").cast(
-        "int"
-    )
-    assigned = e.select(
-        "vec_id", "embedding", scores.alias("__scores")
-    ).select("vec_id", "embedding", cell.alias("__cell"))
-    # feeds the query-cell lookup AND the cell join — persist so the
-    # 8x64-literal score chain evaluates once (same pattern as
-    # ann_ivf_topk's assign)
-    assigned = cache.track(assigned)
     qrow = assigned.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"), F.col("__cell").alias("qcell")
     )

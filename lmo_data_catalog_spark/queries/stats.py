@@ -664,6 +664,101 @@ def pagerank_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
+def _pr_dangling_round(i: int) -> str:
+    """One unrolled round of dangling-aware PageRank as CTE text —
+    float order pinned to operators/graph.py::_pr_round: divide per
+    edge, SUM, COALESCE, + dangling_mass/N, scale by 0.85, add the
+    teleport term written as a (1.0 − 0.85) subtraction in both
+    engines (bare DuckDB literals type as DECIMAL — hence the CASTs).
+    """
+    prev = f"r{i - 1}"
+    return f"""
+    c{i} AS (
+        SELECT e.dst AS node, SUM(r.rank / deg.d) AS s
+        FROM edges e JOIN deg ON e.src = deg.src
+        JOIN {prev} r ON r.node = e.src
+        GROUP BY e.dst
+    ),
+    d{i} AS (
+        SELECT COALESCE(SUM(r.rank), CAST(0.0 AS DOUBLE)) AS dm
+        FROM {prev} r JOIN dang ON r.node = dang.node
+    ),
+    r{i} AS (
+        SELECT n2.node,
+               (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+               + CAST(0.85 AS DOUBLE)
+               * (COALESCE(c{i}.s, CAST(0.0 AS DOUBLE)) + d{i}.dm / nn.n)
+               AS rank
+        FROM nodes n2
+        LEFT JOIN c{i} ON n2.node = c{i}.node
+        CROSS JOIN d{i} CROSS JOIN nn
+    )"""
+
+
+@query(
+    "pagerank_dangling_part_supplier",
+    oracle=f"""
+    WITH edges AS (
+        SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM lineitem
+    ),
+    nodes AS (
+        SELECT src AS node FROM edges
+        UNION
+        SELECT dst AS node FROM edges
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    dang AS (
+        SELECT n.node FROM nodes n
+        LEFT JOIN (SELECT DISTINCT src FROM edges) s ON n.node = s.src
+        WHERE s.src IS NULL
+    ),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+    {",".join(_pr_dangling_round(i) for i in (1, 2, 3))}
+    SELECT node, ROUND(rank, 6) AS pagerank
+    FROM r3
+    ORDER BY node
+    """,
+    tags=("graph", "iterative", "dangling"),
+)
+def pagerank_dangling_part_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PageRank over the DIRECTED part→supplier graph (a part points
+    at each supplier shipping it) — a graph where every supplier is a
+    SINK (no out-edges) and every part is source-only (no in-edges),
+    exercising both hazards the symmetric co-occurrence query cannot:
+    dangling mass is redistributed uniformly each round
+    (operators/graph.py::pagerank_full) and source-only nodes keep
+    their teleport share instead of vanishing after round one.
+    Namespaced string ids ('p<partkey>'/'s<suppkey>') keep the two key
+    spaces disjoint. Fixed 3 rounds → still one lazy plan AND an
+    unrolled CTE chain, so a dangling-node graph iteration sits under
+    the value-exact differential. Total mass is conserved at N by
+    construction (teleport + redistribution replace exactly what
+    damping removes), pinned in tests/test_graph.py."""
+    from ..operators.graph import pagerank_full
+
+    li = Catalog(spark, sf_dir).lineitem
+    edges = (
+        li.select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    ranks = pagerank_full(edges, n_iter=3, damping=0.85)
+    return ranks.select(
+        "node", F.round("rank", 6).alias("pagerank")
+    ).orderBy("node")
+
+
 # ----------------------------------------------------- robust MAD outliers
 
 

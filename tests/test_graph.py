@@ -1,25 +1,51 @@
-"""Unit tests for operators/graph.py::pagerank against a pure-Python
-reference implementation on hand-built graphs (the registry query
-`pagerank_part_cooccurrence` pins the cross-engine differential; this
-pins the operator's math and its invariants on known topologies)."""
+"""Unit tests for operators/graph.py against pure-Python references
+on hand-built graphs (the registry queries pin the cross-engine
+differential; this pins the operators' math and invariants on known
+topologies, including the hazards the differential graphs can't hit:
+source-only nodes, sinks, and convergence termination)."""
 
 from __future__ import annotations
 
 import pytest
 
-from lmo_data_catalog_spark.operators.graph import pagerank
+from lmo_data_catalog_spark.operators.graph import (
+    pagerank,
+    pagerank_converged,
+    pagerank_full,
+)
 
 
 def py_pagerank(edges, n_iter=3, damping=0.85):
-    """Reference: same uniform-start damped formulation."""
+    """Reference for the no-dangling operator: node set = srcs (the
+    operator's documented precondition), ranks rebuilt over the FULL
+    node set each round so source-only nodes keep their teleport
+    share (the r6-advice flaw was dropping them)."""
     nodes = sorted({s for s, _ in edges})
     deg = {n: sum(1 for s, _ in edges if s == n) for n in nodes}
     rank = {n: 1.0 for n in nodes}
     for _ in range(n_iter):
         nxt = {}
-        for v in {d for _, d in edges}:
-            s = sum(rank[u] / deg[u] for u, d in edges if d == v)
+        for v in nodes:
+            s = sum(rank[u] / deg[u] for u, d in edges if d == v and u in rank)
             nxt[v] = (1.0 - damping) + damping * s
+        rank = nxt
+    return rank
+
+
+def py_pagerank_full(edges, n_iter=3, damping=0.85):
+    """Reference for the dangling-aware operator: node set = src ∪ dst,
+    sink mass redistributed uniformly each round."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    deg = {n: sum(1 for s, _ in edges if s == n) for n in nodes}
+    dangling = [n for n in nodes if deg[n] == 0]
+    n = len(nodes)
+    rank = {v: 1.0 for v in nodes}
+    for _ in range(n_iter):
+        dm = sum(rank[u] for u in dangling)
+        nxt = {}
+        for v in nodes:
+            s = sum(rank[u] / deg[u] for u, d in edges if d == v)
+            nxt[v] = (1.0 - damping) + damping * (s + dm / n)
         rank = nxt
     return rank
 
@@ -47,6 +73,22 @@ def test_pagerank_matches_reference(spark, pairs):
         assert got[n] == pytest.approx(want[n], rel=1e-12)
 
 
+def test_pagerank_keeps_source_only_nodes(spark):
+    """Regression (r6 advice): a→b, b→a, c→a satisfies the 'every
+    node is a src' precondition, yet c (no in-edges) used to vanish
+    after round one — and its teleport contribution to a with it."""
+    edges = [("a", "b"), ("b", "a"), ("c", "a")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=3).collect()}
+    want = py_pagerank(edges, n_iter=3)
+    assert set(got) == {"a", "b", "c"}
+    for n in want:
+        assert got[n] == pytest.approx(want[n], rel=1e-12)
+    # c holds exactly the teleport floor; a must see c's contribution
+    assert got["c"] == pytest.approx(0.15, abs=1e-12)
+    assert got["a"] > got["b"] > got["c"]
+
+
 def test_pagerank_regular_graph_is_stationary(spark):
     # Every node of a k-regular graph keeps rank exactly 1.0.
     edges = sym([(1, 2), (2, 3), (1, 3)])
@@ -62,3 +104,64 @@ def test_pagerank_total_rank_bounded(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     ranks = [r["rank"] for r in pagerank(df, n_iter=4).collect()]
     assert sum(ranks) == pytest.approx(4.0, rel=1e-9)
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [("a", "b"), ("b", "c")],  # chain into a sink
+        [("a", "b"), ("a", "c"), ("b", "c"), ("d", "a")],  # sink + source
+        [("a", "b"), ("b", "a"), ("c", "a")],  # no sinks at all
+    ],
+)
+def test_pagerank_full_matches_reference(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["rank"] for r in pagerank_full(df, n_iter=3).collect()
+    }
+    want = py_pagerank_full(edges, n_iter=3)
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], rel=1e-12)
+
+
+def test_pagerank_full_conserves_mass_with_sinks(spark):
+    """The whole point of dangling redistribution: total mass stays N
+    even when sinks would otherwise leak d·(sink rank) per round."""
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("d", "c")]  # c is a sink
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for it in (1, 3, 7):
+        ranks = [r["rank"] for r in pagerank_full(df, n_iter=it).collect()]
+        assert sum(ranks) == pytest.approx(4.0, rel=1e-9)
+
+
+def test_pagerank_converged_reaches_fixed_point(spark):
+    """Contraction is ~damping^k, so tol=1e-4 needs ~ln(1e-4)/ln(0.85)
+    ≈ 57 rounds — reachable, and provably not the max_iter bailout."""
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")]  # d source-only
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    ranks, rounds = pagerank_converged(df, tol=1e-4, max_iter=100)
+    got = {r["node"]: r["rank"] for r in ranks.collect()}
+    assert 1 < rounds < 100  # actually iterated, actually stopped
+    # exact agreement with the reference run the same number of rounds
+    want = py_pagerank_full(edges, n_iter=rounds)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], rel=1e-10)
+    # near the true fixed point: 10 more reference rounds barely move
+    settled = py_pagerank_full(edges, n_iter=rounds + 10)
+    assert all(abs(got[n] - settled[n]) < 1e-3 for n in settled)
+    assert sum(got.values()) == pytest.approx(4.0, rel=1e-9)
+
+
+def test_pagerank_converged_equals_fixed_round_run(spark):
+    """Convergence mode is the SAME per-round function as
+    pagerank_full: after k rounds the vectors must agree exactly."""
+    edges = [("a", "b"), ("b", "c"), ("a", "c")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    ranks, rounds = pagerank_converged(df, tol=1e-6, max_iter=12)
+    fixed = {
+        r["node"]: r["rank"]
+        for r in pagerank_full(df, n_iter=rounds).collect()
+    }
+    got = {r["node"]: r["rank"] for r in ranks.collect()}
+    assert got == fixed

@@ -425,11 +425,13 @@ def test_lsh_multiprobe_superset_and_recall(spark):
 
 
 def test_kmeans_centroids_deterministic_and_normalized(spark):
-    """kmeans_centroids: fixed init + lowest-cell tie-breaks make the
+    """kmeans_centroids (the float trainer behind the SCALING §ANN
+    recall probes): fixed init + lowest-cell tie-breaks make the
     result reproducible run-to-run and under a different input
-    partitioning (assignment-level determinism — the guarantee the
-    no-oracle registry entry ann_ivf_kmeans_topk rests on); every
-    centroid is unit-norm (spherical k-means)."""
+    partitioning to ~1e-12 (assignment-level determinism); every
+    centroid is unit-norm (spherical k-means). The registry query
+    ann_ivf_kmeans_topk now rests on kmeans_cells_exact instead,
+    whose integer-sum state is BIT-exact — tested below."""
     import math
 
     from lmo_data_catalog_spark.operators.similarity import (
@@ -451,6 +453,33 @@ def test_kmeans_centroids_deterministic_and_normalized(spark):
     rows2 = REGISTRY["ann_ivf_kmeans_topk"].builder(spark, SF_SMOKE).collect()
     assert rows1 == rows2 and len(rows1) == 10
     assert rows1[0].vec_id == 0  # the query is its own nearest neighbor
+
+
+def test_kmeans_cells_exact_partition_invariant_bitwise(spark):
+    """kmeans_cells_exact: the centroid state is an elementwise
+    INTEGER sum, so — unlike the float trainer above — a different
+    input partitioning must reproduce every cell assignment
+    BIT-exactly, which is what lets ann_ivf_kmeans_topk carry a
+    value-exact oracle."""
+    from lmo_data_catalog_spark.operators.similarity import (
+        kmeans_cells_exact,
+    )
+
+    emb = Catalog(spark, SF_SMOKE).embeddings
+    kw = dict(id_col="vec_id", vec_col="embedding", dim=64, k=8, iters=3)
+    a1 = {
+        r["vec_id"]: r["__cell"]
+        for r in kmeans_cells_exact(emb, **kw).collect()
+    }
+    a2 = {
+        r["vec_id"]: r["__cell"]
+        for r in kmeans_cells_exact(
+            emb.repartition(7, "vec_id"), **kw
+        ).collect()
+    }
+    assert a1 == a2
+    assert set(a1.values()) <= set(range(1, 9))
+    assert len(set(a1.values())) > 1  # training actually split the corpus
 
 
 def test_budget_head_hierarchical_256_shards(spark):
