@@ -87,12 +87,14 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def lsh_band_buckets(
     sig: DataFrame, *, id_col: str, bands: int, rows: int
 ) -> DataFrame:
-    """Banded LSH: docs sharing any band hash become candidate pairs
-    (id_a < id_b). The similarity join reduces to an equi-join on
-    (band_idx, band_hash) — linear shuffle, no quadratic scan."""
+    """(id, band_idx, band_hash) bucket rows from a signature table —
+    the join key surface of banded LSH, and the ROW FORMAT of the
+    persisted incremental state (:class:`LshDedupState`): ``bands``
+    fixed-width rows per document, so state size is linear in corpus
+    size and independent of document length."""
     band_cols = [
         F.struct(
             F.lit(i).alias("band_idx"),
@@ -102,9 +104,18 @@ def lsh_candidate_pairs(
         )
         for i in range(bands)
     ]
-    buckets = sig.select(
+    return sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
     ).select(id_col, "b.band_idx", "b.band_hash")
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, *, id_col: str, bands: int, rows: int
+) -> DataFrame:
+    """Banded LSH: docs sharing any band hash become candidate pairs
+    (id_a < id_b). The similarity join reduces to an equi-join on
+    (band_idx, band_hash) — linear shuffle, no quadratic scan."""
+    buckets = lsh_band_buckets(sig, id_col=id_col, bands=bands, rows=rows)
     a = buckets.toDF("id_a", "band_idx", "band_hash")
     b = buckets.toDF("id_b", "band_idx", "band_hash")
     return (
@@ -659,3 +670,102 @@ def simhash_candidate_pairs(
         "id_b",
         F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
     )
+
+
+class LshDedupState:
+    """Incrementally-maintained MinHash/LSH near-dup state.
+
+    Reference status: extension surface (the reference script,
+    01_source_me.R:1-346, has no dedup stage). Closes the gap left by
+    batch :func:`minhash_lsh_dedup_pairs`: a corpus that grows daily
+    should not re-shingle, re-sign, and re-join its whole history per
+    batch. The persisted state is the BAND-BUCKET table
+    (id, band_idx, band_hash) — ``bands`` fixed-width rows per
+    document in a snapshot-versioned table
+    (sources/versioned.py::VersionedTable), so every ingest is an
+    atomic, time-travelable commit.
+
+    Per :meth:`ingest` batch (cost O(batch), flat in history size —
+    measured in SCALING.md §LSH-incremental):
+
+    1. shingle → MinHash → band rows for the BATCH ONLY;
+    2. new↔history candidates: equi-join of the batch's band rows
+       against the stored band table on (band_idx, band_hash). At
+       100 TB, write the state bucketed by band_hash so the probe is
+       co-located and touches only the batch's buckets;
+    3. new↔new candidates: self-join of the batch's band rows;
+    4. append the batch's band rows to the state.
+
+    Invariant (pinned in tests/test_incremental_lsh.py): the union of
+    candidate sets over ANY batch partitioning of a corpus equals the
+    full-recompute candidate set — each pair surfaces exactly when its
+    later member arrives. Signatures are per-document, so splitting
+    the corpus cannot change a signature, a band hash, or therefore a
+    candidate. Doc ids must be unique across batches (re-ingesting an
+    id would duplicate its band rows).
+    """
+
+    def __init__(
+        self,
+        spark,
+        root: str,
+        *,
+        n: int = 3,
+        n_hashes: int = 64,
+        bands: int = 16,
+        seed: int = 42,
+    ):
+        from ..sources.versioned import VersionedTable
+
+        if n_hashes % bands:
+            raise ValueError("bands must divide n_hashes")
+        self.table = VersionedTable(spark, root)
+        self.n = n
+        self.n_hashes = n_hashes
+        self.bands = bands
+        self.rows = n_hashes // bands
+        self.seed = seed
+
+    def _band_rows(self, docs: DataFrame, id_col: str, text_col: str):
+        sh = hashed_shingles(
+            docs, id_col=id_col, text_col=text_col, n=self.n
+        ).toDF("id", "h")
+        sig = minhash_signatures(
+            sh, id_col="id", n_hashes=self.n_hashes, seed=self.seed
+        )
+        return lsh_band_buckets(
+            sig, id_col="id", bands=self.bands, rows=self.rows
+        )
+
+    def ingest(
+        self, docs: DataFrame, *, id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Probe-then-append one batch; returns the candidate pairs
+        involving at least one batch document, as (id_a, id_b) with
+        id_a < id_b (cross-batch pairs orientation-normalized).
+        Candidates only — verify with :func:`jaccard_on_pairs`
+        against the documents the pairs implicate."""
+        batch = cache.track(self._band_rows(docs, id_col, text_col))
+        a = batch.toDF("id_a", "band_idx", "band_hash")
+        b = batch.toDF("id_b", "band_idx", "band_hash")
+        cand = (
+            a.join(b, on=["band_idx", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        if self.table.head() is not None:
+            hist = self.table.read().toDF("id_b", "band_idx", "band_hash")
+            cross = (
+                a.join(hist, on=["band_idx", "band_hash"])
+                .select(
+                    F.least("id_a", "id_b").alias("id_a"),
+                    F.greatest("id_a", "id_b").alias("id_b"),
+                )
+            )
+            cand = cand.unionByName(cross)
+        cand = cand.distinct()
+        self.table.commit(
+            batch, operation=f"lsh-ingest(bands={self.bands})"
+        )
+        return cand

@@ -1347,6 +1347,102 @@ def token_budget_head_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lsh_incremental_neardup_pairs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM toks
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM idx
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    batch AS (SELECT doc_id FROM documents WHERE source = 'src0')
+    SELECT id_a, id_b,
+           ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+      AND (id_a IN (SELECT doc_id FROM batch)
+           OR id_b IN (SELECT doc_id FROM batch))
+    """,
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)
+def lsh_incremental_neardup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental MinHash/LSH near-dup maintenance, as a plan: docs
+    from source 'src0' are the NEW batch; everything else stands for
+    the persisted band-bucket state (operators/dedup.py::LshDedupState
+    — in production the history side is a read of the versioned state
+    table, bucketed by band_hash so the probe is co-located). Only the
+    BATCH is shingled-signed-banded afresh; candidates are the batch
+    self-join plus the batch→state equi-join on (band_idx, band_hash),
+    then exact Jaccard verifies at τ=0.8. Oracle is the exact pair set
+    restricted to pairs touching the batch — recall 1 for the same
+    S-curve reason as minhash_lsh_pairs (fixture near-dups sit at
+    s≈0.99; miss prob ~1e-22)."""
+    from ..operators.dedup import (
+        jaccard_on_pairs,
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+    from ..operators.text import hashed_shingles
+
+    docs = Catalog(spark, sf_dir).documents
+    sh_all = cache.track(
+        hashed_shingles(docs, id_col="doc_id", text_col="text", n=3).toDF(
+            "id", "h"
+        )
+    )
+
+    def bands_of(sub: DataFrame) -> DataFrame:
+        sig = minhash_signatures(sub, id_col="id", n_hashes=64)
+        return lsh_band_buckets(sig, id_col="id", bands=16, rows=4)
+
+    is_batch = docs.select(
+        F.col("doc_id").alias("id"), (F.col("source") == "src0").alias("b")
+    )
+    tagged = sh_all.join(is_batch, on="id")
+    batch = cache.track(
+        bands_of(tagged.filter(F.col("b")).select("id", "h"))
+    )
+    state = bands_of(tagged.filter(~F.col("b")).select("id", "h"))
+    a = batch.toDF("id_a", "band_idx", "band_hash")
+    cand = (
+        a.join(batch.toDF("id_b", "band_idx", "band_hash"),
+               on=["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .unionByName(
+            a.join(state.toDF("id_b", "band_idx", "band_hash"),
+                   on=["band_idx", "band_hash"])
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+        )
+        .distinct()
+    )
+    return (
+        jaccard_on_pairs(cand, sh_all, id_col="id")
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 # ----------------------------------------------------------- column profiling
 
 

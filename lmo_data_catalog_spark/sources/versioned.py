@@ -27,8 +27,13 @@ share (a Delta/Iceberg-lite, built on nothing but parquet + JSON):
 Scale notes: the manifest holds directory paths, not per-file lists,
 so it stays tiny regardless of file count; reads hand Spark an
 explicit path list (partition pruning and predicate pushdown apply
-per normal parquet scan); schema evolution across commits is read
-with ``mergeSchema``.
+per normal parquet scan). Schema evolution is manifest-tracked: every
+commit records the table's logical schema (parent schema ∪ batch
+schema, with safe-ladder type widening — byte→short→int→long,
+float→double — and anything else rejected at commit time); reads
+scan every directory AT that schema, so pre-evolution files up-cast
+and fill NULLs without a rewrite, and time travel sees the schema as
+of the version it reads.
 """
 
 from __future__ import annotations
@@ -96,6 +101,63 @@ def _make_stats(col: str, mn, mx) -> dict:
 
 class CommitConflict(RuntimeError):
     """Another writer published this version first; re-read and retry."""
+
+
+class SchemaEvolutionError(ValueError):
+    """A batch's schema cannot evolve the table's schema (incompatible
+    type change, e.g. string → int, or a narrowing)."""
+
+
+#: safe widening ladders: a column may move UP a ladder across
+#: commits, never down and never across (int→string etc. must be an
+#: explicit rewrite, not a silent evolution).
+_WIDEN_LADDERS = (
+    ("byte", "short", "integer", "long"),
+    ("float", "double"),
+)
+
+
+def _widen_type(a, b):
+    """The wider of two Spark types along a safe ladder, else None."""
+    if a == b:
+        return a
+    an, bn = a.typeName(), b.typeName()
+    for ladder in _WIDEN_LADDERS:
+        if an in ladder and bn in ladder:
+            return a if ladder.index(an) >= ladder.index(bn) else b
+    return None
+
+
+def _evolve_schema(old, new):
+    """Union of two schemas with widening: shared fields take the
+    wider type (or raise), old-only fields persist (read NULL from
+    new files and vice versa), new fields append in arrival order —
+    the Delta/Iceberg 'mergeSchema' contract, enforced at COMMIT time
+    so a bad batch bounces before any manifest is published."""
+    from pyspark.sql import types as T
+
+    if old is None:
+        return new
+    by_name = {f.name: f for f in new.fields}
+    fields = []
+    for f in old.fields:
+        g = by_name.pop(f.name, None)
+        if g is None:
+            fields.append(f)
+            continue
+        w = _widen_type(f.dataType, g.dataType)
+        if w is None:
+            raise SchemaEvolutionError(
+                f"column {f.name!r}: cannot evolve "
+                f"{f.dataType.simpleString()} -> {g.dataType.simpleString()}"
+            )
+        fields.append(
+            T.StructField(f.name, w, f.nullable or g.nullable)
+        )
+    for f in new.fields:  # preserve arrival order of added columns
+        if f.name in by_name:
+            fields.append(T.StructField(f.name, f.dataType, True))
+    return T.StructType(fields)
 
 
 class ConstraintViolation(ValueError):
@@ -189,17 +251,32 @@ class VersionedTable:
         version = (parent or 0) + 1
         cdir = f"c{version:05d}-{uuid.uuid4().hex[:8]}"
         df.write.parquet(os.path.join(self._data_dir, cdir))
+        # Stats/schema read back the WRITTEN files, not ``df``:
+        # re-running the input plan would double-execute arbitrary
+        # upstream work (and double-count any df.observe metrics
+        # riding it).
+        written = self.spark.read.parquet(os.path.join(self._data_dir, cdir))
+        # Evolve-on-commit: append batches may add columns or widen
+        # along a safe ladder; anything else raises BEFORE the
+        # manifest publishes (the data dir is then an unreferenced
+        # orphan for vacuum, never a corrupt table). A legacy table
+        # (manifests predating schema tracking) stays schema-less —
+        # recording only the batch's schema would mask legacy columns
+        # on read — and keeps its mergeSchema read path.
+        parent_schema = (
+            self.schema(parent)
+            if mode == "append" and parent is not None
+            else None
+        )
+        if mode == "append" and parent is not None and parent_schema is None:
+            schema = None
+        else:
+            schema = _evolve_schema(parent_schema, written.schema)
         dirs = [cdir]
         stats: dict[str, dict] = {}
         if stats_col is not None:
             from pyspark.sql import functions as F
 
-            # Stats read back the WRITTEN files, not ``df``: re-running
-            # the input plan would double-execute arbitrary upstream
-            # work (and double-count any df.observe metrics riding it).
-            written = self.spark.read.parquet(
-                os.path.join(self._data_dir, cdir)
-            )
             row = written.agg(
                 F.min(stats_col).alias("mn"), F.max(stats_col).alias("mx")
             ).collect()[0]
@@ -225,10 +302,35 @@ class VersionedTable:
                 "operation": operation or mode,
                 "data_dirs": dirs,
                 "stats": stats,
+                **({} if schema is None else {"schema": schema.jsonValue()}),
                 "props": self._next_props(parent, props),
             },
         )
         return version
+
+    def schema(self, version: int | None = None):
+        """The table's logical schema at ``version`` (StructType), or
+        None for legacy manifests that never recorded one."""
+        from pyspark.sql import types as T
+
+        v = self.head() if version is None else version
+        if v is None:
+            return None
+        sj = self._load_manifest(v).get("schema")
+        return None if sj is None else T.StructType.fromJson(sj)
+
+    def _read_dirs(self, dirs: list[str], schema) -> DataFrame:
+        """Read data directories at the table's logical schema: files
+        written before an evolution are up-cast (safe-ladder widening)
+        and missing columns read NULL — the Spark 4 parquet reader
+        does both given an explicit target schema, with pushdown and
+        pruning intact. Legacy tables without a recorded schema fall
+        back to mergeSchema (which cannot widen, but such tables never
+        evolved)."""
+        paths = [os.path.join(self._data_dir, d) for d in dirs]
+        if schema is not None:
+            return self.spark.read.schema(schema).parquet(*paths)
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def _next_props(self, parent: int | None, props: dict | None) -> dict:
         """Table properties for a new manifest: the parent's, overlaid
@@ -355,12 +457,14 @@ class VersionedTable:
         version = head + 1
         new_dirs = list(keep_dirs)
         new_stats = {d: stats[d] for d in keep_dirs if d in stats}
+        new_schema = self.schema(head)  # evolves if updates add/widen
         if rewrite_dirs or updates is not None:
             parts = []
             if rewrite_dirs:
-                old = self.spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(self._data_dir, d) for d in rewrite_dirs]
-                )
+                # read at the table's logical schema, so a merge after
+                # an evolution up-casts pre-evolution directories as
+                # it rewrites them
+                old = self._read_dirs(rewrite_dirs, self.schema(head))
                 gone = [
                     b.select(F.col(key).alias("__k")).distinct()
                     for b in (updates, deletes)
@@ -379,12 +483,15 @@ class VersionedTable:
             cdir = f"c{version:05d}-{uuid.uuid4().hex[:8]}"
             merged.write.parquet(os.path.join(self._data_dir, cdir))
             new_dirs.append(cdir)
-            sc = stats_col or key
-            row = (
-                self.spark.read.parquet(os.path.join(self._data_dir, cdir))
-                .agg(F.min(sc).alias("mn"), F.max(sc).alias("mx"))
-                .collect()[0]
+            written = self.spark.read.parquet(
+                os.path.join(self._data_dir, cdir)
             )
+            if new_schema is not None:
+                new_schema = _evolve_schema(new_schema, written.schema)
+            sc = stats_col or key
+            row = written.agg(
+                F.min(sc).alias("mn"), F.max(sc).alias("mx")
+            ).collect()[0]
             new_stats[cdir] = _make_stats(sc, row["mn"], row["mx"])
             if bloom_bits:
                 from ..operators.bloom import build_bloom_bitset_agg
@@ -407,6 +514,11 @@ class VersionedTable:
                 "operation": operation or f"merge(key={key})",
                 "data_dirs": new_dirs,
                 "stats": new_stats,
+                **(
+                    {}
+                    if new_schema is None
+                    else {"schema": new_schema.jsonValue()}
+                ),
                 "props": self._next_props(head, props),
             },
         )
@@ -430,6 +542,11 @@ class VersionedTable:
                 "operation": f"rollback({to_version})",
                 "data_dirs": old["data_dirs"],
                 "stats": old.get("stats", {}),
+                **(
+                    {}
+                    if old.get("schema") is None
+                    else {"schema": old["schema"]}
+                ),
                 "props": self._next_props(parent, None),
             },
         )
@@ -438,17 +555,18 @@ class VersionedTable:
     # --------------------------------------------------------------- reads
 
     def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read at ``version`` (default: current head).
-
-        mergeSchema unions columns across commits, so appends may add
-        columns without rewriting history (absent columns read NULL).
-        """
+        """Snapshot read at ``version`` (default: current head), at
+        that version's recorded logical schema: appends may add
+        columns (absent columns read NULL from older files) or widen
+        types along a safe ladder (older files up-cast at scan time)
+        without rewriting history. Time travel reads the schema AS OF
+        the version — a column added later is invisible at v-1."""
         v = self.head() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no versions in {self.root}")
-        dirs = self._load_manifest(v)["data_dirs"]
-        paths = [os.path.join(self._data_dir, d) for d in dirs]
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        return self._read_dirs(
+            self._load_manifest(v)["data_dirs"], self.schema(v)
+        )
 
     def read_range(
         self, key: str, lo, hi, version: int | None = None
@@ -478,8 +596,7 @@ class VersionedTable:
                 dirs.append(d)
         if not dirs:
             return self.read(v).limit(0)
-        paths = [os.path.join(self._data_dir, d) for d in dirs]
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        return self._read_dirs(dirs, self.schema(v))
 
     # -------------------------------------------------------------- vacuum
 

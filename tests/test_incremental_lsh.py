@@ -1,0 +1,72 @@
+"""Incremental MinHash/LSH state (operators/dedup.py::LshDedupState):
+the union of per-batch candidate sets over any ingestion order must
+equal the full-recompute candidate set (exceptAll-empty both ways) —
+each near-dup pair surfaces exactly when its later member arrives —
+and every ingest is an atomic versioned commit of band rows only."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lmo_data_catalog_spark.operators.dedup import (
+    LshDedupState,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from lmo_data_catalog_spark.operators.text import hashed_shingles
+
+from .conftest import SF_SMOKE
+
+KW = dict(n=3, n_hashes=64, bands=16)
+
+
+def docs_of(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+
+
+def full_recompute_pairs(docs):
+    sh = hashed_shingles(docs, id_col="doc_id", text_col="text", n=3).toDF(
+        "id", "h"
+    )
+    sig = minhash_signatures(sh, id_col="id", n_hashes=64)
+    return lsh_candidate_pairs(sig, id_col="id", bands=16, rows=4)
+
+
+def test_incremental_candidates_equal_full_recompute(spark, tmp_path):
+    docs = docs_of(spark)
+    state = LshDedupState(spark, str(tmp_path / "lsh"), **KW)
+    # three uneven batches in arbitrary (non-id) order
+    batches = [
+        docs.filter(F.col("source").isin("src3", "src7")),
+        docs.filter(F.col("source").isin("src0", "src1", "src9")),
+        docs.filter(
+            ~F.col("source").isin("src3", "src7", "src0", "src1", "src9")
+        ),
+    ]
+    got = None
+    for b in batches:
+        cand = state.ingest(b, id_col="doc_id", text_col="text")
+        got = cand if got is None else got.unionByName(cand)
+    got = got.distinct()
+    want = full_recompute_pairs(docs)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert want.count() > 0  # the fixture does contain near-dups
+    # one atomic commit per batch, band rows only
+    assert state.table.head() == 3
+    assert set(state.table.read().columns) == {"id", "band_idx", "band_hash"}
+    n_docs = docs.count()
+    assert state.table.read().count() == n_docs * 16
+
+
+def test_first_ingest_has_no_history_probe(spark, tmp_path):
+    docs = docs_of(spark).filter(F.col("source") == "src2")
+    state = LshDedupState(spark, str(tmp_path / "lsh"), **KW)
+    cand = state.ingest(docs, id_col="doc_id", text_col="text")
+    want = full_recompute_pairs(docs)
+    assert cand.exceptAll(want).count() == 0
+    assert want.exceptAll(cand).count() == 0
+    # all pairs orientation-normalized
+    assert cand.filter(F.col("id_a") >= F.col("id_b")).count() == 0

@@ -448,3 +448,97 @@ def test_vacuum_skips_inflight_commit_directories(spark, tmp_path):
     )
     assert young not in t.vacuum(keep_last=1, grace_seconds=3600)
     assert young in t.vacuum(keep_last=1)
+
+
+def test_schema_evolution_add_and_widen_across_commits(spark, tmp_path):
+    """Add-column + safe type widening (int->bigint, float->double)
+    across commits: reads up-cast old files at the evolved schema, the
+    manifest records the logical schema per version, and time travel
+    sees the schema AS OF the version it reads."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "evo"))
+    t.commit(
+        spark.range(0, 3).select(
+            F.col("id").cast("int").alias("k"),
+            F.lit(1.5).cast("float").alias("v"),
+        )
+    )
+    t.commit(
+        spark.range(3, 5).select(
+            F.col("id").cast("bigint").alias("k"),
+            F.lit(2.5).cast("double").alias("v"),
+            F.lit("new").alias("tag"),
+        )
+    )
+    got = t.read()
+    assert got.schema.simpleString() == "struct<k:bigint,v:double,tag:string>"
+    assert rows_set(got) == {
+        (0, 1.5, None), (1, 1.5, None), (2, 1.5, None),
+        (3, 2.5, "new"), (4, 2.5, "new"),
+    }
+    # time travel: v1 predates the evolution entirely
+    assert t.read(1).schema.simpleString() == "struct<k:int,v:float>"
+    assert t.schema(1).fieldNames() == ["k", "v"]
+
+
+def test_schema_evolution_rejects_incompatible_change(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lmo_data_catalog_spark.sources.versioned import (
+        SchemaEvolutionError,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "evo"))
+    t.commit(spark.range(3).select(F.col("id").alias("k")))
+    head = t.head()
+    with pytest.raises(SchemaEvolutionError, match="cannot evolve"):
+        t.commit(
+            spark.range(3).select(F.col("id").cast("string").alias("k"))
+        )
+    assert t.head() == head  # nothing published; table intact
+    # a NARROWER batch is fine: the table schema stays at the wider
+    # type and the batch's int32 files up-cast at read time
+    t.commit(spark.range(3, 6).select(F.col("id").cast("int").alias("k")))
+    assert t.read().schema.simpleString() == "struct<k:bigint>"
+    assert {r["k"] for r in t.read().collect()} == {0, 1, 2, 3, 4, 5}
+
+
+def test_merge_across_schema_versions_keeps_pruning(spark, tmp_path):
+    """A pruned MERGE over a table whose directories span two schema
+    versions: untouched pre-evolution directories carry forward
+    verbatim (no rewrite), rewritten ones up-cast to the evolved
+    schema, and the merge's update batch may itself add a column."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "evo"))
+    # two disjoint key ranges, old schema (int keys, no 'score')
+    t.commit(
+        spark.range(0, 10).select(F.col("id").cast("int").alias("k")),
+        stats_col="k",
+    )
+    t.commit(
+        spark.range(100, 110).select(F.col("id").cast("int").alias("k")),
+        stats_col="k",
+    )
+    low_dir = t._load_manifest(t.head())["data_dirs"][0]
+    # merge touches only the high range AND evolves: bigint keys + new col
+    t.merge(
+        spark.createDataFrame([(105, 9.5)], "k: bigint, score: double"),
+        "k",
+    )
+    dirs = t._load_manifest(t.head())["data_dirs"]
+    assert low_dir in dirs  # zone-map pruning survived the evolution
+    got = t.read()
+    assert got.schema.simpleString() == "struct<k:bigint,score:double>"
+    by_k = {r["k"]: r["score"] for r in got.collect()}
+    assert by_k[105] == 9.5
+    assert by_k[0] is None and by_k[104] is None
+    assert len(by_k) == 20
+    # a later merge on the LOW range reads pre-evolution files at the
+    # evolved schema while rewriting them
+    t.merge(
+        spark.createDataFrame([(0, 1.0)], "k: bigint, score: double"), "k"
+    )
+    by_k = {r["k"]: r["score"] for r in t.read().collect()}
+    assert by_k[0] == 1.0 and by_k[1] is None and len(by_k) == 20
