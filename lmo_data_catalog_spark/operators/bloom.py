@@ -145,3 +145,58 @@ def build_bloom_bitset_agg(
     for r in words:
         out[r["w"]] = r["bits"]
     return out
+
+
+def inverted_probe_verify(
+    docs,
+    probes: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Exact contamination verify through an interior-word → probe
+    inverted index — the |probes|-sublinear half of the screen.
+
+    The Bloom pre-pass (``bloom_might_contain`` over tokens) answers
+    "might this document match ANY probe?" in O(tokens) per document,
+    but the exact verify it gates was still ×|probes| per surviving
+    document. This closes that gap: a tiny (interior_word, probe)
+    table — |probes| × interior-words rows, KBs even at 4096 probes —
+    is BROADCAST-joined against each candidate's distinct tokens, so a
+    document exact-verifies only the probes its own tokens implicate
+    (for benchmark decontamination that is ~0-2 probes per candidate,
+    not 4096).
+
+    Correctness is the same interior-word containment argument as the
+    Bloom gate: a raw-substring occurrence of probe "a b c" bounds the
+    interior word "b" with the probe's own literal spaces, so "b" is a
+    complete whitespace token of the document — the implicated set can
+    not miss a true match (probes need ≥3 words; callers enforce it).
+    Shape: explode distinct tokens (map-side), broadcast-hash join,
+    distinct on the (doc, probe) pairs, then ONE keyed join back to
+    the documents table fetches text for the exact position() check —
+    text never rides through the explode or the distinct shuffle.
+    """
+    from .text import tokens
+
+    spark = docs.sparkSession
+    inv = spark.createDataFrame(
+        sorted(
+            {(w.lower(), p) for p in probes for w in p.split()[1:-1]}
+        ),
+        ["__w", "probe"],
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(text_col))).alias("__w"),
+    )
+    implicated = (
+        toks.join(F.broadcast(inv), "__w")
+        .select(id_col, "probe")
+        .distinct()
+    )
+    return (
+        implicated.join(docs.select(id_col, text_col), id_col)
+        .filter(F.expr(f"position(probe IN {text_col}) > 0"))
+        .select("probe", F.col(id_col))
+    )

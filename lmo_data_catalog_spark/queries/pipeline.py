@@ -392,6 +392,55 @@ def contamination_screen_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "contamination_screen_inverted",
+    oracle=f"""
+    SELECT p.probe, d.doc_id
+    FROM documents d
+    CROSS JOIN (VALUES {_probes_values_sql()}) AS p(probe)
+    WHERE position(p.probe IN d.text) > 0
+    """,
+    tags=("text", "contamination", "bloom", "inverted"),
+)
+def contamination_screen_inverted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contamination screen for LARGE probe sets, value-identical to
+    ``contamination_screen`` (same oracle): the Bloom bitset gates
+    documents in O(tokens) as in ``contamination_screen_bloom``, then
+    — instead of the ×|probes| exact scan per surviving document —
+    an interior-word → probe inverted index
+    (operators/bloom.py::inverted_probe_verify) is broadcast-joined
+    against each candidate's tokens, so a document exact-verifies only
+    the probes its tokens implicate. At 4096 probes the verify cost is
+    per-implication, not per-probe (SCALING.md §bloom, 'inverted'
+    column); recall is exact by the same interior-word containment
+    argument as the Bloom gate."""
+    from ..operators.bloom import (
+        bloom_might_contain,
+        build_bloom_bitset,
+        inverted_probe_verify,
+    )
+
+    if any(len(p.split()) < 3 for p in PROBES):
+        raise ValueError(
+            "inverted verify needs >=3-word probes; use "
+            "contamination_screen for short phrases"
+        )
+    interiors = sorted({w.lower() for p in PROBES for w in p.split()[1:-1]})
+    bitset = build_bloom_bitset(spark, interiors, m_bits=1024, k=3)
+    cat = Catalog(spark, sf_dir)
+    candidates = cat.documents.where(
+        F.exists(
+            T.tokens("text"),
+            lambda t: bloom_might_contain(t, bitset, k=3),
+        )
+    )
+    return inverted_probe_verify(
+        candidates, PROBES, id_col="doc_id", text_col="text"
+    )
+
+
 # ------------------------------------------------------------------ chunking
 
 CHUNK_SIZE = 128

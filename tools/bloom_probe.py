@@ -48,14 +48,31 @@ def exact_plan(docs, probes):
     )
 
 
-def bloom_plan(spark, docs, probes):
+def _candidates(spark, docs, probes):
     interiors = sorted({w for p in probes for w in p.split()[1:-1]})
     bits = max(1024, 64 * ((10 * len(interiors) + 63) // 64))
     bitset = build_bloom_bitset(spark, interiors, m_bits=bits, k=3)
-    cand = docs.where(
+    return docs.where(
         F.exists(T.tokens("text"), lambda t: bloom_might_contain(t, bitset, k=3))
     )
-    return exact_plan(cand, probes)
+
+
+def bloom_plan(spark, docs, probes):
+    return exact_plan(_candidates(spark, docs, probes), probes)
+
+
+def inverted_plan(spark, docs, probes):
+    """Bloom gate + interior-word→probe inverted-index verify: each
+    candidate exact-checks only the probes its tokens implicate —
+    the |probes|-sublinear verify (operators/bloom.py)."""
+    from lmo_data_catalog_spark.operators.bloom import (
+        inverted_probe_verify,
+    )
+
+    return inverted_probe_verify(
+        _candidates(spark, docs, probes), probes,
+        id_col="doc_id", text_col="text",
+    )
 
 
 def timed(df) -> float:
@@ -95,28 +112,33 @@ def main() -> None:
         # for; candidate set collapses and cost decouples from n.
         ("rare", lambda n: probe_set(n + len(REAL))[len(REAL):]),
     ):
-        for n in (4, 32, 256, 1024):
+        for n in (4, 32, 256, 1024, 4096):
             probes = mk(n)
-            t_exact = min(timed(exact_plan(docs, probes)) for _ in range(2))
             t_bloom = min(
                 timed(bloom_plan(spark, docs, probes)) for _ in range(2)
             )
-            e = {tuple(r) for r in exact_plan(docs, probes).collect()}
+            t_inv = min(
+                timed(inverted_plan(spark, docs, probes)) for _ in range(2)
+            )
             bl = {tuple(r) for r in bloom_plan(spark, docs, probes).collect()}
-            assert e == bl, f"plans disagree at n={n}"
-            interiors = sorted({w for p in probes for w in p.split()[1:-1]})
-            bits = max(1024, 64 * ((10 * len(interiors) + 63) // 64))
-            bitset = build_bloom_bitset(spark, interiors, m_bits=bits, k=3)
-            n_cand = docs.where(
-                F.exists(
-                    T.tokens("text"),
-                    lambda t: bloom_might_contain(t, bitset, k=3),
+            iv = {
+                tuple(r) for r in inverted_plan(spark, docs, probes).collect()
+            }
+            assert bl == iv, f"bloom vs inverted disagree at n={n}"
+            if n <= 1024:  # exact ×|probes| scan becomes the bottleneck
+                t_exact = min(
+                    timed(exact_plan(docs, probes)) for _ in range(2)
                 )
-            ).count()
+                e = {tuple(r) for r in exact_plan(docs, probes).collect()}
+                assert e == bl, f"plans disagree at n={n}"
+                exact_s = f"{t_exact:6.2f}s"
+            else:
+                exact_s = "     —"
+            n_cand = _candidates(spark, docs, probes).count()
             print(
-                f"{regime:6s} probes={n:4d} exact={t_exact:6.2f}s "
-                f"bloom={t_bloom:6.2f}s candidates={n_cand}/{n_docs} "
-                f"matches={len(e)}"
+                f"{regime:6s} probes={n:4d} exact={exact_s} "
+                f"bloom={t_bloom:6.2f}s inverted={t_inv:6.2f}s "
+                f"candidates={n_cand}/{n_docs} matches={len(bl)}"
             )
     spark.stop()
 
