@@ -1241,3 +1241,159 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ------------------------------------------------------------------- funnel
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+    ),
+    v AS (
+        SELECT user_id, MIN(t) AS t_view FROM e
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.t) AS t_click
+        FROM e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.t > v.t_view
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.t) AS t_purchase
+        FROM e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.t > c.t_click
+        GROUP BY 1
+    )
+    SELECT stage, users FROM (
+        SELECT 1 AS ord, 'view' AS stage, COUNT(*) AS users FROM v
+        UNION ALL
+        SELECT 2, 'view>click', COUNT(*) FROM c
+        UNION ALL
+        SELECT 3, 'view>click>purchase', COUNT(*) FROM p
+    ) ORDER BY ord
+    """,
+    tags=("analytics", "funnel", "sequence"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users whose earliest view precedes
+    a click that precedes a purchase (strict event-time ordering, not
+    mere co-occurrence — the sequential-match semantics product
+    analytics engines ship as a primitive). Three keyed aggregates
+    chained by per-user joins; every timestamp comparison is integer
+    microseconds (functions.epoch_us), so both engines order ties
+    identically. Scale shape: each stage is one shuffle on user_id
+    over an already-reduced per-user frame; the events scan happens
+    once per stage with the event_type filter pushed down."""
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", "event_type", epoch_us("ts").alias("t")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("t") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("t") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    stages = (
+        v.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(1).alias("ord"), F.lit("view").alias("stage"), "users"
+        )
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(2).alias("ord"),
+                F.lit("view>click").alias("stage"),
+                "users",
+            )
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(3).alias("ord"),
+                F.lit("view>click>purchase").alias("stage"),
+                "users",
+            )
+        )
+    )
+    return stages.orderBy("ord").select("stage", "users")
+
+
+# ---------------------------------------------------------- retention cohorts
+
+
+@query(
+    "retention_cohorts_weekly",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type,
+               CAST(epoch_us(ts) // (CAST(86400000000 AS BIGINT) * 7)
+                    AS BIGINT) AS wk
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, MIN(wk) AS cohort_wk FROM e
+        WHERE event_type = 'signup' GROUP BY 1
+    ),
+    act AS (SELECT DISTINCT user_id, wk FROM e)
+    SELECT c.cohort_wk, CAST(a.wk - c.cohort_wk AS BIGINT) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS active_users
+    FROM cohort c JOIN act a ON a.user_id = c.user_id
+    WHERE a.wk >= c.cohort_wk
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("analytics", "retention", "cohort"),
+)
+def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by their first-signup
+    week, counted as active in each later week they produced ANY
+    event — the classic retention triangle. Weeks are integer
+    epoch-microsecond divisions (floor(us / 7 days)), not calendar
+    truncation, so both engines bucket identically with no
+    week-start/locale semantics in play — and INTEGER division
+    (Spark ``div`` == DuckDB ``//`` for non-negative operands; float
+    division could round a just-below-integer quotient up and flip a
+    bucket). Shape: one per-user min, one distinct on (user, week)
+    (both map-side combined), one keyed join + count-distinct
+    aggregate."""
+    ev = (
+        Catalog(spark, sf_dir)
+        .events.select("user_id", "event_type", epoch_us("ts").alias("t"))
+        .select(
+            "user_id",
+            "event_type",
+            F.expr(f"t div {86400000000 * 7}").cast("bigint").alias("wk"),
+        )
+    )
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("wk").alias("cohort_wk"))
+    )
+    act = ev.select("user_id", "wk").distinct()
+    return (
+        act.join(cohort, "user_id")
+        .filter(F.col("wk") >= F.col("cohort_wk"))
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .select(
+            "cohort_wk",
+            F.col("week_offset").cast("bigint").alias("week_offset"),
+            "active_users",
+        )
+        .orderBy("cohort_wk", "week_offset")
+    )

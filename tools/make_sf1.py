@@ -71,8 +71,24 @@ def main() -> int:
         return u
 
     def write(df, name):
-        df.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
-        print(name, spark.read.parquet(f"{out}/{name}.parquet").count())
+        """Single-FILE parquet per table, like the driver's testdata
+        (DuckDB's read_parquet and the Catalog both expect
+        <name>.parquet to be a file; Spark splits it by row group, so
+        scan parallelism is unharmed)."""
+        import glob
+        import shutil
+
+        tmp = f"{out}/_tmp_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        target = f"{out}/{name}.parquet"
+        if os.path.isdir(target):
+            shutil.rmtree(target)
+        elif os.path.exists(target):
+            os.unlink(target)
+        shutil.move(part, target)
+        shutil.rmtree(tmp)
+        print(name, spark.read.parquet(target).count())
 
     # fixed dims
     for name in ("region", "nation"):
