@@ -21,7 +21,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -449,6 +449,102 @@ def incremental_agg_sink(
 
     q = (
         stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
+def cdc_upsert_sink(
+    stream_df: DataFrame,
+    table_root: str,
+    *,
+    key: str,
+    checkpoint: str,
+    seq_col: str | None = None,
+    op_col: str | None = None,
+    delete_op: str = "D",
+    await_termination: bool = True,
+):
+    """Streaming CDC apply: each micro-batch MERGEs into a versioned
+    table (sources/versioned.py) — upsert by ``key``, with optional
+    row-level deletes — so the table is an always-queryable,
+    time-travelable mirror of a changing source, maintained at
+    O(batch + touched directories) per trigger via the merge's
+    zone-map pruning.
+
+    - ``seq_col``: change-sequence column (e.g. the CDC log offset or
+      event time); when a batch carries several changes for one key,
+      the HIGHEST sequence wins (ties then break on the largest op
+      making the fold deterministic). Without it, a batch must not
+      contain duplicate keys (enforced: raises on violation rather
+      than landing an arbitrary winner).
+    - ``op_col``: optional column naming the operation; rows equal to
+      ``delete_op`` become deletes, all others upserts. The op/seq
+      columns are stripped before landing.
+    - Exactly-once: the same manifest-persisted ``stream_watermark``
+      guard as :func:`incremental_agg_sink` — a replayed micro-batch
+      (crash between merge and offset commit) is a no-op, and the
+      guard survives vacuum because it rides in every manifest.
+    """
+    from ..sources.versioned import VersionedTable
+
+    def watermark(table: VersionedTable) -> int:
+        return int(table.get_props().get("stream_watermark", -1))
+
+    def apply_batch(df: DataFrame, batch_id: int) -> None:
+        table = VersionedTable(df.sparkSession, table_root)
+        if batch_id <= watermark(table):
+            return
+        strip = [c for c in (seq_col, op_col) if c is not None]
+        if seq_col is not None:
+            w = Window.partitionBy(key).orderBy(
+                F.col(seq_col).desc(),
+                *([F.col(op_col).desc()] if op_col else []),
+            )
+            df = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            total, distinct = df.select(
+                F.count(F.lit(1)), F.count_distinct(key)
+            ).first()
+            if total != distinct:
+                raise ValueError(
+                    f"batch {batch_id} has duplicate keys and no "
+                    "seq_col to order them"
+                )
+        if op_col is not None:
+            deletes = df.filter(F.col(op_col) == delete_op).select(key)
+            updates = df.filter(F.col(op_col) != delete_op).drop(*strip)
+        else:
+            deletes, updates = None, df.drop(*strip)
+        props = {"stream_watermark": batch_id}
+        if table.head() is None:
+            # bootstrap: applying deletes to nothing is a no-op
+            table.commit(
+                updates,
+                stats_col=key,
+                operation=f"cdc-batch={batch_id}",
+                props=props,
+            )
+            return
+        has_deletes = deletes is not None and deletes.limit(1).count() > 0
+        table.merge(
+            updates,
+            key,
+            deletes=deletes if has_deletes else None,
+            operation=f"cdc-batch={batch_id}",
+            props=props,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
