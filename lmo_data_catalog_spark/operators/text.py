@@ -283,3 +283,80 @@ def heavy_hitters_cms(
     out = [(c, cms.estimateCount(c)) for c in candidates]
     out.sort(key=lambda kv: (-kv[1], str(kv[0])))
     return out
+
+
+def pack_sequences_greedy(
+    df: DataFrame,
+    *,
+    id_col: str,
+    weight_col: str,
+    capacity: int,
+    n_shards: int = 64,
+    shard_expr: Column | None = None,
+) -> DataFrame:
+    """Greedy first-fit-in-order sequence packing — the context-window
+    packing step of a training pipeline (docs concatenated into
+    ``capacity``-token bins without splitting; a new bin opens when
+    the next doc would overflow a non-empty bin, so an oversize doc
+    gets a bin alone).
+
+    Packing is prefix-sequential, which does not distribute — so the
+    GLOBAL stream is sharded by ``pmod(xxhash64(id), n_shards)`` and
+    the greedy scan runs per shard over rows ordered by ``id_col``:
+    deterministic, embarrassingly parallel, and at 100 TB ``n_shards``
+    scales with the cluster while each task streams one shard through
+    a single Arrow batch sequence. The per-shard scan is the one
+    genuinely order-dependent loop in this codebase, so it uses the
+    sanctioned grouped-map escape hatch (``applyInPandas`` — Arrow
+    batches, never row-at-a-time Python; allow-listed in
+    tests/test_plan_hygiene.py).
+
+    Returns (id, shard, bin_idx, weight) — bin_idx is per-shard,
+    0-based; (shard, bin_idx) is the global bin key. Registry query
+    ``pack_documents_greedy`` pins it against a recursive-CTE oracle
+    computing the identical fold.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as ST
+
+    out_schema = ST.StructType(
+        [
+            df.schema[id_col],
+            ST.StructField("shard", ST.IntegerType()),
+            ST.StructField("bin_idx", ST.IntegerType()),
+            ST.StructField("weight", ST.LongType()),
+        ]
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        bins = []
+        fill, b = 0, 0
+        for w in pdf[weight_col]:
+            w = int(w)
+            if fill > 0 and fill + w > capacity:
+                b += 1
+                fill = 0
+            fill += w
+            bins.append(b)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "shard": pdf["__shard"],
+                "bin_idx": bins,
+                "weight": pdf[weight_col].astype("int64"),
+            }
+        )
+
+    if shard_expr is None:
+        # default: hash-sharding (skew-proof); oracle-checked callers
+        # pass a portable arithmetic shard instead (DuckDB has no
+        # xxhash64) — the packing fold is identical either way.
+        shard_expr = F.pmod(F.xxhash64(id_col), F.lit(n_shards))
+    sharded = df.select(
+        F.col(id_col),
+        F.col(weight_col),
+        shard_expr.cast("int").alias("__shard"),
+    )
+    return sharded.groupBy("__shard").applyInPandas(pack, out_schema)

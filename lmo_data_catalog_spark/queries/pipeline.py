@@ -441,6 +441,74 @@ def contamination_screen_inverted(
     )
 
 
+PACK_CAPACITY = 512
+PACK_SHARDS = 16
+
+
+@query(
+    "pack_documents_greedy",
+    oracle=rf"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id,
+               CAST(doc_id % {PACK_SHARDS} AS INTEGER) AS shard,
+               CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                    AS BIGINT) AS weight,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id % {PACK_SHARDS} ORDER BY doc_id
+               ) AS rn
+        FROM documents
+    ),
+    pack AS (
+        SELECT shard, rn, doc_id, weight,
+               0 AS bin_idx, weight AS fill
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.shard, d.rn, d.doc_id, d.weight,
+               CASE WHEN p.fill > 0 AND p.fill + d.weight > {PACK_CAPACITY}
+                    THEN p.bin_idx + 1 ELSE p.bin_idx END,
+               CASE WHEN p.fill > 0 AND p.fill + d.weight > {PACK_CAPACITY}
+                    THEN d.weight ELSE p.fill + d.weight END
+        FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, CAST(bin_idx AS INTEGER) AS bin_idx, weight
+    FROM pack
+    ORDER BY shard, doc_id
+    """,
+    tags=("text", "packing", "grouped-map"),
+)
+def pack_documents_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy context-window packing: documents stream in doc_id order
+    through 512-token bins, sharded so the inherently-sequential fold
+    parallelizes (operators/text.py::pack_sequences_greedy — the one
+    sanctioned applyInPandas stage in the registry; the oracle is a
+    per-shard recursive CTE computing the identical fold, recursion
+    depth = max shard size, all shards advancing per level). The
+    arithmetic shard (doc_id % {shards}) keeps the oracle portable;
+    production uses the operator's default hash shard — the fold is
+    shard-agnostic. Integer weights only, so engines cannot diverge.
+    """.format(shards=PACK_SHARDS)
+    from ..operators.text import pack_sequences_greedy
+
+    cat = Catalog(spark, sf_dir)
+    d = cat.documents.select(
+        "doc_id",
+        F.size(T.tokens("text")).cast("bigint").alias("weight"),
+    )
+    return pack_sequences_greedy(
+        d,
+        id_col="doc_id",
+        weight_col="weight",
+        capacity=PACK_CAPACITY,
+        n_shards=PACK_SHARDS,
+        shard_expr=F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)),
+    ).select(
+        "doc_id",
+        "shard",
+        "bin_idx",
+        "weight",
+    ).orderBy("shard", "doc_id")
+
+
 # ------------------------------------------------------------------ chunking
 
 CHUNK_SIZE = 128

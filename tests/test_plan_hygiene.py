@@ -22,6 +22,7 @@ SF = "/root/testdata/sf0.001"
 ALLOWED_ARROW = {
     "multimodal_decode_stub",
     "embedding_neardup_pairs",
+    "pack_documents_greedy",  # grouped-map greedy fold (per-shard scan)
 }
 
 #: queries whose plans legitimately contain BroadcastNestedLoopJoin —
@@ -38,6 +39,7 @@ ALLOWED_BNLJ = {
     "customer_rfm_segments",  # 1-row corpus-max-date + total attach
     "dormant_rich_customers",  # scalar-subquery broadcast
     "lang_kl_by_source",  # 1-row corpus-total broadcast
+    "pagerank_dangling_part_supplier",  # 1-row dangling-mass + N per round
     "orders_above_avg_price",  # scalar avg broadcast
     "pareto_part_classes",  # 1-row grand-total broadcast
     "top1pct_revenue_share",  # 1-row customer-count/total attach
@@ -66,7 +68,12 @@ def test_arrow_python_only_where_documented(plans):
     bad = [
         n
         for n, p in plans.items()
-        if ("ArrowEvalPython" in p or "MapInPandas" in p or "PythonMapInArrow" in p)
+        if (
+            "ArrowEvalPython" in p
+            or "MapInPandas" in p
+            or "PythonMapInArrow" in p
+            or "FlatMapGroupsInPandas" in p
+        )
         and n not in ALLOWED_ARROW
     ]
     assert not bad, f"undocumented Arrow-Python stage in: {bad}"

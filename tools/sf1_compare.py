@@ -1,0 +1,108 @@
+"""Decade-up scaling report: per-query bench walls at sf1 vs sf0.1.
+
+Reads BENCH_FULL.json (canonical sf0.1 snapshot) and BENCH_SF1.json
+(same harness run with SPARK_GRAFT_SF_DIR=testdata_sf1, 10x the rows),
+writes the "## sf1 decade-up: full-registry differential + bench"
+SCALING.md section: suite totals, the distribution of per-query
+ratios, the biggest movers, and an explicit super-linear flag list
+(ratio > 10x past a fixed-overhead floor — at 10x data, linear work
+predicts <=10x wall; small-second queries are dominated by fixed plan/
+launch overhead and excluded from flagging via the floor).
+
+Usage: python tools/sf1_compare.py [verify_log]
+The optional verify log (tools/verify_local.py output at sf1) is
+parsed for the differential pass count quoted in the section.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools._shared import replace_section  # noqa: E402
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FLOOR_S = 0.5  # sf0.1 walls below this are fixed-overhead dominated
+
+
+def main() -> int:
+    with open(os.path.join(ROOT, "BENCH_FULL.json")) as f:
+        b01 = json.load(f)
+    with open(os.path.join(ROOT, "BENCH_SF1.json")) as f:
+        b1 = json.load(f)
+    verdict = ""
+    if len(sys.argv) > 1 and os.path.exists(sys.argv[1]):
+        log = open(sys.argv[1]).read()
+        m = re.search(r"(\d+)/(\d+) passed", log)
+        if m:
+            verdict = f"{m.group(1)}/{m.group(2)}"
+
+    q01, q1 = b01["queries"], b1["queries"]
+    shared = sorted(
+        k for k in q01 if k in q1 and q01[k] > 0 and q1[k] > 0
+    )
+    ratios = {k: q1[k] / q01[k] for k in shared}
+    flagged = sorted(
+        (k for k in shared if q01[k] >= FLOOR_S and ratios[k] > 10.0),
+        key=lambda k: -ratios[k],
+    )
+    movers = sorted(shared, key=lambda k: -q1[k])[:10]
+
+    lines = [
+        "## sf1 decade-up: full-registry differential + bench",
+        "",
+        "The r6 verdict's #1 ask: do the measured shapes hold a decade up?",
+        "`tools/make_sf1.py` synthesizes a 6M-row-lineitem sf1 axis (10",
+        "key-shifted sf0.1 copies; cross-copy shingles/vectors",
+        "decorrelated so near-dup outputs scale linearly);",
+        "`tools/verify_local.py` runs the full value-exact differential on",
+        "it and `bench.py` the full suite"
+        + (f" (differential: **{verdict} passed**)." if verdict else "."),
+        "",
+        f"Suite: sf0.1 **{b01['value']:.1f} s** / {b01['n_queries']} queries"
+        f" (load1 {b01['loadavg'][0]}) → sf1 **{b1['value']:.1f} s** /"
+        f" {b1['n_queries']} (load1 {b1['loadavg'][0]}) —"
+        f" **{b1['value'] / b01['value']:.2f}×** wall for 10× rows.",
+        "",
+        "Slowest sf1 queries and their growth:",
+        "",
+        "| query | sf0.1 (s) | sf1 (s) | ratio |",
+        "|---|---|---|---|",
+    ]
+    for k in movers:
+        lines.append(
+            f"| {k} | {q01[k]:.2f} | {q1[k]:.2f} | {ratios[k]:.1f}× |"
+        )
+    n_super = len(flagged)
+    over = [k for k in shared if q01[k] >= FLOOR_S]
+    if over:
+        worst = max(over, key=lambda k: ratios[k])
+        lines += [
+            "",
+            f"Super-linear flags (sf0.1 wall ≥ {FLOOR_S}s and ratio > 10×):"
+            f" **{n_super}**"
+            + (
+                f" — {', '.join(f'{k} ({ratios[k]:.1f}×)' for k in flagged)}."
+                if flagged
+                else f". Worst non-flagged grower above the overhead floor:"
+                f" {worst} at {ratios[worst]:.1f}×."
+            ),
+        ]
+    lines.append("")
+    replace_section(
+        "sf1 decade-up: full-registry differential + bench",
+        "\n".join(lines),
+    )
+    print(
+        f"sf0.1 {b01['value']:.1f}s -> sf1 {b1['value']:.1f}s; "
+        f"{n_super} super-linear flags"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
