@@ -598,6 +598,99 @@ class VersionedTable:
             return self.read(v).limit(0)
         return self._read_dirs(dirs, self.schema(v))
 
+    def compact(
+        self,
+        key: str,
+        *,
+        n_dirs: int = 4,
+        bloom_bits: int | None = None,
+        operation: str | None = None,
+    ) -> int:
+        """Rewrite the head snapshot into ``n_dirs`` KEY-RANGE-sliced
+        directories — the lakehouse OPTIMIZE step. A table fed by
+        many small commits (streaming sinks publish one directory per
+        micro-batch) degrades two ways: tiny files, and zone maps
+        whose ranges all overlap (every batch spans the key space), so
+        merge/read_range pruning stops biting. Compaction restores
+        both: each output directory covers a disjoint key range (exact
+        zone map recorded, optional Bloom), so a later point/range
+        touch rewrites or scans 1/``n_dirs`` of the table.
+
+        Range boundaries come from ``approxQuantile`` (driver-side
+        scalars, numeric keys — map date keys through their epoch
+        first). Snapshot semantics are untouched: the result is one
+        new version referencing only the new directories; prior
+        versions still time-travel until :meth:`vacuum`.
+        """
+        head = self.head()
+        if head is None:
+            raise FileNotFoundError(f"no versions in {self.root}")
+        from pyspark.sql import functions as F
+
+        df = self.read().persist()
+        try:
+            if n_dirs > 1:
+                probs = [i / n_dirs for i in range(1, n_dirs)]
+                cuts = df.stat.approxQuantile(key, probs, 0.001)
+            else:
+                cuts = []
+            # dedupe: a skewed key can repeat a cut; slices stay disjoint
+            bounds = []
+            for c in cuts:
+                if not bounds or c > bounds[-1]:
+                    bounds.append(c)
+            lows = [None] + bounds
+            highs = bounds + [None]
+            version = head + 1
+            new_dirs, new_stats = [], {}
+            for lo, hi in zip(lows, highs):
+                sl = df
+                if lo is not None:
+                    sl = sl.filter(F.col(key) > lo)
+                if hi is not None:
+                    sl = sl.filter(F.col(key) <= hi)
+                cdir = f"c{version:05d}-{uuid.uuid4().hex[:8]}"
+                path = os.path.join(self._data_dir, cdir)
+                sl.sort(key).write.parquet(path)
+                written = self.spark.read.parquet(path)
+                row = written.agg(
+                    F.min(key).alias("mn"), F.max(key).alias("mx")
+                ).collect()[0]
+                if row["mn"] is None:  # empty slice (heavy skew): drop
+                    shutil.rmtree(path)
+                    continue
+                new_dirs.append(cdir)
+                new_stats[cdir] = _make_stats(key, row["mn"], row["mx"])
+                if bloom_bits:
+                    from ..operators.bloom import build_bloom_bitset_agg
+
+                    new_stats[cdir]["bloom"] = {
+                        "k": 3,
+                        "words": build_bloom_bitset_agg(
+                            written, key, m_bits=bloom_bits
+                        ),
+                    }
+            schema = self.schema(head)
+            self._publish(
+                version,
+                {
+                    "version": version,
+                    "parent": head,
+                    "operation": operation or f"compact(key={key})",
+                    "data_dirs": new_dirs,
+                    "stats": new_stats,
+                    **(
+                        {}
+                        if schema is None
+                        else {"schema": schema.jsonValue()}
+                    ),
+                    "props": self._next_props(head, None),
+                },
+            )
+        finally:
+            df.unpersist()
+        return version
+
     # -------------------------------------------------------------- vacuum
 
     def vacuum(

@@ -542,3 +542,51 @@ def test_merge_across_schema_versions_keeps_pruning(spark, tmp_path):
     )
     by_k = {r["k"]: r["score"] for r in t.read().collect()}
     assert by_k[0] == 1.0 and by_k[1] is None and len(by_k) == 20
+
+
+def test_compact_restores_pruning_after_fragmented_ingest(spark, tmp_path):
+    """Many small overlapping commits (the streaming-sink shape) break
+    zone-map pruning — every directory spans the key space. compact()
+    rewrites the head into disjoint key-range directories: content
+    identical, history intact, and a narrow merge afterwards rewrites
+    one slice instead of everything."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "frag"))
+    # 6 micro-batch commits, each spanning the whole key space
+    for b in range(6):
+        rows = [(k, f"b{b}") for k in range(b, 600, 6)]
+        t.commit(df_of(spark, rows, ["k", "val"]), stats_col="k")
+    pre = t.read()
+    pre_rows = rows_set(pre)
+    frag_head = t.head()
+    # fragmented: a tight merge rewrites EVERY directory (all overlap)
+    m = t._load_manifest(frag_head)
+    assert len(m["data_dirs"]) == 6
+
+    v = t.compact("k", n_dirs=4)
+    m = t._load_manifest(v)
+    assert 1 < len(m["data_dirs"]) <= 4
+    # content identical, time travel intact
+    assert rows_set(t.read()) == pre_rows
+    assert rows_set(t.read(frag_head)) == pre_rows
+    # zone maps are disjoint and ordered
+    zms = [
+        (m["stats"][d]["min"], m["stats"][d]["max"])
+        for d in m["data_dirs"]
+    ]
+    for (lo1, hi1), (lo2, hi2) in zip(zms, zms[1:]):
+        assert hi1 < lo2
+    # a tight merge now rewrites exactly one slice
+    before = m["data_dirs"]
+    t.merge(df_of(spark, [(3, "NEW")], ["k", "val"]), "k")
+    after = t._load_manifest(t.head())["data_dirs"]
+    assert len(set(before) & set(after)) == len(before) - 1
+    got = rows_set(t.read())
+    assert (3, "NEW") in got and len(got) == len(pre_rows)
+    # read_range touches one directory
+    dirs_scanned = len(
+        t.read_range("k", 200, 205).inputFiles()
+    )
+    all_files = len(t.read().inputFiles())
+    assert dirs_scanned < all_files
