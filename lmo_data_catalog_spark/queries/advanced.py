@@ -529,7 +529,8 @@ def asof_snapshot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l.l_returnflag, d.flag_avg_disc,
            COUNT(*) AS n_rows,
-           ROUND(SUM(l.l_extendedprice * (1 - d.flag_avg_disc)), 4)
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - d.flag_avg_disc)
+                              AS DECIMAL(30,8))), 4) AS DOUBLE)
              AS adj_revenue
     FROM lineitem l JOIN dim d USING (l_returnflag)
     GROUP BY 1, 2
@@ -560,9 +561,19 @@ def salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(li, dim, on=["l_returnflag"], salt_buckets=8)
     return joined.groupBy("l_returnflag", "flag_avg_disc").agg(
         F.count(F.lit(1)).alias("n_rows"),
+        # decimal money sum (sf1 lesson, see core._yearly_flag_revenue):
+        # double sums over millions of rows drift past the 4th decimal
+        # between engines; the per-row double product cast to decimal
+        # makes the aggregate exact and order-free
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("flag_avg_disc"))), 4
-        ).alias("adj_revenue"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("flag_avg_disc")))
+                .cast("decimal(30,8)")
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("adj_revenue"),
     )
 
 

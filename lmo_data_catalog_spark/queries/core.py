@@ -23,19 +23,38 @@ def _revenue():
 
 def _yearly_flag_revenue(cat: Catalog) -> DataFrame:
     """Long-form (grp, year, value): revenue per returnflag per year —
-    the TPC-H stand-in for the reference's unpivoted LMO long table."""
+    the TPC-H stand-in for the reference's unpivoted LMO long table.
+
+    MONEY SUMS ARE DECIMAL (the sf1 lesson): the per-row product is a
+    double (IEEE-identical in both engines), but it is cast to
+    DECIMAL(30,8) before the SUM, making the aggregate EXACT and
+    summation-order-free — double sums of ~6M ~1e4-sized terms drift
+    past the 4th decimal between engines (seen live at sf1: …611.9824
+    vs …611.9825), and no ROUND placement can fix a value that itself
+    moved. The double→decimal cast cannot tie (an exact x.xxxxxxxx5
+    has a 5^8 denominator, so no double sits on one), hence it is
+    deterministic; the rounded result converts back to double for a
+    plain output schema. Downstream float arithmetic on these
+    now-exact values (lag deltas, ordered running sums, shares at
+    6 dp) is drift-free because every operand is identical across
+    engines."""
     return (
         cat.lineitem.groupBy(
             F.col("l_returnflag").alias("grp"),
             F.year("l_shipdate").alias("year"),
         )
-        .agg(F.sum(_revenue()).alias("value"))
+        .agg(
+            F.round(F.sum(_revenue().cast("decimal(30,8)")), 4)
+            .cast("double")
+            .alias("value")
+        )
     )
 
 
 _YEARLY_FLAG_REVENUE_SQL = """
     SELECT l_returnflag AS grp, year(l_shipdate) AS year,
-           SUM(l_extendedprice * (1 - l_discount)) AS value
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(30,8))), 4) AS DOUBLE) AS value
     FROM lineitem GROUP BY 1, 2
 """
 
