@@ -598,7 +598,8 @@ def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT vec_id, CAST(u.i - 1 AS INTEGER) AS i,
            ROUND(CAST(embedding[u.i] AS DOUBLE)
-                 / sqrt({_sql_dot('embedding', 'embedding')}), 6) AS unit
+                 / sqrt({_sql_dot('embedding', 'embedding')}), 6)
+           + 0.0 AS unit
     FROM embeddings, unnest(generate_series(1, {DIM})) AS u(i)
     """,
     tags=("embedding", "transform"),
@@ -617,9 +618,13 @@ def normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.col("i").cast("int").alias("i"),
-            F.round(F.col("__x").cast("double") / F.col("__n"), 6).alias(
-                "unit"
-            ),
+            # + 0.0 collapses IEEE signed zero: rounding a tiny
+            # negative yields -0.0 in DuckDB but 0.0 in Spark, and the
+            # driver's value hash tells them apart (seen at sf1)
+            (
+                F.round(F.col("__x").cast("double") / F.col("__n"), 6)
+                + F.lit(0.0)
+            ).alias("unit"),
         )
     )
 

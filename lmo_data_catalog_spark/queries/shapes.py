@@ -79,7 +79,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "small_qty_avg_revenue",
     oracle=f"""
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 6) AS avg_weekly_revenue
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / 7.0, 6) AS avg_weekly_revenue
     FROM lineitem, part
     WHERE p_partkey = l_partkey
       AND p_brand = 'Brand#13'
@@ -110,9 +110,13 @@ def small_qty_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part_avg), F.col("l_partkey") == F.col("__pk"))
         .filter(F.col("l_quantity") < F.col("__half_avg"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 6).alias(
-                "avg_weekly_revenue"
-            )
+            # decimal money sum (sf1 lesson, core._yearly_flag_revenue)
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(30,8)"))
+                .cast("double")
+                / 7.0,
+                6,
+            ).alias("avg_weekly_revenue")
         )
     )
 
