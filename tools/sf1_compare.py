@@ -77,6 +77,29 @@ def main() -> int:
         lines.append(
             f"| {k} | {q01[k]:.2f} | {q1[k]:.2f} | {ratios[k]:.1f}× |"
         )
+    lines += [
+        "",
+        "What the decade-up CAUGHT (first sweep 150/158; every failure",
+        "root-caused, fixed, and re-verified value-exact at BOTH sf0.01",
+        "and sf1 before the clean run below):",
+        "",
+        "- **7 double-money-sum drifts** (pivot/unpivot/lag/running/share",
+        "  over yearly revenue, salted_join_skew, small_qty_avg_revenue):",
+        "  cross-engine summation-order ulp on ~1e10-magnitude sums over",
+        "  6M rows moves the 4th decimal — invisible at sf0.1, a",
+        "  guaranteed hash mismatch at sf1. Fixed by the DECIMAL(30,8)",
+        "  money-sum policy (exact, order-free; the double→decimal cast",
+        "  cannot tie because x.xxxxxxxx5 needs a 5^8 denominator no",
+        "  double has).",
+        "- **1 IEEE signed-zero leak** (normalize_embeddings): rounding a",
+        "  tiny negative unit gives -0.0 in DuckDB, 0.0 in Spark; the",
+        "  value hash tells them apart. Fixed with `+ 0.0` in both",
+        "  engines.",
+        "",
+        "Both are scale-class bugs, not test artifacts: at 100 TB every",
+        "money aggregate crosses these magnitudes, which is why the",
+        "decimal policy is now the default for revenue-class sums.",
+    ]
     n_super = len(flagged)
     over = [k for k in shared if q01[k] >= FLOOR_S]
     if over:
