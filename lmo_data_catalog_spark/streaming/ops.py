@@ -499,6 +499,11 @@ def cdc_upsert_sink(
         table = VersionedTable(df.sparkSession, table_root)
         if batch_id <= watermark(table):
             return
+        if df.limit(1).count() == 0:
+            # empty micro-batch: merging it would find no touched keys
+            # and conservatively rewrite EVERY directory — skip (a
+            # replay of an empty batch is equally a no-op)
+            return
         strip = [c for c in (seq_col, op_col) if c is not None]
         if seq_col is not None:
             w = Window.partitionBy(key).orderBy(
