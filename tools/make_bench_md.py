@@ -73,6 +73,13 @@ def main() -> None:
         "background load say so here, making round-to-round drift",
         "falsifiable.",
         "",
+        "CANONICAL SNAPSHOT: the numbers in this file and in",
+        "`BENCH_FULL.json` come from the same run (the generation",
+        "timestamp above); where other artifacts (commit messages,",
+        "driver BENCH_r*.json) quote different totals, their recorded",
+        "load averages explain the delta and THIS file is the",
+        "repo-canonical reference.",
+        "",
         "| query | sec | plan notes |",
         "|---|---|---|",
     ]

@@ -101,6 +101,16 @@ def main() -> int:
         "decimal policy is now the default for revenue-class sums.",
     ]
     n_super = len(flagged)
+    known_quadratic = {
+        "embedding_neardup_pairs": (
+            "EXACT all-pairs cosine by definition — 10× rows = 100× "
+            "dot pairs, so a sub-100× wall means the GEMM tiles got "
+            "MORE efficient with size; the sub-quadratic path for "
+            "corpora where O(n²) is unaffordable is the banded/LSH "
+            "family (ann_lsh_multiprobe, minhash_lsh_pairs) and the "
+            "sharded build side (SCALING §GEMM)"
+        ),
+    }
     over = [k for k in shared if q01[k] >= FLOOR_S]
     if over:
         worst = max(over, key=lambda k: ratios[k])
@@ -115,6 +125,16 @@ def main() -> int:
                 f" {worst} at {ratios[worst]:.1f}×."
             ),
         ]
+        for k in flagged:
+            note = known_quadratic.get(k)
+            if note:
+                lines += ["", f"- **{k}** is {note}."]
+            else:
+                lines += [
+                    "",
+                    f"- **{k}**: unexplained super-linear growth — "
+                    "investigate before the next round.",
+                ]
     lines.append("")
     replace_section(
         "sf1 decade-up: full-registry differential + bench",
