@@ -483,10 +483,10 @@ def pack_documents_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sanctioned applyInPandas stage in the registry; the oracle is a
     per-shard recursive CTE computing the identical fold, recursion
     depth = max shard size, all shards advancing per level). The
-    arithmetic shard (doc_id % {shards}) keeps the oracle portable;
+    arithmetic shard (doc_id % PACK_SHARDS) keeps the oracle portable;
     production uses the operator's default hash shard — the fold is
     shard-agnostic. Integer weights only, so engines cannot diverge.
-    """.format(shards=PACK_SHARDS)
+    """
     from ..operators.text import pack_sequences_greedy
 
     cat = Catalog(spark, sf_dir)
