@@ -1397,3 +1397,123 @@ def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_wk", "week_offset")
     )
+
+
+# ------------------------------------------------------ cumulative distinct
+
+
+@query(
+    "cumulative_distinct_users",
+    oracle="""
+    WITH e AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) // CAST(86400000000 AS BIGINT) AS BIGINT)
+                   AS day
+        FROM events
+    ),
+    first_seen AS (SELECT user_id, MIN(day) AS d0 FROM e GROUP BY 1),
+    per_day AS (
+        SELECT d0 AS day, COUNT(*) AS new_users FROM first_seen GROUP BY 1
+    )
+    SELECT day, new_users,
+           SUM(new_users) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum_users
+    FROM per_day
+    ORDER BY day
+    """,
+    tags=("analytics", "distinct", "window"),
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count of DISTINCT users ever seen, by day — the classic
+    growth curve. The naive formulation (count-distinct over an
+    expanding window) is O(days × users); this is the scalable
+    identity: a user contributes exactly once, on their FIRST day, so
+    it reduces to a per-user min (map-side combined), a per-day count,
+    and one ordered running sum over the BOUNDED per-day frame (the
+    single-task window is safe because its input is |days| rows, not
+    |events|). Integer-µs day bucketing (``div``) matches DuckDB
+    ``//`` exactly for non-negative epochs."""
+    ev = (
+        Catalog(spark, sf_dir)
+        .events.select("user_id", epoch_us("ts").alias("t"))
+        .select(
+            "user_id",
+            F.expr("t div 86400000000").cast("bigint").alias("day"),
+        )
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("d0"))
+    per_day = (
+        first_seen.groupBy(F.col("d0").alias("day"))
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_day.select(
+            "day",
+            "new_users",
+            F.sum("new_users").over(w).alias("cum_users"),
+        )
+        .orderBy("day")
+    )
+
+
+# ------------------------------------------------------ equi-width histogram
+
+
+@query(
+    "histogram_order_prices",
+    oracle="""
+    WITH b AS (
+        SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+        FROM orders
+    )
+    SELECT CAST(LEAST(FLOOR((o_totalprice - b.mn)
+                            / ((b.mx - b.mn) / 10.0)), 9) AS INTEGER)
+               AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders CROSS JOIN b
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("analytics", "histogram"),
+)
+def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 10-bucket histogram of order prices — the profiling
+    primitive behind every catalog's distribution sketch. The [min,
+    max] frame is ONE row broadcast onto the scan (the documented
+    bounded-BNLJ scalar-attach pattern), bucketing is pure float
+    arithmetic on identical doubles in both engines (data-value
+    bounds, exact division order), and the top bucket is closed with
+    LEAST(…, 9) so x == max lands in bucket 9 rather than a phantom
+    bucket 10. One scan + one 10-group aggregate."""
+    o = Catalog(spark, sf_dir).orders
+    b = F.broadcast(
+        o.agg(
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("mn"))
+            / ((F.col("mx") - F.col("mn")) / 10.0)
+        ),
+        F.lit(9),
+    ).cast("int")
+    return (
+        o.crossJoin(b)
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

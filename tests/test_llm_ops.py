@@ -593,3 +593,57 @@ def test_heavy_hitters_cms_bounds(spark):
         if est > exact[k] + 0.001 * n_total:
             violations += 1
     assert violations == 0  # within eps*N at this size
+
+
+def test_pack_sequences_greedy_properties(spark):
+    """Property test for the packing fold (hypothesis-driven weights):
+    every doc appears exactly once; within a shard, bin_idx is
+    non-decreasing in id order; every bin's fill <= capacity UNLESS it
+    holds a single oversize doc; and a doc never starts a new bin the
+    previous bin could still have held it (greedy tightness)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lmo_data_catalog_spark.operators.text import pack_sequences_greedy
+
+    CAP = 100
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=160),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def check(weights):
+        rows = [(i, w) for i, w in enumerate(weights)]
+        df = spark.createDataFrame(rows, "doc_id bigint, weight bigint")
+        out = pack_sequences_greedy(
+            df,
+            id_col="doc_id",
+            weight_col="weight",
+            capacity=CAP,
+            n_shards=4,
+            shard_expr=__import__("pyspark.sql.functions", fromlist=["pmod"])
+            .pmod(__import__("pyspark.sql.functions", fromlist=["col"])
+                  .col("doc_id"), 4),
+        ).collect()
+        assert sorted(r["doc_id"] for r in out) == [r[0] for r in rows]
+        by_shard = {}
+        for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+            by_shard.setdefault(r["shard"], []).append(r)
+        for shard_rows in by_shard.values():
+            bins = {}
+            prev_bin = 0
+            for r in shard_rows:
+                assert r["bin_idx"] >= prev_bin  # never goes backwards
+                prev_bin = r["bin_idx"]
+                bins.setdefault(r["bin_idx"], []).append(r["weight"])
+            for b, ws in sorted(bins.items()):
+                assert sum(ws) <= CAP or len(ws) == 1  # oversize alone
+                if b + 1 in bins:  # greedy tightness at the boundary
+                    first_next = bins[b + 1][0]
+                    assert sum(ws) + first_next > CAP or sum(ws) == 0
+
+    check()

@@ -49,6 +49,17 @@ SENSITIVE = [
     "top1pct_revenue_share",
     "time_weighted_avg_value",
     "pagerank_part_cooccurrence",
+    # r7: dangling redistribution adds a 1-row float mass broadcast
+    # per round; the exact k-means trainer's whole CLAIM is integer-
+    # sum partition-independence; incremental-LSH candidates ride
+    # band-hash joins; the decimal money sums must be order-free by
+    # construction; packing's per-shard fold must not see partition
+    # order at all (it sorts within the group)
+    "pagerank_dangling_part_supplier",
+    "ann_ivf_kmeans_topk",
+    "lsh_incremental_neardup_pairs",
+    "salted_join_skew",
+    "pack_documents_greedy",
 ]
 
 

@@ -38,6 +38,7 @@ ALLOWED_BNLJ = {
     "corpus_mixture_sample",  # 1-row grand token total
     "customer_rfm_segments",  # 1-row corpus-max-date + total attach
     "dormant_rich_customers",  # scalar-subquery broadcast
+    "histogram_order_prices",  # 1-row [min,max] bounds attach
     "lang_kl_by_source",  # 1-row corpus-total broadcast
     "pagerank_dangling_part_supplier",  # 1-row dangling-mass + N per round
     "orders_above_avg_price",  # scalar avg broadcast
