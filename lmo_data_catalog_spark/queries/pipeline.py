@@ -1530,18 +1530,27 @@ def lsh_incremental_neardup_pairs(
         )
     )
 
-    def bands_of(sub: DataFrame) -> DataFrame:
-        sig = minhash_signatures(sub, id_col="id", n_hashes=64)
-        return lsh_band_buckets(sig, id_col="id", bands=16, rows=4)
-
+    # ONE signature aggregation over the whole shingle table, split
+    # into batch/state band rows afterwards: signatures are per-doc,
+    # so splitting after signing is identical to signing each side —
+    # and it halves the 64-conditional-MIN aggregate cost (the hot
+    # stage of this plan). In production the state side is a READ of
+    # the persisted band table (LshDedupState), not a recompute.
     is_batch = docs.select(
         F.col("doc_id").alias("id"), (F.col("source") == "src0").alias("b")
     )
-    tagged = sh_all.join(is_batch, on="id")
-    batch = cache.track(
-        bands_of(tagged.filter(F.col("b")).select("id", "h"))
+    sig = minhash_signatures(sh_all, id_col="id", n_hashes=64)
+    banded = cache.track(
+        # no broadcast hint: the flag frame is O(corpus) rows, so the
+        # join strategy is AQE's call (it broadcasts at this sf; at
+        # 100 TB it would shuffle — and in production the whole flag
+        # join disappears, the state side being a table read)
+        lsh_band_buckets(sig, id_col="id", bands=16, rows=4).join(
+            is_batch, on="id"
+        )
     )
-    state = bands_of(tagged.filter(~F.col("b")).select("id", "h"))
+    batch = banded.filter(F.col("b")).drop("b")
+    state = banded.filter(~F.col("b")).drop("b")
     a = batch.toDF("id_a", "band_idx", "band_hash")
     cand = (
         a.join(batch.toDF("id_b", "band_idx", "band_hash"),
