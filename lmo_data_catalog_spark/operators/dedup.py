@@ -740,12 +740,15 @@ class LshDedupState:
     def ingest(
         self, docs: DataFrame, *, id_col: str = "doc_id",
         text_col: str = "text",
+        props: dict | None = None,
     ) -> DataFrame:
         """Probe-then-append one batch; returns the candidate pairs
         involving at least one batch document, as (id_a, id_b) with
         id_a < id_b (cross-batch pairs orientation-normalized).
         Candidates only — verify with :func:`jaccard_on_pairs`
-        against the documents the pairs implicate."""
+        against the documents the pairs implicate. ``props`` rides
+        the state commit (streaming sinks persist their exactly-once
+        watermark through it, see streaming/ops.py::lsh_dedup_sink)."""
         batch = cache.track(self._band_rows(docs, id_col, text_col))
         a = batch.toDF("id_a", "band_idx", "band_hash")
         b = batch.toDF("id_b", "band_idx", "band_hash")
@@ -766,6 +769,6 @@ class LshDedupState:
             cand = cand.unionByName(cross)
         cand = cand.distinct()
         self.table.commit(
-            batch, operation=f"lsh-ingest(bands={self.bands})"
+            batch, operation=f"lsh-ingest(bands={self.bands})", props=props
         )
         return cand

@@ -557,3 +557,74 @@ def cdc_upsert_sink(
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def lsh_dedup_sink(
+    stream_docs: DataFrame,
+    state_root: str,
+    pairs_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint: str,
+    n: int = 3,
+    n_hashes: int = 64,
+    bands: int = 16,
+    await_termination: bool = True,
+):
+    """Online near-dup detection over a streaming corpus ingest: each
+    micro-batch runs ``LshDedupState.ingest`` (operators/dedup.py) —
+    shingle/sign/band the BATCH only, probe the persisted band table,
+    append its band rows — and lands the discovered candidate pairs
+    under ``pairs_path/batch=<id>``. The streaming mirror of the
+    batch dedup pipeline: a corpus that arrives continuously gets its
+    near-dup pairs within the trigger that delivered the documents,
+    at O(batch) cost regardless of history size.
+
+    Exactly-once, two idempotence mechanisms stacked: the pairs
+    partition is OVERWRITTEN per batch id (a replay rewrites the same
+    directory with the same content — candidates are computed against
+    the PRE-ingest state, which a replayed batch sees unchanged
+    because its state commit never landed), and the state commit
+    carries the ``stream_watermark`` prop so a replay after a
+    successful commit is a full no-op.
+    """
+    from ..operators.dedup import LshDedupState
+
+    def apply_batch(df: DataFrame, batch_id: int) -> None:
+        state = LshDedupState(
+            df.sparkSession,
+            state_root,
+            n=n,
+            n_hashes=n_hashes,
+            bands=bands,
+        )
+        wm = int(state.table.get_props().get("stream_watermark", -1))
+        if batch_id <= wm:
+            return
+        if df.limit(1).count() == 0:
+            return
+        cand = state.ingest(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            props={"stream_watermark": batch_id},
+        )
+        # NOTE: ingest() commits the state AFTER building the lazy
+        # candidate plan but BEFORE this write executes it — the
+        # candidate frame reads the batch's (persisted) band rows and
+        # the PRE-commit state snapshot captured at plan time, so the
+        # pairs written here are exactly the probe-at-arrival result.
+        cand.write.mode("overwrite").parquet(
+            f"{pairs_path}/batch={batch_id}"
+        )
+
+    q = (
+        stream_docs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q

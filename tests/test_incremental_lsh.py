@@ -70,3 +70,65 @@ def test_first_ingest_has_no_history_probe(spark, tmp_path):
     assert want.exceptAll(cand).count() == 0
     # all pairs orientation-normalized
     assert cand.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+
+
+def test_lsh_dedup_sink_streaming_matches_full_recompute(spark, tmp_path):
+    """Streaming ingest of a corpus in micro-batches: the union of
+    per-batch candidate-pair partitions equals the batch full
+    recompute, the state table ends one commit per micro-batch with a
+    watermark, and re-running the finished stream adds nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lmo_data_catalog_spark.sources.versioned import VersionedTable
+    from lmo_data_catalog_spark.streaming import ops
+
+    docs = docs_of(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    a = docs.filter(F.col("source").isin("src0", "src1", "src2", "src3"))
+    b = docs.filter(~F.col("source").isin("src0", "src1", "src2", "src3"))
+    a.coalesce(1).write.parquet(os.path.join(src, "f=a"))
+    b.coalesce(1).write.parquet(os.path.join(src, "f=b"))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    state_root = str(tmp_path / "state")
+    pairs_path = str(tmp_path / "pairs")
+    ops.lsh_dedup_sink(
+        stream,
+        state_root,
+        pairs_path,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    got = (
+        spark.read.parquet(pairs_path)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    want = full_recompute_pairs(docs)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    t = VersionedTable(spark, state_root)
+    assert int(t.get_props()["stream_watermark"]) >= 1
+    assert sum(
+        1 for h in t.history() if h["operation"].startswith("lsh-ingest")
+    ) == 2
+    # replay the finished stream: no new state version, same pairs
+    head = t.head()
+    stream2 = (
+        spark.readStream.schema("doc_id bigint, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    ops.lsh_dedup_sink(
+        stream2, state_root, pairs_path,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert t.head() == head
+    again = spark.read.parquet(pairs_path).select("id_a", "id_b").distinct()
+    assert again.count() == got.count()
