@@ -590,3 +590,41 @@ def test_compact_restores_pruning_after_fragmented_ingest(spark, tmp_path):
     )
     all_files = len(t.read().inputFiles())
     assert dirs_scanned < all_files
+
+
+def test_compact_after_schema_evolution_reads_at_evolved_schema(
+    spark, tmp_path
+):
+    """compact() over a table whose directories span two schema
+    versions must rewrite every slice AT the evolved schema (up-cast +
+    NULL fill) and carry the schema in its manifest — a compaction
+    that resurrected pre-evolution physical schemas would corrupt
+    later reads."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "evoc"))
+    t.commit(
+        spark.range(0, 50).select(F.col("id").cast("int").alias("k")),
+        stats_col="k",
+    )
+    t.commit(
+        spark.range(50, 100).select(
+            F.col("id").cast("bigint").alias("k"),
+            (F.col("id") * 1.5).alias("score"),
+        ),
+        stats_col="k",
+    )
+    pre = {(r["k"], r["score"]) for r in t.read().collect()}
+    v = t.compact("k", n_dirs=3)
+    m = t._load_manifest(v)
+    assert "schema" in m
+    got = t.read()
+    assert got.schema.simpleString() == "struct<k:bigint,score:double>"
+    assert {(r["k"], r["score"]) for r in got.collect()} == pre
+    # every compacted slice physically carries the evolved schema now:
+    # reading one directory raw (no target schema) shows both columns
+    import os
+
+    d0 = m["data_dirs"][0]
+    raw = spark.read.parquet(os.path.join(t._data_dir, d0))
+    assert set(raw.columns) == {"k", "score"}
