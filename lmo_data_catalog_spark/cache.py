@@ -30,6 +30,17 @@ def track(df: DataFrame) -> DataFrame:
     return df
 
 
+def register(df: DataFrame) -> DataFrame:
+    """Register an ALREADY persisted/checkpointed frame for
+    :func:`release_all` without re-persisting it — for frames whose
+    storage the caller created some other way (``localCheckpoint``,
+    an explicit non-default storage level) that must still be
+    reclaimable between units of work (iterative operators' rank/
+    label vectors, see operators/graph.py)."""
+    _TRACKED.append(weakref.ref(df))
+    return df
+
+
 def release_all() -> int:
     """Unpersist every tracked DataFrame still alive; returns count."""
     released = 0

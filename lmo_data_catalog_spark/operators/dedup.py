@@ -737,18 +737,25 @@ class LshDedupState:
             sig, id_col="id", bands=self.bands, rows=self.rows
         )
 
-    def ingest(
+    def probe(
         self, docs: DataFrame, *, id_col: str = "doc_id",
         text_col: str = "text",
-        props: dict | None = None,
-    ) -> DataFrame:
-        """Probe-then-append one batch; returns the candidate pairs
+    ) -> tuple[DataFrame, DataFrame]:
+        """Step 1 of an ingest, with NO state mutation: shingle/sign/
+        band the batch, probe the CURRENT state snapshot, and return
+        ``(candidates, batch_band_rows)``. Candidates are the pairs
         involving at least one batch document, as (id_a, id_b) with
-        id_a < id_b (cross-batch pairs orientation-normalized).
-        Candidates only — verify with :func:`jaccard_on_pairs`
-        against the documents the pairs implicate. ``props`` rides
-        the state commit (streaming sinks persist their exactly-once
-        watermark through it, see streaming/ops.py::lsh_dedup_sink)."""
+        id_a < id_b (cross-batch pairs orientation-normalized) —
+        candidates only, verify with :func:`jaccard_on_pairs`.
+
+        Splitting probe from :meth:`commit_batch` is what lets a
+        streaming sink be exactly-once (streaming/ops.py::
+        lsh_dedup_sink): the sink PUBLISHES the candidate pairs first
+        and only then commits the band rows + watermark, so a crash
+        between the two replays into an identical probe against the
+        unchanged state and the pairs overwrite is idempotent.
+        Committing first would leave the replay a watermark no-op
+        with that batch's pairs permanently missing."""
         batch = cache.track(self._band_rows(docs, id_col, text_col))
         a = batch.toDF("id_a", "band_idx", "band_hash")
         b = batch.toDF("id_b", "band_idx", "band_hash")
@@ -767,8 +774,30 @@ class LshDedupState:
                 )
             )
             cand = cand.unionByName(cross)
-        cand = cand.distinct()
-        self.table.commit(
-            batch, operation=f"lsh-ingest(bands={self.bands})", props=props
+        return cand.distinct(), batch
+
+    def commit_batch(
+        self, batch_bands: DataFrame, *, props: dict | None = None
+    ) -> int:
+        """Step 2 of an ingest: append the batch's (persisted) band
+        rows as one atomic versioned commit. ``props`` rides the
+        commit (streaming sinks persist their exactly-once watermark
+        through it)."""
+        return self.table.commit(
+            batch_bands,
+            operation=f"lsh-ingest(bands={self.bands})",
+            props=props,
         )
+
+    def ingest(
+        self, docs: DataFrame, *, id_col: str = "doc_id",
+        text_col: str = "text",
+        props: dict | None = None,
+    ) -> DataFrame:
+        """Probe-then-append one batch (:meth:`probe` +
+        :meth:`commit_batch`); returns the candidate pairs. Batch
+        convenience path — sinks that need output-before-commit
+        ordering call the two steps themselves."""
+        cand, batch = self.probe(docs, id_col=id_col, text_col=text_col)
+        self.commit_batch(batch, props=props)
         return cand

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import cache
+
 
 def pagerank(
     edges: DataFrame,
@@ -50,8 +52,6 @@ def pagerank(
     coalesce, scale, add — so cross-engine drift is limited to
     summation-order ulps, absorbed by the caller's final ROUND.
     """
-    from .. import cache
-
     # Persist the RAW edge list first: ed/nodes both contain the edge
     # subtree more than once (join sides, degree agg), and Catalyst
     # does not dedupe shared subtrees — without this the possibly
@@ -93,8 +93,6 @@ def _pr_graph(edges: DataFrame, src: str, dst: str):
     edge subtree 1-2×, so without it the edge build re-executes ~5×
     while the caches materialize (measured 4.6 s → 2.6 s on the
     part→supplier registry graph)."""
-    from .. import cache
-
     edges = cache.track(edges)
     deg = edges.groupBy(src).agg(F.count("*").alias("__deg"))
     ed = cache.track(edges.join(deg, src))
@@ -191,7 +189,12 @@ def pagerank_full(
     for i in range(1, n_iter + 1):
         ranks = _pr_round(ed, nodes, nn, dangling, ranks, damping, src, dst)
         if i % checkpoint_every == 0 and i < n_iter:
-            ranks = ranks.persist().localCheckpoint(eager=False)
+            # register, not bare persist: the checkpointed vector (and
+            # the persisted parent backing it) must be reclaimable by
+            # cache.release_all between registry/bench runs
+            ranks = cache.register(
+                cache.track(ranks).localCheckpoint(eager=False)
+            )
     return ranks
 
 
@@ -217,14 +220,18 @@ def pagerank_converged(
     lineage the way connected_components does, keeping plan size flat
     no matter how slowly the chain mixes."""
     ed, nodes, nn, dangling = _pr_graph(edges, src, dst)
-    ranks = nodes.select("node", F.lit(1.0).alias("rank")).persist()
+    # every persisted/checkpointed rank vector is cache-registered so
+    # release_all reclaims the FINAL returned frame and any
+    # checkpointed intermediates (in-loop predecessors are also
+    # unpersisted eagerly below — double-release is a no-op)
+    ranks = cache.track(nodes.select("node", F.lit(1.0).alias("rank")))
     rounds = 0
     for rounds in range(1, max_iter + 1):
-        nxt = _pr_round(
-            ed, nodes, nn, dangling, ranks, damping, src, dst
-        ).persist()
+        nxt = cache.track(
+            _pr_round(ed, nodes, nn, dangling, ranks, damping, src, dst)
+        )
         if rounds % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=False)
+            nxt = cache.register(nxt.localCheckpoint(eager=False))
         delta = (
             nxt.withColumnRenamed("rank", "__r1")
             .join(ranks.withColumnRenamed("rank", "__r0"), "node")

@@ -621,6 +621,15 @@ class VersionedTable:
         first). Snapshot semantics are untouched: the result is one
         new version referencing only the new directories; prior
         versions still time-travel until :meth:`vacuum`.
+
+        NULL-key rows (legal — e.g. a NULL group-by key in an
+        incremental-agg state table) ride the FIRST slice: every
+        range predicate evaluates to NULL for them, so without the
+        explicit ``isNull`` disjunct they would match no slice and
+        silently vanish from the compacted snapshot. Their slice's
+        zone map still records only the non-null [min, max] — merge
+        pruning is unaffected because a NULL key can never equal a
+        batch key, so carrying the directory forward is always safe.
         """
         head = self.head()
         if head is None:
@@ -647,6 +656,13 @@ class VersionedTable:
                 sl = df
                 if lo is not None:
                     sl = sl.filter(F.col(key) > lo)
+                elif hi is not None:
+                    # first slice of several: NULL keys match no range
+                    # predicate — claim them here or lose them
+                    sl = sl.filter(
+                        (F.col(key) <= hi) | F.col(key).isNull()
+                    )
+                    hi = None  # filter already applied
                 if hi is not None:
                     sl = sl.filter(F.col(key) <= hi)
                 cdir = f"c{version:05d}-{uuid.uuid4().hex[:8]}"
@@ -654,9 +670,13 @@ class VersionedTable:
                 sl.sort(key).write.parquet(path)
                 written = self.spark.read.parquet(path)
                 row = written.agg(
-                    F.min(key).alias("mn"), F.max(key).alias("mx")
+                    F.count(F.lit(1)).alias("n"),
+                    F.min(key).alias("mn"),
+                    F.max(key).alias("mx"),
                 ).collect()[0]
-                if row["mn"] is None:  # empty slice (heavy skew): drop
+                if row["n"] == 0:  # empty slice (heavy skew): drop
+                    # (count, not min-is-null — an all-NULL-key slice
+                    # is non-empty and must land)
                     shutil.rmtree(path)
                     continue
                 new_dirs.append(cdir)

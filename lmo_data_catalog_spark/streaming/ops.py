@@ -478,8 +478,12 @@ def cdc_upsert_sink(
 
     - ``seq_col``: change-sequence column (e.g. the CDC log offset or
       event time); when a batch carries several changes for one key,
-      the HIGHEST sequence wins (ties then break on the largest op
-      making the fold deterministic). Without it, a batch must not
+      the HIGHEST sequence wins. Ties break on the largest op, then
+      on EVERY remaining payload column (descending, name-sorted) —
+      without the payload tie-break, two changes equal on (key, seq,
+      op) but differing in payload would let ``row_number`` pick an
+      arbitrary winner, so a replayed or recomputed batch could land
+      a different value. Without ``seq_col``, a batch must not
       contain duplicate keys (enforced: raises on violation rather
       than landing an arbitrary winner).
     - ``op_col``: optional column naming the operation; rows equal to
@@ -506,9 +510,15 @@ def cdc_upsert_sink(
             return
         strip = [c for c in (seq_col, op_col) if c is not None]
         if seq_col is not None:
+            payload = sorted(
+                c for c in df.columns if c not in (key, seq_col, op_col)
+            )
             w = Window.partitionBy(key).orderBy(
                 F.col(seq_col).desc(),
                 *([F.col(op_col).desc()] if op_col else []),
+                # total order: exact (key, seq, op) duplicates with
+                # different payloads must fold deterministically
+                *[F.col(c).desc_nulls_last() for c in payload],
             )
             df = (
                 df.withColumn("__rn", F.row_number().over(w))
@@ -581,13 +591,16 @@ def lsh_dedup_sink(
     near-dup pairs within the trigger that delivered the documents,
     at O(batch) cost regardless of history size.
 
-    Exactly-once, two idempotence mechanisms stacked: the pairs
-    partition is OVERWRITTEN per batch id (a replay rewrites the same
-    directory with the same content — candidates are computed against
-    the PRE-ingest state, which a replayed batch sees unchanged
-    because its state commit never landed), and the state commit
-    carries the ``stream_watermark`` prop so a replay after a
-    successful commit is a full no-op.
+    Exactly-once, output-before-commit: the batch is probed against
+    the PRE-commit state (``LshDedupState.probe`` — no mutation), the
+    candidate pairs land under ``pairs_path/batch=<id>`` FIRST, and
+    only then does ``commit_batch`` append the band rows with the
+    ``stream_watermark`` prop. A crash in the window between the two
+    therefore replays into an identical probe (the state never moved)
+    and the pairs overwrite is idempotent; a replay after the commit
+    is a watermark no-op with its pairs already safely published.
+    The reverse order (commit first) would silently lose that batch's
+    pairs forever — the watermark guard would skip the replay.
     """
     from ..operators.dedup import LshDedupState
 
@@ -604,19 +617,12 @@ def lsh_dedup_sink(
             return
         if df.limit(1).count() == 0:
             return
-        cand = state.ingest(
-            df,
-            id_col=id_col,
-            text_col=text_col,
-            props={"stream_watermark": batch_id},
-        )
-        # NOTE: ingest() commits the state AFTER building the lazy
-        # candidate plan but BEFORE this write executes it — the
-        # candidate frame reads the batch's (persisted) band rows and
-        # the PRE-commit state snapshot captured at plan time, so the
-        # pairs written here are exactly the probe-at-arrival result.
+        cand, batch_bands = state.probe(df, id_col=id_col, text_col=text_col)
         cand.write.mode("overwrite").parquet(
             f"{pairs_path}/batch={batch_id}"
+        )
+        state.commit_batch(
+            batch_bands, props={"stream_watermark": batch_id}
         )
 
     q = (

@@ -132,3 +132,57 @@ def test_lsh_dedup_sink_streaming_matches_full_recompute(spark, tmp_path):
     assert t.head() == head
     again = spark.read.parquet(pairs_path).select("id_a", "id_b").distinct()
     assert again.count() == got.count()
+
+
+def test_crash_between_pairs_write_and_state_commit_replays_clean(
+    spark, tmp_path
+):
+    """The exactly-once failure window: pairs published, crash BEFORE
+    the state commit. The replayed batch must re-probe the unchanged
+    state, overwrite the pairs partition with identical content, and
+    only then land the commit — no pair loss, no band-row dup."""
+    docs = docs_of(spark)
+    b1 = docs.filter(F.col("source").isin("src0", "src1"))
+    b2 = docs.filter(F.col("source").isin("src2", "src3"))
+    root = str(tmp_path / "lsh")
+    pairs = tmp_path / "pairs"
+
+    state = LshDedupState(spark, root, **KW)
+    state.ingest(b1, id_col="doc_id", text_col="text",
+                 props={"stream_watermark": 0})
+
+    # batch 1 "crashes": pairs written, state commit never happens
+    cand, bands = state.probe(b2, id_col="doc_id", text_col="text")
+    cand.write.mode("overwrite").parquet(str(pairs / "batch=1"))
+    first = spark.read.parquet(str(pairs / "batch=1")).collect()
+    head_before = state.table.head()
+
+    # replay: fresh state handle (new process), watermark still 0 so
+    # the batch re-runs; probe sees the identical pre-commit state
+    replay = LshDedupState(spark, root, **KW)
+    assert int(replay.table.get_props()["stream_watermark"]) == 0
+    cand2, bands2 = replay.probe(b2, id_col="doc_id", text_col="text")
+    cand2.write.mode("overwrite").parquet(str(pairs / "batch=1"))
+    replay.commit_batch(bands2, props={"stream_watermark": 1})
+
+    second = spark.read.parquet(str(pairs / "batch=1")).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+    assert replay.table.head() == head_before + 1  # exactly one commit
+    # union over the two batches still equals the full recompute
+    got = (
+        spark.read.parquet(str(pairs / "batch=1"))
+        .unionByName(
+            state.ingest(
+                docs.filter(
+                    ~F.col("source").isin("src0", "src1", "src2", "src3")
+                ),
+                id_col="doc_id",
+                text_col="text",
+            )
+        )
+        .unionByName(full_recompute_pairs(b1))
+        .distinct()
+    )
+    want = full_recompute_pairs(docs)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

@@ -554,3 +554,43 @@ def test_cdc_upsert_sink_applies_changes_in_order(spark, tmp_path):
         checkpoint=str(tmp_path / "ckpt"),
     )
     assert t.head() == head
+
+
+def test_cdc_upsert_sink_exact_dup_seq_ties_break_deterministically(
+    spark, tmp_path
+):
+    """Two changes for one key with EQUAL seq and op but different
+    payloads: the fold must pick the same winner on every run (the
+    payload-descending tie-break), not whatever row_number saw first
+    — otherwise a replayed batch could land a different value."""
+    import os
+
+    from lmo_data_catalog_spark.sources.versioned import VersionedTable
+
+    schema = "k bigint, seq bigint, op string, val string"
+    rows = [(1, 1, "U", "alpha"), (1, 1, "U", "zeta"), (2, 1, "I", "b")]
+
+    for attempt in ("one", "two"):
+        src = str(tmp_path / f"src_{attempt}")
+        os.makedirs(src)
+        # reversed arrival order on the second run
+        data = rows if attempt == "one" else rows[::-1]
+        spark.createDataFrame(data, schema).coalesce(1).write.parquet(
+            os.path.join(src, "f=0")
+        )
+        stream = spark.readStream.schema(schema).parquet(src + "/*")
+        root = str(tmp_path / f"mirror_{attempt}")
+        ops.cdc_upsert_sink(
+            stream,
+            root,
+            key="k",
+            seq_col="seq",
+            op_col="op",
+            checkpoint=str(tmp_path / f"ckpt_{attempt}"),
+        )
+        got = {
+            (r["k"], r["val"])
+            for r in VersionedTable(spark, root).read().collect()
+        }
+        # desc payload order: 'zeta' > 'alpha'
+        assert got == {(1, "zeta"), (2, "b")}, attempt

@@ -628,3 +628,64 @@ def test_compact_after_schema_evolution_reads_at_evolved_schema(
     d0 = m["data_dirs"][0]
     raw = spark.read.parquet(os.path.join(t._data_dir, d0))
     assert set(raw.columns) == {"k", "score"}
+
+
+def test_compact_preserves_null_key_rows(spark, tmp_path):
+    """OPTIMIZE must be content-preserving for NULL compaction keys
+    (e.g. a NULL group-by key in an incremental-agg state table):
+    every range predicate is NULL for them, so without the explicit
+    first-slice isNull claim they'd match no slice and vanish."""
+    from pyspark.sql import types as T
+
+    t = VersionedTable(spark, str(tmp_path / "nullkey"))
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    rows = [(k, f"v{k}") for k in range(200)] + [
+        (None, "null-a"),
+        (None, "null-b"),
+    ]
+    for chunk in (rows[:70], rows[70:140], rows[140:]):
+        t.commit(
+            spark.createDataFrame(chunk, schema), stats_col="k"
+        )
+    pre = rows_set(t.read())
+    assert (None, "null-a") in pre
+
+    v = t.compact("k", n_dirs=3)
+    assert rows_set(t.read()) == pre  # nothing lost, incl. NULL keys
+    m = t._load_manifest(v)
+    assert len(m["data_dirs"]) > 1  # multi-slice path exercised
+    # NULL rows live in the FIRST slice and survive a later merge
+    t.merge(
+        spark.createDataFrame([(3, "NEW")], schema), "k"
+    )
+    post = rows_set(t.read())
+    assert (None, "null-a") in post and (None, "null-b") in post
+    assert (3, "NEW") in post and len(post) == len(pre)
+
+
+def test_compact_all_null_key_slice_lands(spark, tmp_path):
+    """Degenerate: a table whose key is entirely NULL. approxQuantile
+    returns no cuts; the single slice would previously be dropped as
+    'empty' because min(key) is NULL — count-based detection keeps
+    it."""
+    from pyspark.sql import types as T
+
+    t = VersionedTable(spark, str(tmp_path / "allnull"))
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    t.commit(
+        spark.createDataFrame([(None, "a"), (None, "b")], schema),
+        stats_col="k",
+    )
+    pre = rows_set(t.read())
+    t.compact("k", n_dirs=2)
+    assert rows_set(t.read()) == pre
