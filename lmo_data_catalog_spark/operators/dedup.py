@@ -689,12 +689,20 @@ class LshDedupState:
     measured in SCALING.md §LSH-incremental):
 
     1. shingle → MinHash → band rows for the BATCH ONLY;
-    2. new↔history candidates: equi-join of the batch's band rows
-       against the stored band table on (band_idx, band_hash). At
-       100 TB, write the state bucketed by band_hash so the probe is
-       co-located and touches only the batch's buckets;
-    3. new↔new candidates: self-join of the batch's band rows;
-    4. append the batch's band rows to the state.
+    2. new↔history candidates: the batch's band rows are BROADCAST
+       against the stored band table on (band_idx, band_hash), and
+       the state is physically laid out in ``n_buckets`` Hive
+       partitions on ``band_bucket = pmod(band_hash, n_buckets)``
+       (``VersionedTable.commit(partition_by=...)``), so the probe
+       reads ONLY the subdirectories holding the batch's buckets
+       (``read_partitions``) and the state side carries NO Exchange
+       — O(batch) in shuffle, not just compute (plan pinned in
+       tests/test_incremental_lsh.py). For batches too large to
+       broadcast (backfills), chunk them into micro-batches — the
+       union-of-batches invariant makes that free;
+    3. new↔new candidates: broadcast self-join of the batch's rows;
+    4. append the batch's band rows to the state, repartitioned by
+       bucket so each partition subdirectory gets ~1 file.
 
     Invariant (pinned in tests/test_incremental_lsh.py): the union of
     candidate sets over ANY batch partitioning of a corpus equals the
@@ -714,6 +722,7 @@ class LshDedupState:
         n_hashes: int = 64,
         bands: int = 16,
         seed: int = 42,
+        n_buckets: int = 32,
     ):
         from ..sources.versioned import VersionedTable
 
@@ -725,6 +734,7 @@ class LshDedupState:
         self.bands = bands
         self.rows = n_hashes // bands
         self.seed = seed
+        self.n_buckets = n_buckets
 
     def _band_rows(self, docs: DataFrame, id_col: str, text_col: str):
         sh = hashed_shingles(
@@ -733,8 +743,14 @@ class LshDedupState:
         sig = minhash_signatures(
             sh, id_col="id", n_hashes=self.n_hashes, seed=self.seed
         )
-        return lsh_band_buckets(
+        bb = lsh_band_buckets(
             sig, id_col="id", bands=self.bands, rows=self.rows
+        )
+        # physical co-location key: the state lands Hive-partitioned
+        # on this, and a probe reads only the batch's buckets
+        return bb.withColumn(
+            "band_bucket",
+            F.pmod(F.col("band_hash"), F.lit(self.n_buckets)).cast("int"),
         )
 
     def probe(
@@ -757,17 +773,36 @@ class LshDedupState:
         Committing first would leave the replay a watermark no-op
         with that batch's pairs permanently missing."""
         batch = cache.track(self._band_rows(docs, id_col, text_col))
-        a = batch.toDF("id_a", "band_idx", "band_hash")
-        b = batch.toDF("id_b", "band_idx", "band_hash")
+        a = batch.select(
+            F.col("id").alias("id_a"), "band_idx", "band_hash"
+        )
+        b = batch.select(
+            F.col("id").alias("id_b"), "band_idx", "band_hash"
+        )
         cand = (
-            a.join(b, on=["band_idx", "band_hash"])
+            F.broadcast(a)
+            .join(b, on=["band_idx", "band_hash"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
         )
         if self.table.head() is not None:
-            hist = self.table.read().toDF("id_b", "band_idx", "band_hash")
+            # the batch's bucket set: ≤ n_buckets small ints — a
+            # bounded driver-side collect that prices the pruned read
+            buckets = [
+                r[0]
+                for r in batch.select("band_bucket").distinct().collect()
+            ]
+            hist = self.table.read_partitions(
+                "band_bucket", buckets
+            ).select(
+                F.col("id").alias("id_b"), "band_idx", "band_hash"
+            )
+            # batch side broadcast: the (pruned) state scan streams
+            # through a BroadcastHashJoin with NO Exchange — the
+            # whole probe is O(batch) shuffle
             cross = (
-                a.join(hist, on=["band_idx", "band_hash"])
+                F.broadcast(a)
+                .join(hist, on=["band_idx", "band_hash"])
                 .select(
                     F.least("id_a", "id_b").alias("id_a"),
                     F.greatest("id_a", "id_b").alias("id_b"),
@@ -780,13 +815,16 @@ class LshDedupState:
         self, batch_bands: DataFrame, *, props: dict | None = None
     ) -> int:
         """Step 2 of an ingest: append the batch's (persisted) band
-        rows as one atomic versioned commit. ``props`` rides the
-        commit (streaming sinks persist their exactly-once watermark
-        through it)."""
+        rows as one atomic versioned commit, Hive-partitioned on
+        ``band_bucket`` (repartitioned first so each bucket
+        subdirectory gets ~1 file, not files × tasks). ``props``
+        rides the commit (streaming sinks persist their exactly-once
+        watermark through it)."""
         return self.table.commit(
-            batch_bands,
+            batch_bands.repartition(self.n_buckets, "band_bucket"),
             operation=f"lsh-ingest(bands={self.bands})",
             props=props,
+            partition_by=["band_bucket"],
         )
 
     def ingest(

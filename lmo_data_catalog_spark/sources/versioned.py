@@ -226,6 +226,7 @@ class VersionedTable:
         stats_col: str | None = None,
         bloom_bits: int | None = None,
         props: dict | None = None,
+        partition_by: list[str] | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot version; returns the version.
 
@@ -244,13 +245,28 @@ class VersionedTable:
         can prune a directory even when a SPARSE batch's [min, max]
         envelope spans it — the zone map answers ranges, the Bloom
         answers membership.
+
+        ``partition_by`` lays the new directory out Hive-style
+        (``col=value`` subdirectories) and records the layout in the
+        manifest, so :meth:`read_partitions` can later scan ONLY the
+        subdirectories matching a value set — physical co-location
+        for point-probe workloads (the incremental LSH band table
+        probes by ``band_hash`` bucket, operators/dedup.py::
+        LshDedupState). The partition columns stay part of the
+        logical schema: full reads restore them from the directory
+        names. ``merge``/``compact`` rewrite into UNpartitioned
+        directories (reads handle the mix; re-commit with
+        ``partition_by`` to restore the layout).
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         parent = self.head()
         version = (parent or 0) + 1
         cdir = f"c{version:05d}-{uuid.uuid4().hex[:8]}"
-        df.write.parquet(os.path.join(self._data_dir, cdir))
+        w = df.write
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(os.path.join(self._data_dir, cdir))
         # Stats/schema read back the WRITTEN files, not ``df``:
         # re-running the input plan would double-execute arbitrary
         # upstream work (and double-count any df.observe metrics
@@ -290,10 +306,12 @@ class VersionedTable:
                         written, stats_col, m_bits=bloom_bits
                     ),
                 }
+        partitioned = {cdir: list(partition_by)} if partition_by else {}
         if mode == "append" and parent is not None:
             pm = self._load_manifest(parent)
             dirs = pm["data_dirs"] + dirs
             stats = {**pm.get("stats", {}), **stats}
+            partitioned = {**pm.get("partitioned", {}), **partitioned}
         self._publish(
             version,
             {
@@ -302,6 +320,7 @@ class VersionedTable:
                 "operation": operation or mode,
                 "data_dirs": dirs,
                 "stats": stats,
+                **({} if not partitioned else {"partitioned": partitioned}),
                 **({} if schema is None else {"schema": schema.jsonValue()}),
                 "props": self._next_props(parent, props),
             },
@@ -319,18 +338,53 @@ class VersionedTable:
         sj = self._load_manifest(v).get("schema")
         return None if sj is None else T.StructType.fromJson(sj)
 
-    def _read_dirs(self, dirs: list[str], schema) -> DataFrame:
+    def _read_dirs(
+        self, dirs: list[str], schema, partitioned: dict | None = None
+    ) -> DataFrame:
         """Read data directories at the table's logical schema: files
         written before an evolution are up-cast (safe-ladder widening)
         and missing columns read NULL — the Spark 4 parquet reader
         does both given an explicit target schema, with pushdown and
         pruning intact. Legacy tables without a recorded schema fall
         back to mergeSchema (which cannot widen, but such tables never
-        evolved)."""
-        paths = [os.path.join(self._data_dir, d) for d in dirs]
-        if schema is not None:
-            return self.spark.read.schema(schema).parquet(*paths)
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        evolved).
+
+        Hive-partitioned directories (``partition_by`` commits) are
+        each scanned with their own ``basePath`` so Spark restores the
+        partition columns from the subdirectory names (multiple
+        partitioned roots in ONE scan would need a common kv-only
+        ancestor, which the ``c<version>-<token>`` layer breaks);
+        unpartitioned directories still go through a single
+        multi-path scan, and the two unify by name. Filters on a
+        partition column prune subdirectories per normal Hive-layout
+        partition pruning."""
+        part = partitioned or {}
+        plain = [d for d in dirs if d not in part]
+        frames = []
+        if plain:
+            paths = [os.path.join(self._data_dir, d) for d in plain]
+            if schema is not None:
+                frames.append(self.spark.read.schema(schema).parquet(*paths))
+            else:
+                frames.append(
+                    self.spark.read.option("mergeSchema", "true").parquet(
+                        *paths
+                    )
+                )
+        for d in dirs:
+            if d not in part:
+                continue
+            p = os.path.join(self._data_dir, d)
+            r = self.spark.read.option("basePath", p)
+            if schema is not None:
+                r = r.schema(schema)
+            else:
+                r = r.option("mergeSchema", "true")
+            frames.append(r.parquet(p))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=schema is None)
+        return out
 
     def _next_props(self, parent: int | None, props: dict | None) -> dict:
         """Table properties for a new manifest: the parent's, overlaid
@@ -457,6 +511,8 @@ class VersionedTable:
         version = head + 1
         new_dirs = list(keep_dirs)
         new_stats = {d: stats[d] for d in keep_dirs if d in stats}
+        part_map = manifest.get("partitioned", {})
+        new_part = {d: part_map[d] for d in keep_dirs if d in part_map}
         new_schema = self.schema(head)  # evolves if updates add/widen
         if rewrite_dirs or updates is not None:
             parts = []
@@ -464,7 +520,9 @@ class VersionedTable:
                 # read at the table's logical schema, so a merge after
                 # an evolution up-casts pre-evolution directories as
                 # it rewrites them
-                old = self._read_dirs(rewrite_dirs, self.schema(head))
+                old = self._read_dirs(
+                    rewrite_dirs, self.schema(head), part_map
+                )
                 gone = [
                     b.select(F.col(key).alias("__k")).distinct()
                     for b in (updates, deletes)
@@ -514,6 +572,7 @@ class VersionedTable:
                 "operation": operation or f"merge(key={key})",
                 "data_dirs": new_dirs,
                 "stats": new_stats,
+                **({} if not new_part else {"partitioned": new_part}),
                 **(
                     {}
                     if new_schema is None
@@ -544,6 +603,11 @@ class VersionedTable:
                 "stats": old.get("stats", {}),
                 **(
                     {}
+                    if not old.get("partitioned")
+                    else {"partitioned": old["partitioned"]}
+                ),
+                **(
+                    {}
                     if old.get("schema") is None
                     else {"schema": old["schema"]}
                 ),
@@ -564,8 +628,9 @@ class VersionedTable:
         v = self.head() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no versions in {self.root}")
+        m = self._load_manifest(v)
         return self._read_dirs(
-            self._load_manifest(v)["data_dirs"], self.schema(v)
+            m["data_dirs"], self.schema(v), m.get("partitioned", {})
         )
 
     def read_range(
@@ -596,7 +661,68 @@ class VersionedTable:
                 dirs.append(d)
         if not dirs:
             return self.read(v).limit(0)
-        return self._read_dirs(dirs, self.schema(v))
+        return self._read_dirs(
+            dirs, self.schema(v), m.get("partitioned", {})
+        )
+
+    def read_partitions(
+        self, col: str, values, version: int | None = None
+    ) -> DataFrame:
+        """Physically-pruned snapshot read for Hive-partitioned
+        commits: scan ONLY the ``col=value`` subdirectories matching
+        ``values`` — the probe side of a point-lookup workload (the
+        incremental LSH band-table probe reads just the batch's
+        ``band_hash`` buckets). The scan is an explicit leaf-path
+        list, so no Exchange and no partition discovery are involved;
+        the partition column itself is OMITTED from the result (its
+        value is implied by the paths — re-derive it if needed).
+        Unpartitioned directories (legacy commits, merge rewrites)
+        can't be pruned this way and are conservatively included in
+        full, so the result is always a superset of the matching
+        rows, never a subset."""
+        from pyspark.sql import types as T
+
+        v = self.head() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no versions in {self.root}")
+        m = self._load_manifest(v)
+        part = m.get("partitioned", {})
+        schema = self.schema(v)
+        leaf_schema = schema
+        if schema is not None:
+            leaf_schema = T.StructType(
+                [f for f in schema.fields if f.name != col]
+            )
+        wanted = {str(x) for x in values}
+        frames = []
+        leaves = []
+        for d in m["data_dirs"]:
+            p = os.path.join(self._data_dir, d)
+            if part.get(d) == [col]:
+                for sub in os.listdir(p):
+                    if not sub.startswith(f"{col}="):
+                        continue
+                    if sub.split("=", 1)[1] in wanted:
+                        leaves.append(os.path.join(p, sub))
+            else:
+                # legacy/unpartitioned (or partitioned on another
+                # column): no physical pruning possible — include
+                # whole, minus the partition column if present
+                full = self._read_dirs([d], schema, part)
+                frames.append(
+                    full.drop(col) if col in full.columns else full
+                )
+        if leaves:
+            r = self.spark.read
+            if leaf_schema is not None:
+                r = r.schema(leaf_schema)
+            frames.append(r.parquet(*leaves))
+        if not frames:
+            return self.read(v).drop(col).limit(0)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     def compact(
         self,

@@ -580,6 +580,8 @@ def lsh_dedup_sink(
     n: int = 3,
     n_hashes: int = 64,
     bands: int = 16,
+    state_keep_last: int | None = None,
+    pairs_keep_batches: int | None = None,
     await_termination: bool = True,
 ):
     """Online near-dup detection over a streaming corpus ingest: each
@@ -601,7 +603,25 @@ def lsh_dedup_sink(
     is a watermark no-op with its pairs already safely published.
     The reverse order (commit first) would silently lose that batch's
     pairs forever — the watermark guard would skip the replay.
+
+    Retention (both optional — without them a long-running stream
+    accumulates state versions and pairs directories forever):
+
+    - ``state_keep_last``: after each successful commit, vacuum the
+      band-table history down to the last N versions. Replay safety
+      is untouched: the ``stream_watermark`` rides in EVERY manifest
+      (not the dropped history), and vacuum never deletes data
+      directories a retained manifest references.
+    - ``pairs_keep_batches``: drop ``batch=<id>`` pairs directories
+      once ``id <= current − N`` — for deployments where a
+      downstream consumer drains pairs promptly. Only batches at or
+      below the committed watermark are ever dropped, and the
+      watermark guard means those can never replay, so retention
+      cannot race a recovery rewrite.
     """
+    import os
+    import shutil
+
     from ..operators.dedup import LshDedupState
 
     def apply_batch(df: DataFrame, batch_id: int) -> None:
@@ -624,6 +644,23 @@ def lsh_dedup_sink(
         state.commit_batch(
             batch_bands, props={"stream_watermark": batch_id}
         )
+        # retention AFTER the commit: everything reclaimed here is at
+        # or below the just-persisted watermark, so it can never be
+        # needed by a replay
+        if state_keep_last is not None:
+            state.table.vacuum(keep_last=state_keep_last)
+        if pairs_keep_batches is not None and os.path.isdir(pairs_path):
+            for name in os.listdir(pairs_path):
+                if not name.startswith("batch="):
+                    continue
+                try:
+                    bid = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if bid <= batch_id - pairs_keep_batches:
+                    shutil.rmtree(
+                        os.path.join(pairs_path, name), ignore_errors=True
+                    )
 
     q = (
         stream_docs.writeStream.foreachBatch(apply_batch)

@@ -56,9 +56,22 @@ def test_incremental_candidates_equal_full_recompute(spark, tmp_path):
     assert want.count() > 0  # the fixture does contain near-dups
     # one atomic commit per batch, band rows only
     assert state.table.head() == 3
-    assert set(state.table.read().columns) == {"id", "band_idx", "band_hash"}
+    assert set(state.table.read().columns) == {
+        "id", "band_idx", "band_hash", "band_bucket"
+    }
     n_docs = docs.count()
     assert state.table.read().count() == n_docs * 16
+    # physical layout: every state directory is Hive-partitioned on
+    # band_bucket, and the recorded bucket equals pmod(band_hash, 32)
+    m = state.table._load_manifest(state.table.head())
+    assert all(
+        m["partitioned"].get(d) == ["band_bucket"]
+        for d in m["data_dirs"]
+    )
+    bad = state.table.read().filter(
+        F.col("band_bucket") != F.pmod(F.col("band_hash"), F.lit(32))
+    )
+    assert bad.count() == 0
 
 
 def test_first_ingest_has_no_history_probe(spark, tmp_path):
@@ -186,3 +199,121 @@ def test_crash_between_pairs_write_and_state_commit_replays_clean(
     want = full_recompute_pairs(docs)
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_probe_is_bucket_pruned_and_shuffle_free(spark, tmp_path):
+    """The 100 TB contract of the bucketed state layout: an ingest
+    probe (a) scans ONLY the state subdirectories holding the batch's
+    band buckets, and (b) carries no shuffle join on the state side —
+    the batch is broadcast, so the only Exchange in the candidate
+    plan belongs to the final distinct over the (small) pair set."""
+    docs = docs_of(spark)
+    hist = docs.filter(~F.col("source").isin("src8", "src9"))
+    batch = docs.filter(F.col("source") == "src9")
+    state = LshDedupState(spark, str(tmp_path / "lsh"), **KW)
+    state.ingest(hist, id_col="doc_id", text_col="text")
+
+    cand, bands = state.probe(batch, id_col="doc_id", text_col="text")
+    cand.collect()
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    # file pruning: the probe read touches a strict subset of the
+    # state's files unless the batch happens to hit every bucket
+    buckets = {
+        r[0] for r in bands.select("band_bucket").distinct().collect()
+    }
+    probe_files = state.table.read_partitions(
+        "band_bucket", buckets
+    ).inputFiles()
+    all_files = state.table.read().inputFiles()
+    assert set(probe_files) <= set(all_files)
+    if len(buckets) < 32:
+        assert len(probe_files) < len(all_files)
+    # every probed file lives in a requested bucket subdir
+    assert all(
+        any(f"band_bucket={b}/" in f for b in buckets)
+        for f in probe_files
+    )
+
+
+def test_lsh_dedup_sink_retention_bounds_disk_and_survives_vacuum(
+    spark, tmp_path
+):
+    """With state_keep_last/pairs_keep_batches set, a multi-trigger
+    stream ends with a bounded state history and only the last N
+    pairs directories — and replay safety survives the vacuum (the
+    watermark rides every manifest, so a finished-stream re-run is
+    still a no-op and recent pairs are untouched)."""
+    import os
+
+    from lmo_data_catalog_spark.sources.versioned import VersionedTable
+    from lmo_data_catalog_spark.streaming import ops
+
+    docs = docs_of(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    groups = [("src0", "src1"), ("src2", "src3"), ("src4", "src5"),
+              ("src6", "src7"), ("src8", "src9")]
+    for i, g in enumerate(groups):
+        docs.filter(F.col("source").isin(*g)).coalesce(1).write.parquet(
+            os.path.join(src, f"f={i}")
+        )
+
+    def mk_stream():
+        return (
+            spark.readStream
+            .schema("doc_id bigint, source string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+
+    state_root = str(tmp_path / "state")
+    pairs_path = str(tmp_path / "pairs")
+    kw = dict(
+        checkpoint=str(tmp_path / "ckpt"),
+        state_keep_last=2,
+        pairs_keep_batches=2,
+    )
+    ops.lsh_dedup_sink(mk_stream(), state_root, pairs_path, **kw)
+
+    t = VersionedTable(spark, state_root)
+    assert len(t.versions()) <= 2  # history vacuumed down
+    wm = int(t.get_props()["stream_watermark"])
+    assert wm == 4  # 5 triggers, ids 0..4
+    batches = sorted(
+        int(d.split("=")[1]) for d in os.listdir(pairs_path)
+        if d.startswith("batch=")
+    )
+    assert batches == [3, 4]  # only the last pairs_keep_batches remain
+    # state data itself is complete: all 5 batches' band rows live
+    streamed = docs.filter(
+        F.col("source").isin(*[s for g in groups for s in g])
+    ).count()
+    assert t.read().count() == streamed * 16
+
+    # finished-stream replay after vacuum: still a no-op
+    head = t.head()
+    ops.lsh_dedup_sink(mk_stream(), state_root, pairs_path, **kw)
+    assert t.head() == head
+    assert sorted(
+        int(d.split("=")[1]) for d in os.listdir(pairs_path)
+        if d.startswith("batch=")
+    ) == [3, 4]
+    # retained pairs are exactly the per-batch probe results: check
+    # batch 4 against an offline probe of batches 0-3 state
+    probe_docs = docs.filter(F.col("source").isin("src8", "src9"))
+    offline = LshDedupState(spark, str(tmp_path / "offline"), **KW)
+    offline.ingest(
+        docs.filter(
+            F.col("source").isin(*[s for g in groups[:4] for s in g])
+        ),
+        id_col="doc_id", text_col="text",
+    )
+    want4, _ = offline.probe(probe_docs, id_col="doc_id", text_col="text")
+    got4 = spark.read.parquet(os.path.join(pairs_path, "batch=4")).select(
+        "id_a", "id_b"
+    )
+    assert got4.exceptAll(want4).count() == 0
+    assert want4.exceptAll(got4).count() == 0
