@@ -112,7 +112,8 @@ def main() -> int:
         "## Incremental LSH near-dup maintenance",
         "",
         "`LshDedupState.ingest` shingles/signs/bands only the BATCH and",
-        "equi-joins its band rows against the persisted band table, vs the",
+        "probes the persisted bucket-partitioned band table with a broadcast
+of the batch's band rows (reading only the batch's buckets), vs the",
         "full recompute that re-processes history ∪ batch. Fixed batch,",
         "growing history (`tools/incr_lsh_probe.py`; batch-slice candidate",
         f"equality asserted exceptAll-empty at 1x; load1 {load1:.1f}):",
