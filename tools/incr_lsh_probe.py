@@ -112,8 +112,9 @@ def main() -> int:
         "## Incremental LSH near-dup maintenance",
         "",
         "`LshDedupState.ingest` shingles/signs/bands only the BATCH and",
-        "probes the persisted bucket-partitioned band table with a broadcast
-of the batch's band rows (reading only the batch's buckets), vs the",
+        "probes the persisted bucket-partitioned band table with a",
+        "broadcast of the batch's band rows (reading only the batch's",
+        "buckets), vs the",
         "full recompute that re-processes history ∪ batch. Fixed batch,",
         "growing history (`tools/incr_lsh_probe.py`; batch-slice candidate",
         f"equality asserted exceptAll-empty at 1x; load1 {load1:.1f}):",
@@ -132,9 +133,12 @@ of the batch's band rows (reading only the batch's buckets), vs the",
         "",
         f"History x{rN[0] // r0[0]} moved the incremental wall "
         f"{rN[2] / r0[2]:.2f}x while the rebuild wall moved "
-        f"{rN[3] / r0[3]:.2f}x — the batch cost is flat up to the "
-        "band-table probe, which at 100 TB is a bucketed, co-located "
-        "join touching only the batch's buckets.",
+        f"{rN[3] / r0[3]:.2f}x — the batch cost is flat, and the "
+        "band-table probe is physically pruned: the state lands "
+        "Hive-partitioned on band_bucket = pmod(band_hash, 32) and the "
+        "probe broadcasts the batch band rows against only the batch's "
+        "bucket subdirectories — no Exchange on the state side "
+        "(plan + file pruning pinned in tests/test_incremental_lsh.py).",
         "",
     ]
     replace_section(
