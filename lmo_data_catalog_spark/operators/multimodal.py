@@ -4,14 +4,19 @@ metadata, processed by Arrow-batched pandas functions via
 
 Header-level image decode is REAL: :func:`parse_image_dims` reads
 PNG IHDR / GIF logical-screen / JPEG SOF dimensions from raw bytes
-with the stdlib only, and every kernel consults it first. Payloads
-that are not one of those containers (e.g. the text-derived fixture
-payloads) fall back to a deterministic fake keyed on byte length, and
-full pixel decode (``decode_image_real`` on other formats) stays
-gated on a codec library that is not in this container. What is also
-real and tested: the binary column representation, the mapInPandas
-signature, Arrow batch shapes, output schema, and partition behavior
-— the parts that matter for Spark at scale.
+with the stdlib only, and every kernel consults it first. PNG PIXEL
+decode is also real (:func:`decode_png_pixels`: zlib inflate + all
+five scanline filters, 8-bit gray/RGB/gray-alpha/RGBA, fuzz-tested
+against a forward-filtering encoder in tests/test_png_decode.py),
+surfaced as :func:`png_pixel_stats`. Payloads that are not a
+recognized container (e.g. the text-derived fixture payloads) fall
+back to a deterministic fake keyed on byte length in the meta
+kernels, and pixel decode of OTHER formats (JPEG entropy decode,
+palette/16-bit/interlaced PNG) stays gated on a codec library that
+is not in this container — strict kernels raise rather than fake.
+What is also real and tested: the binary column representation, the
+mapInPandas signature, Arrow batch shapes, output schema, and
+partition behavior — the parts that matter for Spark at scale.
 
 Scale notes: mapInPandas streams Arrow record batches through one
 Python worker per core; payload bytes never hit the driver. Batch
@@ -211,6 +216,147 @@ def sample_frames(
 
     return df.select(id_col, payload_col).mapInPandas(
         sample, schema=FRAME_SCHEMA
+    )
+
+
+def decode_png_pixels(payload: bytes):
+    """Full PNG pixel decode with the stdlib + numpy only: zlib
+    inflate of the concatenated IDAT stream, then per-scanline
+    reconstruction of all five PNG filters (None/Sub/Up/Average/
+    Paeth, spec §9). Returns an ``(h, w, channels)`` uint8 array.
+
+    Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 4
+    (gray+alpha), 6 (RGBA), non-interlaced — the shapes a training
+    corpus normalizes to anyway. Palette (type 3), 16-bit, and Adam7
+    interlace raise ``NotImplementedError`` (strict contract, like
+    :func:`decode_image_real`): the point is an honest boundary, not
+    a silent wrong decode. Sub reconstruction is a mod-256 prefix sum
+    per channel lane (vectorized); Average/Paeth are inherently
+    sequential per byte and run as Python loops — acceptable in an
+    Arrow-batched worker for the thumbnail-scale images of a metadata
+    pipeline, and swappable for a codec library at full scale without
+    touching the Spark plumbing.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise NotImplementedError("payload is not a PNG")
+    i = 8
+    idat = bytearray()
+    ihdr = None
+    while i + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[i : i + 4])
+        typ = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        i += 12 + ln
+    if ihdr is None:
+        raise NotImplementedError("PNG without IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or channels is None or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"unsupported PNG (depth={depth}, color_type={ctype}): "
+            "only 8-bit gray/RGB/gray-alpha/RGBA supported"
+        )
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise NotImplementedError(
+            f"IDAT stream length {len(raw)} != expected {h * (stride + 1)}"
+        )
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        pos = y * (stride + 1)
+        f = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1)
+        if f == 0:  # None
+            rec = row.copy()
+        elif f == 1:  # Sub: mod-256 prefix sum per channel lane
+            rec = (
+                row.reshape(w, channels)
+                .astype(np.uint32)
+                .cumsum(axis=0)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif f == 2:  # Up (uint8 addition wraps mod 256)
+            rec = row + prior
+        elif f == 3:  # Average — sequential in x
+            rec = np.empty(stride, np.uint8)
+            for x in range(stride):
+                a = int(rec[x - channels]) if x >= channels else 0
+                rec[x] = (int(row[x]) + ((a + int(prior[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth — sequential in x
+            rec = np.empty(stride, np.uint8)
+            for x in range(stride):
+                a = int(rec[x - channels]) if x >= channels else 0
+                b = int(prior[x])
+                c = int(prior[x - channels]) if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"unknown PNG filter type {f}")
+        out[y] = rec
+        prior = rec
+    return out.reshape(h, w, channels)
+
+
+PNG_STATS_SCHEMA = (
+    "doc_id long, width int, height int, channels int, n_pixels long, "
+    "mean_channels array<double>"
+)
+
+
+def png_pixel_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-image pixel statistics from REAL pixel decode
+    (:func:`decode_png_pixels`) via mapInPandas: geometry plus the
+    per-channel mean over all pixels — the verifiable output of a
+    decode stage (a wrong unfilter shifts every mean). Strict like
+    :func:`decode_image_real`: any non-PNG or unsupported-PNG payload
+    raises rather than faking."""
+    import pandas as pd
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "channels": [],
+                "n_pixels": [],
+                "mean_channels": [],
+            }
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_png_pixels(bytes(b))
+                h, w, c = px.shape
+                rows["doc_id"].append(did)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(c)
+                rows["n_pixels"].append(h * w)
+                rows["mean_channels"].append(
+                    [round(float(m), 6) for m in px.reshape(-1, c).mean(0)]
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        stats, schema=PNG_STATS_SCHEMA
     )
 
 
