@@ -33,7 +33,14 @@ schema, with safe-ladder type widening — byte→short→int→long,
 float→double — and anything else rejected at commit time); reads
 scan every directory AT that schema, so pre-evolution files up-cast
 and fill NULLs without a rewrite, and time travel sees the schema as
-of the version it reads.
+of the version it reads. Renames and drops are metadata-only too
+(``rename_column`` / ``drop_column``): a manifest-carried rename log
+records each (version, from, to) transition — a tombstone name for
+drops — and reads resolve every directory's PHYSICAL column names
+from its write version through the log, so old files surface under
+new names, re-added names never resurrect tombstoned bytes, and time
+travel sees the names as of the version it reads (the Iceberg
+field-id contract, implemented as lineage over names).
 """
 
 from __future__ import annotations
@@ -307,6 +314,7 @@ class VersionedTable:
                     ),
                 }
         partitioned = {cdir: list(partition_by)} if partition_by else {}
+        renames = [] if parent is None else self._renames(parent)
         if mode == "append" and parent is not None:
             pm = self._load_manifest(parent)
             dirs = pm["data_dirs"] + dirs
@@ -322,7 +330,183 @@ class VersionedTable:
                 "stats": stats,
                 **({} if not partitioned else {"partitioned": partitioned}),
                 **({} if schema is None else {"schema": schema.jsonValue()}),
+                **({} if not renames else {"renames": renames}),
                 "props": self._next_props(parent, props),
+            },
+        )
+        return version
+
+    # ------------------------------------------------- rename/drop lineage
+
+    @staticmethod
+    def _dir_version(d: str) -> int:
+        """The version that WROTE a data directory (its c-prefix) —
+        the anchor for rename lineage: renames published after this
+        version apply to the directory's physical column names."""
+        return int(d.split("-", 1)[0].lstrip("c"))
+
+    def _renames(self, version: int) -> list[dict]:
+        return self._load_manifest(version).get("renames", [])
+
+    @staticmethod
+    def _physical_map(schema, renames: list[dict], w: int, v: int) -> dict:
+        """logical-name → physical-name mapping for a directory
+        written at version ``w``, read at version ``v`` (or → None if
+        the logical column has no physical counterpart there and must
+        read NULL). Back-walk the rename log to the candidate
+        physical name, then forward-walk to confirm the lineage —
+        the forward check is what keeps a column RE-ADDED after a
+        drop from resurrecting tombstoned bytes of the same name."""
+        ents = [e for e in renames if w < e["version"] <= v]
+        if not ents:
+            return {f.name: f.name for f in schema.fields}
+
+        def back(name):
+            for e in sorted(ents, key=lambda e: -e["version"]):
+                if e["to"] == name:
+                    name = e["from"]
+            return name
+
+        def fwd(name):
+            for e in sorted(ents, key=lambda e: e["version"]):
+                if e["from"] == name:
+                    name = e["to"]
+            return name
+
+        out = {}
+        for f in schema.fields:
+            p = back(f.name)
+            out[f.name] = p if fwd(p) == f.name else None
+        return out
+
+    def _check_renameable(self, col: str, head: int) -> None:
+        m = self._load_manifest(head)
+        for d, cols in m.get("partitioned", {}).items():
+            if col in cols:
+                raise SchemaEvolutionError(
+                    f"column {col!r} is a Hive partition column of "
+                    f"directory {d}; its name is baked into the "
+                    "physical layout — compact/rewrite first"
+                )
+
+    def rename_column(
+        self, old: str, new: str, *, operation: str | None = None
+    ) -> int:
+        """Metadata-only column rename (Iceberg-style): publishes a
+        new version whose schema carries ``new`` in ``old``'s place
+        and whose rename log records the lineage — NO data file is
+        touched. Reads at or after this version surface old files'
+        ``old`` bytes under ``new``; time travel before it still sees
+        ``old``. Zone-map stats entries migrate with the name so
+        merge pruning keeps biting."""
+        head = self.head()
+        if head is None:
+            raise FileNotFoundError(f"no versions in {self.root}")
+        schema = self.schema(head)
+        if schema is None:
+            raise SchemaEvolutionError(
+                "legacy table without a recorded schema cannot rename"
+            )
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise SchemaEvolutionError(f"no column {old!r} to rename")
+        if new in names:
+            raise SchemaEvolutionError(f"column {new!r} already exists")
+        self._check_renameable(old, head)
+        from pyspark.sql import types as T
+
+        m = self._load_manifest(head)
+        version = head + 1
+        new_schema = T.StructType(
+            [
+                T.StructField(new, f.dataType, f.nullable)
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+        )
+        new_stats = {
+            d: (dict(zm, col=new) if zm.get("col") == old else zm)
+            for d, zm in m.get("stats", {}).items()
+        }
+        self._publish(
+            version,
+            {
+                "version": version,
+                "parent": head,
+                "operation": operation or f"rename({old}->{new})",
+                "data_dirs": m["data_dirs"],
+                "stats": new_stats,
+                **(
+                    {}
+                    if not m.get("partitioned")
+                    else {"partitioned": m["partitioned"]}
+                ),
+                "schema": new_schema.jsonValue(),
+                "renames": [
+                    *m.get("renames", []),
+                    {"version": version, "from": old, "to": new},
+                ],
+                "props": self._next_props(head, None),
+            },
+        )
+        return version
+
+    def drop_column(self, col: str, *, operation: str | None = None) -> int:
+        """Metadata-only column drop: the schema loses the field and
+        the rename log tombstones the physical name, so (a) reads at
+        or after this version never surface it, (b) time travel
+        before it still does, and (c) a LATER column re-added under
+        the same name reads NULL from pre-drop files instead of
+        resurrecting their bytes (the Iceberg field-id guarantee,
+        done with lineage instead of ids). No data file is
+        touched."""
+        head = self.head()
+        if head is None:
+            raise FileNotFoundError(f"no versions in {self.root}")
+        schema = self.schema(head)
+        if schema is None:
+            raise SchemaEvolutionError(
+                "legacy table without a recorded schema cannot drop"
+            )
+        if col not in [f.name for f in schema.fields]:
+            raise SchemaEvolutionError(f"no column {col!r} to drop")
+        self._check_renameable(col, head)
+        from pyspark.sql import types as T
+
+        m = self._load_manifest(head)
+        version = head + 1
+        new_schema = T.StructType(
+            [f for f in schema.fields if f.name != col]
+        )
+        new_stats = {
+            d: zm
+            for d, zm in m.get("stats", {}).items()
+            if zm.get("col") != col
+        }
+        self._publish(
+            version,
+            {
+                "version": version,
+                "parent": head,
+                "operation": operation or f"drop({col})",
+                "data_dirs": m["data_dirs"],
+                "stats": new_stats,
+                **(
+                    {}
+                    if not m.get("partitioned")
+                    else {"partitioned": m["partitioned"]}
+                ),
+                "schema": new_schema.jsonValue(),
+                "renames": [
+                    *m.get("renames", []),
+                    {
+                        "version": version,
+                        "from": col,
+                        "to": f"__dropped_v{version}_{col}",
+                    },
+                ],
+                "props": self._next_props(head, None),
             },
         )
         return version
@@ -339,7 +523,12 @@ class VersionedTable:
         return None if sj is None else T.StructType.fromJson(sj)
 
     def _read_dirs(
-        self, dirs: list[str], schema, partitioned: dict | None = None
+        self,
+        dirs: list[str],
+        schema,
+        partitioned: dict | None = None,
+        renames: list[dict] | None = None,
+        version: int | None = None,
     ) -> DataFrame:
         """Read data directories at the table's logical schema: files
         written before an evolution are up-cast (safe-ladder widening)
@@ -357,18 +546,83 @@ class VersionedTable:
         unpartitioned directories still go through a single
         multi-path scan, and the two unify by name. Filters on a
         partition column prune subdirectories per normal Hive-layout
-        partition pruning."""
+        partition pruning.
+
+        Renamed/dropped columns (``rename_column``/``drop_column``)
+        resolve per directory: a directory written before a rename is
+        scanned under its PHYSICAL column names (the logical names as
+        of its write version) and aliased to the logical schema;
+        dirs sharing a mapping batch into one scan, and the common
+        no-renames case stays the single multi-path scan. Filters
+        still push down — an alias is transparent to Catalyst."""
+        from pyspark.sql import types as T
+
+        from pyspark.sql import functions as F
+
         part = partitioned or {}
-        plain = [d for d in dirs if d not in part]
+        rens = renames or []
+
+        def mapping_for(d):
+            """logical→physical map, or None for identity/legacy."""
+            if schema is None or not rens:
+                return None
+            v = version if version is not None else rens[-1]["version"]
+            mp = self._physical_map(
+                schema, rens, self._dir_version(d), v
+            )
+            if all(mp[f.name] == f.name for f in schema.fields):
+                return None
+            return mp
+
+        def project(dfr, mp):
+            return dfr.select(
+                *[
+                    F.col(mp[f.name]).alias(f.name)
+                    if mp[f.name] is not None
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+
+        def phys_schema(mp):
+            return T.StructType(
+                [
+                    T.StructField(mp[f.name], f.dataType, True)
+                    for f in schema.fields
+                    if mp[f.name] is not None
+                ]
+            )
+
+        # group unpartitioned dirs by mapping so each group is ONE scan
+        groups: dict = {}
+        for d in dirs:
+            if d in part:
+                continue
+            mp = mapping_for(d)
+            key = (
+                None
+                if mp is None
+                else tuple(sorted((k, v) for k, v in mp.items()))
+            )
+            groups.setdefault(key, (mp, []))[1].append(d)
         frames = []
-        if plain:
-            paths = [os.path.join(self._data_dir, d) for d in plain]
-            if schema is not None:
-                frames.append(self.spark.read.schema(schema).parquet(*paths))
-            else:
+        for _, (mp, ds) in groups.items():
+            paths = [os.path.join(self._data_dir, d) for d in ds]
+            if schema is None:
                 frames.append(
                     self.spark.read.option("mergeSchema", "true").parquet(
                         *paths
+                    )
+                )
+            elif mp is None:
+                frames.append(self.spark.read.schema(schema).parquet(*paths))
+            else:
+                frames.append(
+                    project(
+                        self.spark.read.schema(phys_schema(mp)).parquet(
+                            *paths
+                        ),
+                        mp,
                     )
                 )
         for d in dirs:
@@ -376,11 +630,15 @@ class VersionedTable:
                 continue
             p = os.path.join(self._data_dir, d)
             r = self.spark.read.option("basePath", p)
-            if schema is not None:
-                r = r.schema(schema)
+            mp = mapping_for(d)
+            if schema is None:
+                frames.append(r.option("mergeSchema", "true").parquet(p))
+            elif mp is None:
+                frames.append(r.schema(schema).parquet(p))
             else:
-                r = r.option("mergeSchema", "true")
-            frames.append(r.parquet(p))
+                # partition columns are rename-protected, so they map
+                # identically and still restore from the dir names
+                frames.append(project(r.schema(phys_schema(mp)).parquet(p), mp))
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=schema is None)
@@ -521,7 +779,11 @@ class VersionedTable:
                 # an evolution up-casts pre-evolution directories as
                 # it rewrites them
                 old = self._read_dirs(
-                    rewrite_dirs, self.schema(head), part_map
+                    rewrite_dirs,
+                    self.schema(head),
+                    part_map,
+                    self._renames(head),
+                    head,
                 )
                 gone = [
                     b.select(F.col(key).alias("__k")).distinct()
@@ -575,6 +837,11 @@ class VersionedTable:
                 **({} if not new_part else {"partitioned": new_part}),
                 **(
                     {}
+                    if not self._renames(head)
+                    else {"renames": self._renames(head)}
+                ),
+                **(
+                    {}
                     if new_schema is None
                     else {"schema": new_schema.jsonValue()}
                 ),
@@ -608,6 +875,11 @@ class VersionedTable:
                 ),
                 **(
                     {}
+                    if not old.get("renames")
+                    else {"renames": old["renames"]}
+                ),
+                **(
+                    {}
                     if old.get("schema") is None
                     else {"schema": old["schema"]}
                 ),
@@ -630,7 +902,11 @@ class VersionedTable:
             raise FileNotFoundError(f"no versions in {self.root}")
         m = self._load_manifest(v)
         return self._read_dirs(
-            m["data_dirs"], self.schema(v), m.get("partitioned", {})
+            m["data_dirs"],
+            self.schema(v),
+            m.get("partitioned", {}),
+            m.get("renames", []),
+            v,
         )
 
     def read_range(
@@ -662,7 +938,11 @@ class VersionedTable:
         if not dirs:
             return self.read(v).limit(0)
         return self._read_dirs(
-            dirs, self.schema(v), m.get("partitioned", {})
+            dirs,
+            self.schema(v),
+            m.get("partitioned", {}),
+            m.get("renames", []),
+            v,
         )
 
     def read_partitions(
@@ -825,6 +1105,11 @@ class VersionedTable:
                     "operation": operation or f"compact(key={key})",
                     "data_dirs": new_dirs,
                     "stats": new_stats,
+                    **(
+                        {}
+                        if not self._renames(head)
+                        else {"renames": self._renames(head)}
+                    ),
                     **(
                         {}
                         if schema is None

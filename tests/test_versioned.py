@@ -689,3 +689,127 @@ def test_compact_all_null_key_slice_lands(spark, tmp_path):
     pre = rows_set(t.read())
     t.compact("k", n_dirs=2)
     assert rows_set(t.read()) == pre
+
+
+def test_rename_column_reads_old_data_under_new_name(spark, tmp_path):
+    """Metadata-only rename: pre-rename files surface their bytes
+    under the new name, post-rename appends land under it natively,
+    time travel before the rename still shows the old name, and merge
+    across the rename up-casts old directories correctly."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "ren"))
+    t.commit(df_of(spark, [(1, "a"), (2, "b")], ["k", "val"]), stats_col="k")
+    v1 = t.head()
+    t.rename_column("val", "label")
+    assert set(t.read().columns) == {"k", "label"}
+    assert rows_set(t.read()) == {(1, "a"), (2, "b")}
+    # filters on the renamed column push into the old files
+    assert rows_set(t.read().filter(F.col("label") == "a")) == {(1, "a")}
+    # time travel: the pre-rename version still reads the OLD name
+    assert set(t.read(v1).columns) == {"k", "val"}
+    assert rows_set(t.read(v1)) == {(1, "a"), (2, "b")}
+    # post-rename append uses the new name; both vintages unify
+    t.commit(df_of(spark, [(3, "c")], ["k", "label"]), stats_col="k")
+    assert rows_set(t.read()) == {(1, "a"), (2, "b"), (3, "c")}
+    # merge across the rename: updates under the new name land, old
+    # directories rewrite under the new name
+    t.merge(df_of(spark, [(1, "A")], ["k", "label"]), "k")
+    assert rows_set(t.read()) == {(1, "A"), (2, "b"), (3, "c")}
+    # zone-map stats migrated with the rename for pruning on k intact
+    assert all(
+        zm["col"] in ("k",)
+        for zm in t._load_manifest(t.head())["stats"].values()
+    )
+
+
+def test_rename_chain_and_stats_col_rename(spark, tmp_path):
+    """A→B→C rename chain resolves transitively for the oldest files,
+    and renaming the ZONE-MAP column migrates its stats entries so
+    merge pruning keeps working."""
+    t = VersionedTable(spark, str(tmp_path / "chain"))
+    t.commit(
+        df_of(spark, [(i, i * 10) for i in range(50)], ["k", "v"]),
+        stats_col="k",
+    )
+    t.commit(
+        df_of(spark, [(i, i * 10) for i in range(50, 100)], ["k", "v"]),
+        stats_col="k",
+    )
+    t.rename_column("k", "key")
+    t.rename_column("key", "ky")
+    assert set(t.read().columns) == {"ky", "v"}
+    assert (1, 10) in rows_set(t.read())
+    m = t._load_manifest(t.head())
+    assert all(zm["col"] == "ky" for zm in m["stats"].values())
+    # pruned merge on the renamed key: only one directory rewrites
+    before = m["data_dirs"]
+    t.merge(df_of(spark, [(3, 999)], ["ky", "v"]), "ky")
+    after = t._load_manifest(t.head())["data_dirs"]
+    assert len(set(before) & set(after)) == len(before) - 1
+    got = rows_set(t.read())
+    assert (3, 999) in got and len(got) == 100
+
+
+def test_drop_column_and_readd_does_not_resurrect(spark, tmp_path):
+    """Dropping a column hides it immediately (no rewrite); re-adding
+    a column with the SAME name later reads NULL from pre-drop files
+    instead of resurrecting their bytes — the Iceberg field-id
+    guarantee via the tombstone rename lineage."""
+    t = VersionedTable(spark, str(tmp_path / "drop"))
+    t.commit(df_of(spark, [(1, "secret", 5)], ["k", "pii", "n"]))
+    v1 = t.head()
+    t.drop_column("pii")
+    assert set(t.read().columns) == {"k", "n"}
+    # time travel before the drop still sees it
+    assert rows_set(t.read(v1)) == {(1, "secret", 5)}
+    # re-add a column named pii: old files must NOT leak "secret"
+    t.commit(df_of(spark, [(2, "fresh", 7)], ["k", "pii", "n"]))
+    got = {r["k"]: r["pii"] for r in t.read().collect()}
+    assert got == {1: None, 2: "fresh"}
+
+
+def test_rename_guards(spark, tmp_path):
+    import pytest
+
+    from lmo_data_catalog_spark.sources.versioned import (
+        SchemaEvolutionError,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "guards"))
+    t.commit(df_of(spark, [(1, "a")], ["k", "val"]))
+    with pytest.raises(SchemaEvolutionError, match="no column"):
+        t.rename_column("nope", "x")
+    with pytest.raises(SchemaEvolutionError, match="already exists"):
+        t.rename_column("val", "k")
+    with pytest.raises(SchemaEvolutionError, match="no column"):
+        t.drop_column("nope")
+    # partition columns are rename-protected (physical layout)
+    from pyspark.sql import functions as F
+
+    t2 = VersionedTable(spark, str(tmp_path / "partguard"))
+    t2.commit(
+        df_of(spark, [(1, 0), (2, 1)], ["k", "bucket"]),
+        partition_by=["bucket"],
+    )
+    with pytest.raises(SchemaEvolutionError, match="partition column"):
+        t2.rename_column("bucket", "b2")
+    with pytest.raises(SchemaEvolutionError, match="partition column"):
+        t2.drop_column("bucket")
+    # non-partition columns of a partitioned dir still rename fine
+    t2.rename_column("k", "key")
+    assert rows_set(t2.read().select("key", "bucket")) == {(1, 0), (2, 1)}
+
+
+def test_rollback_across_rename_restores_old_lineage(spark, tmp_path):
+    """Rollback to a pre-rename version must carry the TARGET's
+    rename log: the restored snapshot reads its directories under the
+    old name (carrying the head's log would tombstone them)."""
+    t = VersionedTable(spark, str(tmp_path / "rb"))
+    t.commit(df_of(spark, [(1, "a")], ["k", "val"]))
+    v1 = t.head()
+    t.rename_column("val", "label")
+    assert set(t.read().columns) == {"k", "label"}
+    t.rollback(v1)
+    assert set(t.read().columns) == {"k", "val"}
+    assert rows_set(t.read()) == {(1, "a")}
