@@ -959,7 +959,11 @@ class VersionedTable:
         Unpartitioned directories (legacy commits, merge rewrites)
         can't be pruned this way and are conservatively included in
         full, so the result is always a superset of the matching
-        rows, never a subset."""
+        rows, never a subset. Rename lineage applies here exactly as
+        in :meth:`read`: pre-rename leaf files are scanned under
+        their physical names and aliased (grouped per mapping, so the
+        common no-renames case is one scan)."""
+        from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
         v = self.head() if version is None else version
@@ -967,6 +971,7 @@ class VersionedTable:
             raise FileNotFoundError(f"no versions in {self.root}")
         m = self._load_manifest(v)
         part = m.get("partitioned", {})
+        rens = m.get("renames", [])
         schema = self.schema(v)
         leaf_schema = schema
         if schema is not None:
@@ -975,28 +980,68 @@ class VersionedTable:
             )
         wanted = {str(x) for x in values}
         frames = []
-        leaves = []
+        leaf_groups: dict = {}  # mapping signature -> (map, [paths])
         for d in m["data_dirs"]:
             p = os.path.join(self._data_dir, d)
             if part.get(d) == [col]:
+                mp = None
+                if leaf_schema is not None and rens:
+                    cand = self._physical_map(
+                        leaf_schema, rens, self._dir_version(d), v
+                    )
+                    if any(
+                        cand[f.name] != f.name for f in leaf_schema.fields
+                    ):
+                        mp = cand
+                key = (
+                    None
+                    if mp is None
+                    else tuple(sorted((k, x) for k, x in mp.items()))
+                )
+                g = leaf_groups.setdefault(key, (mp, []))[1]
                 for sub in os.listdir(p):
                     if not sub.startswith(f"{col}="):
                         continue
                     if sub.split("=", 1)[1] in wanted:
-                        leaves.append(os.path.join(p, sub))
+                        g.append(os.path.join(p, sub))
             else:
                 # legacy/unpartitioned (or partitioned on another
                 # column): no physical pruning possible — include
                 # whole, minus the partition column if present
-                full = self._read_dirs([d], schema, part)
+                full = self._read_dirs([d], schema, part, rens, v)
                 frames.append(
                     full.drop(col) if col in full.columns else full
                 )
-        if leaves:
+        for mp, leaves in leaf_groups.values():
+            if not leaves:
+                continue
             r = self.spark.read
-            if leaf_schema is not None:
-                r = r.schema(leaf_schema)
-            frames.append(r.parquet(*leaves))
+            if leaf_schema is None:
+                frames.append(r.parquet(*leaves))
+            elif mp is None:
+                frames.append(r.schema(leaf_schema).parquet(*leaves))
+            else:
+                phys = T.StructType(
+                    [
+                        T.StructField(mp[f.name], f.dataType, True)
+                        for f in leaf_schema.fields
+                        if mp[f.name] is not None
+                    ]
+                )
+                frames.append(
+                    r.schema(phys)
+                    .parquet(*leaves)
+                    .select(
+                        *[
+                            F.col(mp[f.name]).alias(f.name)
+                            if mp[f.name] is not None
+                            else F.lit(None)
+                            .cast(f.dataType)
+                            .alias(f.name)
+                            for f in leaf_schema.fields
+                        ]
+                    )
+                )
         if not frames:
             return self.read(v).drop(col).limit(0)
         out = frames[0]

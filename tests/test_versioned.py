@@ -813,3 +813,54 @@ def test_rollback_across_rename_restores_old_lineage(spark, tmp_path):
     t.rollback(v1)
     assert set(t.read().columns) == {"k", "val"}
     assert rows_set(t.read()) == {(1, "a")}
+
+
+def test_read_partitions_resolves_renames(spark, tmp_path):
+    """Bucket-pruned leaf reads must apply the rename lineage: a data
+    column renamed AFTER a partitioned commit still surfaces its
+    pre-rename bytes under the new name (not silent NULLs)."""
+    t = VersionedTable(spark, str(tmp_path / "rp"))
+    t.commit(
+        df_of(
+            spark,
+            [(1, "a", 0), (2, "b", 1), (3, "c", 0)],
+            ["k", "val", "bucket"],
+        ),
+        partition_by=["bucket"],
+    )
+    t.rename_column("val", "label")
+    got = rows_set(
+        t.read_partitions("bucket", [0]).select("k", "label")
+    )
+    assert got == {(1, "a"), (3, "c")}
+    # post-rename partitioned commit mixes in cleanly
+    t.commit(
+        df_of(spark, [(4, "d", 0)], ["k", "label", "bucket"]),
+        partition_by=["bucket"],
+    )
+    got = rows_set(
+        t.read_partitions("bucket", [0]).select("k", "label")
+    )
+    assert got == {(1, "a"), (3, "c"), (4, "d")}
+
+
+def test_compact_after_rename_physically_migrates(spark, tmp_path):
+    """compact() reads rename-aware and writes under the CURRENT
+    logical names, so the compacted snapshot needs no lineage for its
+    new directories (stale log entries are harmless: gated on dir
+    write version)."""
+    t = VersionedTable(spark, str(tmp_path / "cr"))
+    t.commit(
+        df_of(spark, [(i, f"v{i}") for i in range(100)], ["k", "val"]),
+        stats_col="k",
+    )
+    t.rename_column("val", "label")
+    pre = rows_set(t.read())
+    t.compact("k", n_dirs=3)
+    assert set(t.read().columns) == {"k", "label"}
+    assert rows_set(t.read()) == pre
+    # new dirs' parquet files physically carry the new name
+    import pyarrow.parquet as pq
+
+    f = t.read().inputFiles()[0].replace("file:", "")
+    assert "label" in pq.read_schema(f).names
