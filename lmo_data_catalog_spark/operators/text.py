@@ -235,6 +235,7 @@ def heavy_hitters_cms(
     seed: int = 42,
     candidates: list | None = None,
     sample_fraction: float = 0.01,
+    max_candidates: int = 100_000,
 ):
     """Approximate heavy hitters via Spark's built-in count-min sketch
     — the sub-linear-memory counterpart to the exact
@@ -250,8 +251,15 @@ def heavy_hitters_cms(
     2. CANDIDATES: frequencies can only be read out for known items,
        so candidates come from a seeded sample's distincts (any true
        heavy hitter appears in a sample with overwhelming probability)
-       unless the caller supplies them. Each candidate is then
-       estimated driver-side against the JVM sketch.
+       unless the caller supplies them. The sample's distinct set is
+       HARD-CAPPED at ``max_candidates`` before it is collected — on
+       a high-cardinality column the sample-distinct would otherwise
+       be unbounded driver state; if the cap trips (detected by an
+       over-fetch of one row), the function raises rather than
+       silently scoring a truncated candidate set, and the caller
+       should pass explicit ``candidates`` (or lower
+       ``sample_fraction``). Each candidate is then estimated
+       driver-side against the JVM sketch.
 
     Returns ``[(item, estimated_count)]`` sorted descending. CMS
     guarantees estimate >= true count, and <= true + eps*N with the
@@ -274,8 +282,16 @@ def heavy_hitters_cms(
             for r in df.sample(fraction=sample_fraction, seed=seed)
             .select(item_col)
             .distinct()
+            .limit(max_candidates + 1)
             .collect()
         ]
+        if len(candidates) > max_candidates:
+            raise ValueError(
+                f"sampled candidate set exceeds max_candidates="
+                f"{max_candidates}; pass explicit candidates or lower "
+                "sample_fraction — a silently truncated set would "
+                "drop heavy hitters at random"
+            )
     spark = df.sparkSession
     jvm = spark.sparkContext._jvm
     bis = jvm.java.io.ByteArrayInputStream(sketch_bytes)

@@ -652,3 +652,24 @@ def test_pack_sequences_greedy_properties(spark):
                     assert sum(ws) + first_next > CAP or sum(ws) == 0
 
     check()
+def test_heavy_hitters_candidate_cap_raises(spark):
+    """The sample-distinct candidate enumeration is bounded driver
+    state: exceeding max_candidates raises instead of silently
+    scoring a truncated set (which would drop hitters at random)."""
+    import pytest
+
+    from lmo_data_catalog_spark.operators.text import heavy_hitters_cms
+
+    df = spark.range(5000).selectExpr("cast(id as string) AS item")
+    with pytest.raises(ValueError, match="max_candidates"):
+        heavy_hitters_cms(
+            df, item_col="item", sample_fraction=1.0, max_candidates=100
+        )
+    # under the cap: exact counts on a skewed column still surface
+    sk = spark.range(1000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'hot' ELSE concat('c', id) END AS item"
+    )
+    out = heavy_hitters_cms(
+        sk, item_col="item", sample_fraction=1.0, max_candidates=10_000
+    )
+    assert out[0][0] == "hot" and out[0][1] >= 500
