@@ -1056,6 +1056,7 @@ class VersionedTable:
         n_dirs: int = 4,
         bloom_bits: int | None = None,
         operation: str | None = None,
+        partition_by: list[str] | None = None,
     ) -> int:
         """Rewrite the head snapshot into ``n_dirs`` KEY-RANGE-sliced
         directories — the lakehouse OPTIMIZE step. A table fed by
@@ -1081,7 +1082,17 @@ class VersionedTable:
         zone map still records only the non-null [min, max] — merge
         pruning is unaffected because a NULL key can never equal a
         batch key, so carrying the directory forward is always safe.
-        """
+
+        ``partition_by`` lays each output slice out Hive-partitioned
+        (recorded in the manifest like a ``commit(partition_by=...)``)
+        — the OPTIMIZE step for point-probe tables: a streaming LSH
+        band table that has accumulated one bucket-partitioned
+        directory per micro-batch collapses to ``n_dirs`` directories
+        (usually 1) whose bucket subdirectories each hold ~1 file, so
+        a probe lists n_dirs × touched buckets instead of
+        n_batches × touched buckets. Slices are repartitioned on the
+        partition columns and sorted within partitions (a global sort
+        on ``key`` would fight the bucket layout)."""
         head = self.head()
         if head is None:
             raise FileNotFoundError(f"no versions in {self.root}")
@@ -1103,6 +1114,7 @@ class VersionedTable:
             highs = bounds + [None]
             version = head + 1
             new_dirs, new_stats = [], {}
+            new_part = {}
             for lo, hi in zip(lows, highs):
                 sl = df
                 if lo is not None:
@@ -1118,7 +1130,15 @@ class VersionedTable:
                     sl = sl.filter(F.col(key) <= hi)
                 cdir = f"c{version:05d}-{uuid.uuid4().hex[:8]}"
                 path = os.path.join(self._data_dir, cdir)
-                sl.sort(key).write.parquet(path)
+                if partition_by:
+                    (
+                        sl.repartition(*partition_by)
+                        .sortWithinPartitions(*partition_by, key)
+                        .write.partitionBy(*partition_by)
+                        .parquet(path)
+                    )
+                else:
+                    sl.sort(key).write.parquet(path)
                 written = self.spark.read.parquet(path)
                 row = written.agg(
                     F.count(F.lit(1)).alias("n"),
@@ -1131,6 +1151,8 @@ class VersionedTable:
                     shutil.rmtree(path)
                     continue
                 new_dirs.append(cdir)
+                if partition_by:
+                    new_part[cdir] = list(partition_by)
                 new_stats[cdir] = _make_stats(key, row["mn"], row["mx"])
                 if bloom_bits:
                     from ..operators.bloom import build_bloom_bitset_agg
@@ -1150,6 +1172,7 @@ class VersionedTable:
                     "operation": operation or f"compact(key={key})",
                     "data_dirs": new_dirs,
                     "stats": new_stats,
+                    **({} if not new_part else {"partitioned": new_part}),
                     **(
                         {}
                         if not self._renames(head)

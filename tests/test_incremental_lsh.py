@@ -317,3 +317,47 @@ def test_lsh_dedup_sink_retention_bounds_disk_and_survives_vacuum(
     )
     assert got4.exceptAll(want4).count() == 0
     assert want4.exceptAll(got4).count() == 0
+
+
+def test_state_compact_preserves_bucket_layout_and_candidates(
+    spark, tmp_path
+):
+    """OPTIMIZE on the band table: three per-ingest directories
+    collapse to ONE bucket-partitioned directory; the next probe is
+    still bucket-pruned (files from the compacted dir's bucket
+    subdirs only) and produces the same candidates as an uncompacted
+    twin; vacuum then reclaims the per-ingest dirs."""
+    docs = docs_of(spark)
+    srcs = [("src0", "src1"), ("src2", "src3"), ("src4", "src5")]
+    a = LshDedupState(spark, str(tmp_path / "a"), **KW)
+    b = LshDedupState(spark, str(tmp_path / "b"), **KW)
+    for g in srcs:
+        batch = docs.filter(F.col("source").isin(*g))
+        a.ingest(batch, id_col="doc_id", text_col="text")
+        b.ingest(batch, id_col="doc_id", text_col="text")
+
+    a.compact()
+    m = a.table._load_manifest(a.table.head())
+    assert len(m["data_dirs"]) == 1
+    assert m["partitioned"][m["data_dirs"][0]] == ["band_bucket"]
+    assert a.table.read().count() == b.table.read().count()
+
+    probe_docs = docs.filter(F.col("source") == "src6")
+    ca, bands_a = a.probe(probe_docs, id_col="doc_id", text_col="text")
+    cb, _ = b.probe(probe_docs, id_col="doc_id", text_col="text")
+    assert ca.exceptAll(cb).count() == 0
+    assert cb.exceptAll(ca).count() == 0
+    # probe still physically pruned within the compacted dir
+    buckets = {
+        r[0] for r in bands_a.select("band_bucket").distinct().collect()
+    }
+    files = a.table.read_partitions("band_bucket", buckets).inputFiles()
+    assert files and all(
+        any(f"band_bucket={bk}/" in f for bk in buckets) for f in files
+    )
+    # old per-ingest dirs reclaimable; probe-equivalence survives
+    removed = a.table.vacuum(keep_last=1)
+    assert len(removed) == 3
+    ca2, _ = a.probe(probe_docs, id_col="doc_id", text_col="text")
+    assert ca2.exceptAll(cb).count() == 0
+    assert cb.exceptAll(ca2).count() == 0
