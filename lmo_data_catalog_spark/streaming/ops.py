@@ -398,6 +398,7 @@ def incremental_agg_sink(
     keys: list[str],
     specs: dict[str, tuple[str, ...]],
     checkpoint: str,
+    state_keep_last: int | None = None,
     await_termination: bool = True,
 ):
     """Streaming materialized view: ``foreachBatch`` folds each
@@ -446,6 +447,10 @@ def incremental_agg_sink(
             operation=f"stream-batch={batch_id}",
             props={"stream_watermark": batch_id},
         )
+        if state_keep_last is not None:
+            # replay-safe: the watermark rides every manifest, and
+            # vacuum never touches data a retained manifest references
+            table.vacuum(keep_last=state_keep_last)
 
     q = (
         stream_df.writeStream.foreachBatch(fold)
@@ -467,6 +472,7 @@ def cdc_upsert_sink(
     seq_col: str | None = None,
     op_col: str | None = None,
     delete_op: str = "D",
+    state_keep_last: int | None = None,
     await_termination: bool = True,
 ):
     """Streaming CDC apply: each micro-batch MERGEs into a versioned
@@ -493,6 +499,10 @@ def cdc_upsert_sink(
       guard as :func:`incremental_agg_sink` — a replayed micro-batch
       (crash between merge and offset commit) is a no-op, and the
       guard survives vacuum because it rides in every manifest.
+    - ``state_keep_last``: post-apply vacuum down to the last N
+      versions (replay-safe for the same reason) so a long-lived CDC
+      mirror's history stays bounded; time travel shrinks to the
+      retained window.
     """
     from ..sources.versioned import VersionedTable
 
@@ -548,6 +558,8 @@ def cdc_upsert_sink(
                 operation=f"cdc-batch={batch_id}",
                 props=props,
             )
+            if state_keep_last is not None:
+                table.vacuum(keep_last=state_keep_last)
             return
         has_deletes = deletes is not None and deletes.limit(1).count() > 0
         table.merge(
@@ -557,6 +569,8 @@ def cdc_upsert_sink(
             operation=f"cdc-batch={batch_id}",
             props=props,
         )
+        if state_keep_last is not None:
+            table.vacuum(keep_last=state_keep_last)
 
     q = (
         stream_df.writeStream.foreachBatch(apply_batch)

@@ -594,3 +594,71 @@ def test_cdc_upsert_sink_exact_dup_seq_ties_break_deterministically(
         }
         # desc payload order: 'zeta' > 'alpha'
         assert got == {(1, "zeta"), (2, "b")}, attempt
+
+
+def test_sink_state_retention_bounds_history(spark, tmp_path):
+    """state_keep_last on the incremental-agg and CDC sinks: history
+    stays bounded across triggers, the final state is identical to an
+    unvacuumed twin, and a finished-stream replay is still a no-op
+    (the watermark rides every manifest, immune to vacuum)."""
+    import os
+
+    from lmo_data_catalog_spark.sources.versioned import VersionedTable
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "k bigint, seq bigint, op string, val string"
+    for i in range(4):
+        spark.createDataFrame(
+            [(j, i, "U", f"b{i}v{j}") for j in range(3)], schema
+        ).coalesce(1).write.parquet(os.path.join(src, f"f={i}"))
+
+    def mk():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+
+    kept = str(tmp_path / "kept")
+    ops.cdc_upsert_sink(
+        mk(), kept, key="k", seq_col="seq", op_col="op",
+        checkpoint=str(tmp_path / "ck1"), state_keep_last=2,
+    )
+    full = str(tmp_path / "full")
+    ops.cdc_upsert_sink(
+        mk(), full, key="k", seq_col="seq", op_col="op",
+        checkpoint=str(tmp_path / "ck2"),
+    )
+    tk, tf = VersionedTable(spark, kept), VersionedTable(spark, full)
+    assert len(tk.versions()) <= 2 < len(tf.versions())
+    assert {tuple(r) for r in tk.read().collect()} == {
+        tuple(r) for r in tf.read().collect()
+    }
+    # replay after vacuum: no-op
+    head = tk.head()
+    ops.cdc_upsert_sink(
+        mk(), kept, key="k", seq_col="seq", op_col="op",
+        checkpoint=str(tmp_path / "ck1"), state_keep_last=2,
+    )
+    assert tk.head() == head
+
+    # incremental-agg sink, same contract
+    agg_root = str(tmp_path / "agg")
+    ops.incremental_agg_sink(
+        mk().drop("op", "val"),
+        agg_root,
+        keys=["k"],
+        specs={"seq": ("sum", "max")},
+        checkpoint=str(tmp_path / "ck3"),
+        state_keep_last=2,
+    )
+    ta = VersionedTable(spark, agg_root)
+    assert len(ta.versions()) <= 2
+    got = {
+        (r["k"], r["seq_sum"], r["seq_max"], r["row_count"])
+        for r in ta.read().select(
+            "k", "seq_sum", "seq_max", "row_count"
+        ).collect()
+    }
+    assert got == {(0, 6, 3, 4), (1, 6, 3, 4), (2, 6, 3, 4)}
