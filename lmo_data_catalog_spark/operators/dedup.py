@@ -216,6 +216,74 @@ def exact_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard self-join via PREFIX FILTERING (AllPairs /
+    PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08): an
+    EXACT candidate generator, unlike MinHash-LSH's probabilistic one.
+
+    Order every document's shingles by a single global order —
+    ascending document frequency, rarest first (ties by hash). For
+    J(x,y) ≥ τ the overlap is o ≥ τ·|x∪y| ≥ ⌈τ·|x|⌉, and the standard
+    prefix lemma says two sets with overlap ≥ o must share a token
+    inside their first (size − o + 1) tokens under ANY common global
+    order. So joining only the first |x| − ⌈τ·|x|⌉ + 1 tokens of each
+    document (the 20% rarest at τ=0.8) finds every qualifying pair —
+    recall is exactly 1, by construction, so the verified output
+    equals the exact pair set and shares `ngram_jaccard_pairs`'
+    oracle. The ⌈τ·|x|⌉ is computed as ``ceil(τ·n − 1e-9)``: the
+    epsilon keeps binary-float τ from overshooting at exact multiples
+    (0.8·5 = 4.0000000000000002 would ceil to 5, silently SHORTENING
+    the prefix and breaking the recall guarantee); erring low only
+    lengthens the prefix — extra candidates, never a miss.
+
+    Scale: the self-join input shrinks from every shingle occurrence
+    (`exact_jaccard_pairs`) to the per-doc prefix, and the
+    rarest-first order makes those prefix tokens the LOW-df ones —
+    the join's per-key fan-out is quadratic in df, so pushing
+    prefixes toward df≈1 collapses the candidate blow-up the way a
+    frequency-ordered inverted index does. One extra df aggregation
+    + one per-doc window (bounded by doc shingle count) buys it.
+    """
+    sh = cache.track(
+        hashed_shingles(df, id_col=id_col, text_col=text_col, n=n).toDF(
+            "id", "h"
+        )
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(dfreq, on="h")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("df", "h")
+            ),
+        )
+        .join(sizes, on="id")
+    )
+    prefix = ranked.filter(
+        F.col("r")
+        <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
+    ).select("id", "h")
+    cand = (
+        prefix.toDF("id_a", "h")
+        .join(prefix.toDF("id_b", "h"), on="h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_on_pairs(cand, sh, id_col="id").filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def minhash_lsh_dedup_pairs(
     df: DataFrame,
     *,

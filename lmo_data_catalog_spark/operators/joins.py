@@ -159,3 +159,56 @@ def range_join(
         cond = c if cond is None else cond & c
     cond = cond & lo & hi
     return left.join(right, cond, how)
+
+
+def bucket_proximity_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_ts: str,
+    right_ts: str,
+    window: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Temporal proximity join WITHOUT any natural equi key:
+    ``|left_ts − right_ts| <= window`` over integer timestamps (µs).
+
+    Without a key, Catalyst can only plan a pure inequality join as
+    BroadcastNestedLoop/Cartesian — O(|L|·|R|) comparisons, the plan
+    that dies first at scale. This operator SYNTHESIZES the equi key:
+    the left side keys on its own bucket ``ts div window``; the right
+    side explodes each row to the 2–3 consecutive buckets its
+    ``[ts − window, ts + window]`` interval spans. Joining on the
+    bucket makes every qualifying pair meet EXACTLY ONCE (the left
+    row's bucket is a single value inside the exploded span — no
+    post-join dedup needed), and the exact predicate runs as a
+    residual filter on the hash/SMJ join.
+
+    Scale: both sides shuffle ONCE on the bucket — linear in input,
+    ~3× fan-out on the right. Bucket width = window keeps the
+    exploded span minimal; a hot bucket (a traffic burst) is ordinary
+    shuffle-key skew, handled by AQE's skew split (SCALING §skew).
+    Integer ``div`` bucketing (never float division) keeps the
+    bucket assignment exact and engine-portable for non-negative
+    epochs — float division can round a just-below-boundary quotient
+    up (see the pitfalls note in SCALING §sf1).
+    """
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    lb = left.withColumn("__bucket", F.expr(f"{left_ts} div {window}"))
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"({right_ts} - {window}) div {window}"),
+                F.expr(f"({right_ts} + {window}) div {window}"),
+            )
+        ),
+    )
+    joined = lb.join(
+        rb,
+        (lb["__bucket"] == rb["__bucket"])
+        & (F.abs(lb[left_ts] - rb[right_ts]) <= F.lit(window)),
+        how,
+    )
+    return joined.drop("__bucket")

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from ..functions import epoch_us
-from ..operators.joins import asof_join, range_join
+from ..operators.joins import asof_join, bucket_proximity_join, range_join
 from ..operators.windows import rank_in_group, sessionize, top_k_per_group
 from ..registry import query
 from .core import _yearly_flag_revenue, _YEARLY_FLAG_REVENUE_SQL
@@ -359,6 +359,61 @@ def join_range_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("revenue"),
+    )
+
+
+@query(
+    "proximity_join_error_purchase",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, epoch_us(ts) AS t
+        FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+        SELECT user_id, epoch_us(ts) AS t
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT p.t // 3600000000 AS hour_bucket,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT p.event_id) AS n_purchases,
+           COUNT(DISTINCT e.user_id) AS n_error_users
+    FROM p JOIN e ON ABS(p.t - e.t) <= 300000000
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("join", "range", "proximity"),
+)
+def proximity_join_error_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Purchases with a platform error within ±300 s — by ANY user, so
+    there is NO natural equi key and a naive inequality join is a
+    cartesian. :func:`bucket_proximity_join` synthesizes the key
+    (300 s time buckets; the error side explodes to the 2–3 buckets
+    its tolerance interval spans), so the plan is one linear
+    hash/SMJ shuffle with the exact |Δt| predicate as residual —
+    never BNLJ (pinned suite-wide by test_plan_hygiene). Hourly
+    counts via integer division (`div` here == `//` in the oracle
+    for the non-negative epochs). ±300 s (not ±60) so the smallest
+    sf0.001 axis still produces rows — a 0-row match proves nothing."""
+    W = 300_000_000  # ±300 s in µs
+    events = Catalog(spark, sf_dir).events
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", epoch_us(F.col("ts")).alias("p_t")
+    )
+    e = events.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), epoch_us(F.col("ts")).alias("e_t")
+    )
+    pairs = bucket_proximity_join(
+        p, e, left_ts="p_t", right_ts="e_t", window=W
+    )
+    return (
+        pairs.groupBy(F.expr("p_t div 3600000000").alias("hour_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("event_id").alias("n_purchases"),
+            F.countDistinct("e_user").alias("n_error_users"),
+        )
+        .orderBy("hour_bucket")
     )
 
 

@@ -28,6 +28,7 @@ from ..operators.dedup import (
     exact_dedup,
     exact_jaccard_pairs,
     minhash_lsh_dedup_pairs,
+    prefix_filter_jaccard_pairs,
     portable_simhash_candidate_pairs,
     winnow_dedup_pairs,
 )
@@ -166,6 +167,30 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MinHash path)."""
     cat = Catalog(spark, sf_dir)
     out = exact_jaccard_pairs(
+        cat.documents, id_col="doc_id", text_col="text", n=3, threshold=0.8
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "jaccard_pairs_prefix_filter",
+    oracle=_JACCARD_PAIRS_SQL,
+    tags=("dedup", "similarity-join", "prefix-filter"),
+)
+def jaccard_pairs_prefix_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact 3-gram Jaccard pairs at τ=0.8 via PREFIX FILTERING
+    (AllPairs/PPJoin): documents self-join only on their rarest
+    |x| − ⌈τ·|x|⌉ + 1 shingles under a global ascending-df order —
+    an EXACT candidate generator (recall 1 by the prefix lemma, no
+    probabilistic miss bound to argue), verified with exact Jaccard.
+    Same oracle as `ngram_jaccard_pairs` because the output IS the
+    exact pair set; the difference is the plan — the self-join input
+    drops to the per-doc prefix and the surviving keys are the
+    low-df shingles, collapsing the quadratic per-key fan-out."""
+    cat = Catalog(spark, sf_dir)
+    out = prefix_filter_jaccard_pairs(
         cat.documents, id_col="doc_id", text_col="text", n=3, threshold=0.8
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

@@ -673,3 +673,69 @@ def test_heavy_hitters_candidate_cap_raises(spark):
         sk, item_col="item", sample_fraction=1.0, max_candidates=10_000
     )
     assert out[0][0] == "hot" and out[0][1] >= 500
+
+
+def test_prefix_filter_equals_exact_jaccard(spark):
+    """Prefix filtering is an EXACT method (AllPairs/PPJoin prefix
+    lemma): on ANY corpus — no τ-separation assumption needed, unlike
+    the LSH recall argument — the candidate prefix join must surface
+    every pair with J ≥ τ, so verify-filtered output == the full exact
+    similarity join."""
+    from lmo_data_catalog_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = Catalog(spark, SF_SMOKE).documents
+    exact = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in exact_jaccard_pairs(
+            docs, id_col="doc_id", text_col="text", threshold=0.8
+        ).collect()
+    }
+    pf = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in prefix_filter_jaccard_pairs(
+            docs, id_col="doc_id", text_col="text", threshold=0.8
+        ).collect()
+    }
+    assert pf == exact
+
+
+def test_prefix_filter_exact_tau_multiple_boundary(spark):
+    """τ·|x| landing EXACTLY on an integer is the binary-float cliff:
+    0.8·5 evaluates to 4.000…0002, and a bare ceil would round it to 5,
+    shortening the prefix below the lemma's bound and silently dropping
+    pairs. Docs here are built so every shingle-set size n makes τ·n an
+    exact multiple (τ=0.5, even n), and identical-text pairs (J=1) must
+    all survive."""
+    from lmo_data_catalog_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    # Shingles are WORD 3-grams: 6 tokens → 4 shingles; τ=0.5 → τ·n =
+    # 2.0 exactly.  Docs 5/6 pin the J == τ inclusion boundary too:
+    # 2 shared of 4 total shingles → J = 0.5 exactly, must be kept.
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e f"),
+        (3, "a b c d e f g h"),  # 6 shingles → τ·n = 3.0 exactly
+        (4, "a b c d e f g h"),
+        (5, "w1 w2 w3 w4 w5"),  # shingle overlap 2, union 4 with 6
+        (6, "w1 w2 w3 w4 x9"),  # → J = 0.5 == τ exactly
+        (7, "zz zz zz zz"),  # degenerate: one distinct shingle
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in prefix_filter_jaccard_pairs(
+            docs, id_col="doc_id", text_col="text", threshold=0.5
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in exact_jaccard_pairs(
+            docs, id_col="doc_id", text_col="text", threshold=0.5
+        ).collect()
+    }
+    assert got == exact
+    assert {(1, 2), (3, 4), (5, 6)} <= got

@@ -351,3 +351,62 @@ def test_global_running_sum_matches_single_task_window(spark):
             ).collect()
         }
         assert got == want
+
+
+def test_bucket_proximity_join_equals_naive_and_no_dups(spark):
+    """The synthesized-equi-key proximity join must return EXACTLY the
+    naive |Δt| <= w cross-filter pair set, each pair once (the left
+    bucket is a single value inside the right side's exploded span —
+    no post-join dedup exists to hide a double-count). Fixture puts
+    timestamps ON the bucket boundary and at Δt == w exactly, the two
+    places an off-by-one in the explode span or a float bucket would
+    show."""
+    import itertools
+
+    from lmo_data_catalog_spark.operators.joins import bucket_proximity_join
+
+    w = 10
+    lrows = [(i, t) for i, t in enumerate([0, 5, 9, 10, 11, 20, 35, 99, 100])]
+    rrows = [(j, t) for j, t in enumerate([0, 1, 10, 19, 21, 30, 89, 110])]
+    left = spark.createDataFrame(lrows, ["lid", "lt"])
+    right = spark.createDataFrame(rrows, ["rid", "rt"])
+    out = bucket_proximity_join(
+        left, right, left_ts="lt", right_ts="rt", window=w
+    )
+    got = sorted((r.lid, r.rid) for r in out.collect())
+    want = sorted(
+        (li, rj)
+        for (li, lt), (rj, rt) in itertools.product(lrows, rrows)
+        if abs(lt - rt) <= w
+    )
+    assert got == want  # set equality AND multiplicity (both sorted lists)
+    assert len(got) == len(set(got))
+
+
+def test_bucket_proximity_join_plan_is_equi_not_bnlj(spark):
+    """The whole point: the pure-inequality predicate must NOT plan as
+    BroadcastNestedLoop/Cartesian — the synthesized bucket key gives
+    Catalyst an equi condition."""
+    from lmo_data_catalog_spark.operators.joins import bucket_proximity_join
+
+    left = spark.range(100).select(
+        F.col("id").alias("lid"), (F.col("id") * 7).alias("lt")
+    )
+    right = spark.range(100).select(
+        F.col("id").alias("rid"), (F.col("id") * 11).alias("rt")
+    )
+    plan = bucket_proximity_join(
+        left, right, left_ts="lt", right_ts="rt", window=50
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bucket_proximity_join_rejects_nonpositive_window(spark):
+    import pytest
+
+    from lmo_data_catalog_spark.operators.joins import bucket_proximity_join
+
+    df = spark.range(1).select(F.col("id").alias("t"))
+    with pytest.raises(ValueError):
+        bucket_proximity_join(df, df, left_ts="t", right_ts="t", window=0)
