@@ -664,6 +664,94 @@ def pagerank_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
+@query(
+    "triangle_clustering_parts",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey
+        FROM lineitem WHERE l_quantity >= 25
+    ),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+        ) GROUP BY node
+    ),
+    t AS (
+        SELECT a.u AS x, a.v AS y, b.v AS z
+        FROM e a JOIN e b ON a.v = b.u
+        JOIN e c ON c.u = a.u AND c.v = b.v
+    ),
+    pn AS (
+        SELECT node, COUNT(*) AS n_triangles FROM (
+            SELECT x AS node FROM t
+            UNION ALL SELECT y AS node FROM t
+            UNION ALL SELECT z AS node FROM t
+        ) GROUP BY node
+    )
+    SELECT pn.node AS p_partkey, pn.n_triangles, deg.deg AS degree,
+           ROUND(CAST(2.0 AS DOUBLE) * pn.n_triangles
+                 / (deg.deg * (deg.deg - 1)), 6) AS clustering_coeff
+    FROM pn JOIN deg ON pn.node = deg.node
+    ORDER BY p_partkey
+    """,
+    tags=("graph", "triangles"),
+)
+def triangle_clustering_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts + local clustering coefficient over
+    the basket co-occurrence graph (parts linked when bought in the
+    same order) — "how clique-ish is this item's neighborhood", the
+    community-structure primitive behind recommendation diversity
+    and link-spam scoring. The graph is restricted to HIGH-QUANTITY
+    line items (l_quantity ≥ 25 — bulk co-purchases), which keeps the
+    basket self-join edge set ~4× smaller while every axis down to
+    sf0.001 still has thousands of triangles.
+
+    Engine side runs operators/graph.py::triangle_counts — the
+    degree-ORIENTED wedge join (out-degree capped at O(√m), so hub
+    skew cannot explode the wedge stage). The oracle enumerates the
+    same triangles by plain id order (a.v = b.u closing join):
+    orientation changes WHICH join produces a triangle, never the
+    triangle set, so the two plans cross-check each other. The
+    coefficient 2·T/(deg·(deg−1)) divides exact small integers in
+    double with identical op order in both engines; ROUND(6) absorbs
+    nothing — it is exact — but keeps the column contract uniform."""
+    from ..operators.graph import triangle_counts
+
+    li = (
+        Catalog(spark, sf_dir)
+        .lineitem.filter(F.col("l_quantity") >= 25)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.toDF("l_orderkey", "u")
+    b = li.toDF("l_orderkey", "v")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    out = triangle_counts(edges)
+    return (
+        out.select(
+            F.col("node").alias("p_partkey"),
+            "n_triangles",
+            F.col("deg").alias("degree"),
+            F.round(
+                F.lit(2.0)
+                * F.col("n_triangles")
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
 def _pr_dangling_round(i: int) -> str:
     """One unrolled round of dangling-aware PageRank as CTE text —
     float order pinned to operators/graph.py::_pr_round: divide per

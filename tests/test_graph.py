@@ -165,3 +165,46 @@ def test_pagerank_converged_equals_fixed_round_run(spark):
     }
     got = {r["node"]: r["rank"] for r in ranks.collect()}
     assert got == fixed
+
+
+def test_triangle_counts_matches_bruteforce_and_canonicalizes(spark):
+    """triangle_counts must agree with a driver-side brute-force
+    enumeration on a fixture that exercises the danger spots: a hub
+    (star center — many wedges, zero triangles unless closed), a
+    clique (every orientation path), duplicate AND bidirectional
+    input edges, and a self-loop (must be dropped)."""
+    import itertools
+
+    from lmo_data_catalog_spark.operators.graph import triangle_counts
+
+    edges = [
+        # K4 on 1-4
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        # hub 10 with spokes (no closures except 11-12)
+        (10, 11), (10, 12), (10, 13), (10, 14), (10, 15), (11, 12),
+        # noise: duplicates, reversed duplicates, self-loop
+        (2, 1), (1, 2), (3, 3), (4, 3),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r.node, r.n_triangles, r.deg)
+        for r in triangle_counts(df).collect()
+    }
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    deg = {}
+    for u, v in und:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    tri = {}
+    for x, y, z in itertools.combinations(sorted(deg), 3):
+        if {(x, y), (x, z), (y, z)} <= und:
+            for n in (x, y, z):
+                tri[n] = tri.get(n, 0) + 1
+    want = {(n, t, deg[n]) for n, t in tri.items()}
+    assert got == want
+    # spot pins: every K4 node is in 3 triangles with degree 3; the
+    # hub closes exactly the 10-11-12 triangle; leaf spokes (13-15)
+    # are in none and so are absent from the output entirely
+    assert {(1, 3, 3), (2, 3, 3), (3, 3, 3), (4, 3, 3), (10, 1, 5)} <= got
+    assert not {r for r in got if r[0] in (13, 14, 15)}
