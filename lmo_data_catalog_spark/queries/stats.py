@@ -665,6 +665,70 @@ def pagerank_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "spearman_price_quantity",
+    oracle="""
+    WITH r AS (
+        SELECT l_extendedprice AS p, l_quantity AS q,
+               RANK() OVER (ORDER BY l_extendedprice)
+                 + (COUNT(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0
+                 AS rp,
+               RANK() OVER (ORDER BY l_quantity)
+                 + (COUNT(*) OVER (PARTITION BY l_quantity) - 1) / 2.0
+                 AS rq
+        FROM lineitem
+    )
+    SELECT COUNT(*) AS n_rows,
+           ROUND(corr(p, q), 6) + 0.0 AS pearson,
+           ROUND(corr(rp, rq), 6) + 0.0 AS spearman
+    FROM r
+    """,
+    tags=("analytic", "statistics", "rank"),
+)
+def spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of price vs quantity — the
+    monotone-association companion to Pearson
+    (corr_regression_price_quantity), robust to the price column's
+    heavy tail. Spearman = Pearson on the AVERAGE ranks (ties get the
+    mean of their positional ranks, the textbook treatment).
+
+    The scale story is the ranking, not the correlation: the oracle's
+    ``RANK() OVER (ORDER BY …)`` is a single-task global sort — the
+    plan that dies first on a big table. The engine side computes the
+    identical positional ranks with the quantile-bucketed two-phase
+    ranker (operators/windows.py::global_row_numbers — both orderings
+    share ONE quantile job and ONE grouping-sets bucket count), then
+    averages positions within each tied value via a keyed window
+    (PARTITION BY value — no global sort; the worst skew is a hot
+    value's tie group, e.g. l_quantity's 50 distinct values, which is
+    an AQE-splittable keyed aggregate shape, not a single-task
+    funnel). Average ranks are exact in double (integer sums / small
+    k), so cross-engine agreement reduces to the corr aggregate —
+    pinned to 6 dp like the Pearson query; ``+ 0.0`` normalizes a
+    potential IEEE −0.0 from rounding a near-zero correlation."""
+    from ..operators.windows import global_row_numbers
+
+    li = Catalog(spark, sf_dir).lineitem.select(
+        F.col("l_extendedprice").alias("p"),
+        F.col("l_quantity").alias("q"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = global_row_numbers(
+        li,
+        [("p", True, "__rp0"), ("q", True, "__rq0")],
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
+    )
+    rp = F.avg("__rp0").over(Window.partitionBy("p"))
+    rq = F.avg("__rq0").over(Window.partitionBy("q"))
+    withranks = ranked.select("p", "q", rp.alias("rp"), rq.alias("rq"))
+    return withranks.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.round(F.corr("p", "q"), 6) + F.lit(0.0)).alias("pearson"),
+        (F.round(F.corr("rp", "rq"), 6) + F.lit(0.0)).alias("spearman"),
+    )
+
+
+@query(
     "triangle_clustering_parts",
     oracle="""
     WITH li AS (

@@ -85,3 +85,44 @@ def test_every_registry_query_is_documented():
         "registry builders need real docstrings (scale notes + "
         f"semantics): {undocumented}"
     )
+
+
+def test_spearman_average_ranks_match_naive_window(spark):
+    """The two-phase average-rank plan (bucketed global_row_numbers +
+    keyed tie-group AVG) must equal the naive single-task
+    rank+avg window bit-for-bit — same invariant the oracle pins, but
+    here at the rank level so a future ranker change can't hide
+    inside a still-passing 6-dp correlation."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lmo_data_catalog_spark.catalog import Catalog
+    from lmo_data_catalog_spark.operators.windows import global_row_numbers
+
+    li = (
+        Catalog(spark, "/root/testdata/sf0.001")
+        .lineitem.select(
+            F.col("l_quantity").alias("q"), "l_orderkey", "l_linenumber"
+        )
+    )
+    ranked = global_row_numbers(
+        li,
+        [("q", True, "__rn")],
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
+    )
+    two_phase = ranked.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.avg("__rn").over(Window.partitionBy("q")).alias("r"),
+    )
+    naive = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.rank().over(Window.orderBy("q"))
+            + (F.count(F.lit(1)).over(Window.partitionBy("q")) - 1) / 2.0
+        ).alias("r"),
+    )
+    a = {(r.l_orderkey, r.l_linenumber): r.r for r in two_phase.collect()}
+    b = {(r.l_orderkey, r.l_linenumber): r.r for r in naive.collect()}
+    assert a == b
