@@ -417,6 +417,97 @@ def proximity_join_error_purchase(
     )
 
 
+@query(
+    "fk_integrity_audit",
+    oracle="""
+    SELECT 'customer.c_nationkey->nation' AS fk_edge,
+           COUNT(*) AS n_child,
+           COUNT(DISTINCT c.c_nationkey) AS n_distinct_fk,
+           SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders', COUNT(*),
+           COUNT(DISTINCT l.l_orderkey),
+           SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part', COUNT(*),
+           COUNT(DISTINCT l.l_partkey),
+           SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier', COUNT(*),
+           COUNT(DISTINCT l.l_suppkey),
+           SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    UNION ALL
+    SELECT 'nation.n_regionkey->region', COUNT(*),
+           COUNT(DISTINCT na.n_regionkey),
+           SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
+    FROM nation na LEFT JOIN region r ON na.n_regionkey = r.r_regionkey
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', COUNT(*),
+           COUNT(DISTINCT o.o_custkey),
+           SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation', COUNT(*),
+           COUNT(DISTINCT s.s_nationkey),
+           SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+    FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ORDER BY fk_edge
+    """,
+    tags=("audit", "catalog", "join"),
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every FK edge of the star
+    schema — the data-catalog health check run before anything else
+    trusts the joins. One row per edge: child row count, distinct FK
+    values, and orphan rows (no matching parent key).
+
+    Each edge is a LEFT join against the parent's key column with a
+    constant hit marker, aggregated in the same pass — a parent key
+    is unique, so the join never duplicates child rows and n_child
+    stays the plain child count. Parent key columns are tiny relative
+    to their children (the biggest, orders, is ~1/4 of lineitem and
+    one column wide), so Catalyst broadcasts them and the audit is a
+    single scan per child table with map-side joins — no shuffle of
+    any child. A NULL FK has no parent match and is counted as an
+    orphan in both engines (LEFT-join NULL semantics agree)."""
+    cat = Catalog(spark, sf_dir)
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    parts = []
+    for child, fk, parent, pk in edges:
+        label = f"{child}.{fk}->{parent}"
+        c = cat.load(child).select(fk)
+        p = cat.load(parent).select(
+            F.col(pk).alias("__pk"), F.lit(1).alias("__hit")
+        )
+        joined = c.join(p, c[fk] == F.col("__pk"), "left")
+        parts.append(
+            joined.agg(
+                F.lit(label).alias("fk_edge"),
+                F.count(F.lit(1)).alias("n_child"),
+                F.countDistinct(fk).alias("n_distinct_fk"),
+                F.sum(
+                    F.when(F.col("__hit").isNull(), 1).otherwise(0)
+                ).alias("n_orphans"),
+            )
+        )
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out.orderBy("fk_edge")
+
+
 # ------------------------------------------------------------ rollup and cube
 @query(
     "rollup_year_priority",

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..catalog import Catalog
 from ..functions import epoch_us
 from ..registry import query
+from .. import cache
 
 # Fibonacci multiplicative hash constants (same literals as
 # queries.pipeline): uniform, engine-portable pseudo-randomness from
@@ -662,6 +663,94 @@ def pagerank_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("p_partkey"),
         F.round("rank", 6).alias("pagerank"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "mutual_info_flag_status",
+    oracle="""
+    WITH joint AS (
+        SELECT l_returnflag AS f, l_linestatus AS s, COUNT(*) AS c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(c) AS n FROM joint),
+    mf AS (SELECT f, SUM(c) AS cf FROM joint GROUP BY f),
+    ms AS (SELECT s, SUM(c) AS cs FROM joint GROUP BY s)
+    SELECT (SELECT n FROM tot) AS n_rows,
+           ROUND((SELECT SUM((CAST(cf AS DOUBLE) / n)
+                             * -ln(CAST(cf AS DOUBLE) / n))
+                  FROM mf, tot), 6) AS h_flag,
+           ROUND((SELECT SUM((CAST(cs AS DOUBLE) / n)
+                             * -ln(CAST(cs AS DOUBLE) / n))
+                  FROM ms, tot), 6) AS h_status,
+           ROUND((SELECT SUM((CAST(c AS DOUBLE) / n)
+                             * ln((CAST(c AS DOUBLE) * n)
+                                  / (CAST(cf AS DOUBLE) * cs)))
+                  FROM joint
+                  JOIN mf USING (f) JOIN ms USING (s), tot), 6)
+           AS mi_nats
+    """,
+    tags=("analytic", "statistics", "information"),
+)
+def mutual_info_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between return flag and line status,
+    with both marginal entropies — "how much does one categorical tell
+    you about the other", the information-theoretic sibling of the
+    chi-square independence test (chi2_priority_status_independence).
+
+    One hash aggregate builds the joint contingency table (|F|×|S| =
+    6 cells); everything after is arithmetic over that tiny frame —
+    marginals re-aggregated FROM the joint counts (never a second
+    scan), totals as 1-row broadcast-joined frames. At 100 TB the
+    plan is still exactly one map-side-combined shuffle of the fact
+    table; the information arithmetic never touches more than |F|·|S|
+    rows. Float parity: both engines evaluate (c/n)·ln((c·n)/(cf·cs))
+    per cell with the same cast-then-divide order; the 6-term sum is
+    summation-order safe at ROUND(6) and every log argument is a
+    ratio of exact integer counts (doubles are exact up to 2⁵³)."""
+    li = Catalog(spark, sf_dir).lineitem
+    joint = cache.track(
+        li.groupBy(
+            F.col("l_returnflag").alias("f"),
+            F.col("l_linestatus").alias("s"),
+        ).agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = joint.agg(F.sum("c").alias("n"))
+    mf = joint.groupBy("f").agg(F.sum("c").alias("cf"))
+    ms = joint.groupBy("s").agg(F.sum("c").alias("cs"))
+    cd = F.col("c").cast("double")
+    cfd = F.col("cf").cast("double")
+    csd = F.col("cs").cast("double")
+    nd = F.col("n")
+    mi = (
+        joint.join(mf, "f")
+        .join(ms, "s")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum((cd / nd) * F.log((cd * nd) / (cfd * csd))), 6
+            ).alias("mi_nats")
+        )
+    )
+    hf = (
+        mf.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum((cfd / nd) * -F.log(cfd / nd)), 6).alias("h_flag")
+        )
+    )
+    hs = (
+        ms.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum((csd / nd) * -F.log(csd / nd)), 6).alias(
+                "h_status"
+            )
+        )
+    )
+    return (
+        tot.select(F.col("n").alias("n_rows"))
+        .crossJoin(F.broadcast(hf))
+        .crossJoin(F.broadcast(hs))
+        .crossJoin(F.broadcast(mi))
+    )
 
 
 @query(

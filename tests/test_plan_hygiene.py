@@ -40,6 +40,7 @@ ALLOWED_BNLJ = {
     "dormant_rich_customers",  # scalar-subquery broadcast
     "histogram_order_prices",  # 1-row [min,max] bounds attach
     "lang_kl_by_source",  # 1-row corpus-total broadcast
+    "mutual_info_flag_status",  # 1-row grand-total + entropy attaches
     "pagerank_dangling_part_supplier",  # 1-row dangling-mass + N per round
     "orders_above_avg_price",  # scalar avg broadcast
     "pareto_part_classes",  # 1-row grand-total broadcast
