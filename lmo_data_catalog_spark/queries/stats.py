@@ -1774,6 +1774,109 @@ def daily_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "theil_sen_daily_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS x,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS r
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    pairs AS (
+        SELECT (b.r - a.r) / CAST(b.x - a.x AS DOUBLE) AS slope
+        FROM daily a JOIN daily b ON b.x > a.x
+    ),
+    m AS (
+        SELECT quantile_cont(slope, 0.5) AS ts, COUNT(*) AS n_pairs
+        FROM pairs
+    )
+    SELECT (SELECT COUNT(*) FROM daily) AS n_days,
+           (SELECT n_pairs FROM m) AS n_pairs,
+           ROUND((SELECT ts FROM m), 6) + 0.0 AS ts_slope,
+           ROUND((SELECT quantile_cont(r - (SELECT ts FROM m) * x, 0.5)
+                  FROM daily), 6) + 0.0 AS ts_intercept,
+           ROUND((SELECT regr_slope(r, x) FROM daily), 6) + 0.0
+             AS ols_slope
+    """,
+    tags=("analytic", "statistics", "robust", "timeseries"),
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of the daily revenue series: the median
+    of all pairwise slopes (r_j − r_i)/(x_j − x_i) over day pairs,
+    with the matching median-residual intercept and the OLS slope for
+    contrast (Theil–Sen tolerates ~29 % outlier days; OLS tolerates
+    none).
+
+    The scale shape is the point: the O(n²) pair enumeration runs on
+    the DAILY aggregate, whose size is bounded by the calendar span
+    (~2.4k days for this data, ~36.5k for a century) and INDEPENDENT
+    of fact-table size — 100 TB of orders still collapses to the same
+    few-thousand-row frame through one map-side-combined DECIMAL
+    aggregate. The self-pair join is a broadcast of that bounded
+    frame (allow-listed BNLJ, never fact×fact); the ~3M slopes feed
+    one exact percentile. Float parity: daily totals are exact
+    DECIMAL sums cast once to double; each slope is one subtraction
+    and one division evaluated identically per pair; both engines use
+    the same linear-interpolation percentile (verified equal across
+    the suite); the intercept reuses the UNROUNDED slope in both
+    engines; ``+ 0.0`` guards IEEE −0.0 on the near-zero slope."""
+    orders = Catalog(spark, sf_dir).orders
+    daily = cache.track(
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("r")
+        )
+        .select(
+            F.datediff("d", F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("x"),
+            "r",
+        )
+    )
+    a = daily.select(F.col("x").alias("x1"), F.col("r").alias("r1"))
+    b = daily.select(F.col("x").alias("x2"), F.col("r").alias("r2"))
+    slopes = a.join(F.broadcast(b), F.col("x2") > F.col("x1")).select(
+        (
+            (F.col("r2") - F.col("r1"))
+            / (F.col("x2") - F.col("x1")).cast("double")
+        ).alias("slope")
+    )
+    m = slopes.agg(
+        F.percentile("slope", F.lit(0.5)).alias("ts"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    resid = daily.crossJoin(F.broadcast(m)).select(
+        "ts",
+        "n_pairs",
+        (F.col("r") - F.col("ts") * F.col("x")).alias("res"),
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.round(F.regr_slope("r", "x"), 6) + F.lit(0.0)).alias(
+            "ols_slope"
+        ),
+    )
+    summary = resid.groupBy("ts", "n_pairs").agg(
+        (F.round(F.percentile("res", F.lit(0.5)), 6) + F.lit(0.0)).alias(
+            "ts_intercept"
+        )
+    )
+    return (
+        stats.crossJoin(F.broadcast(summary))
+        .select(
+            "n_days",
+            "n_pairs",
+            (F.round(F.col("ts"), 6) + F.lit(0.0)).alias("ts_slope"),
+            "ts_intercept",
+            "ols_slope",
+        )
+    )
+
+
 # ------------------------------------------- chi-square independence test
 
 

@@ -47,6 +47,7 @@ ALLOWED_BNLJ = {
     "top1pct_revenue_share",  # 1-row customer-count/total attach
     "resample_daily_orders",  # 1-row min/max spine bounds
     "tfidf_top_terms",  # 1-row doc-count broadcast
+    "theil_sen_daily_trend",  # calendar-bounded daily self-pair + 1-row attach
     "trailing_7d_distinct_users",  # 1-row spine bounds
     "watermark_boundary_admission",  # 1-row watermark broadcast
 }
