@@ -629,3 +629,85 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     payload = with_payload(cat.documents, text_col="text")
     return decode_image_meta(payload, id_col="doc_id", payload_col="payload")
+
+
+@query(
+    "feature_hash_orders",
+    oracle="""
+    WITH tok AS (
+        SELECT 'priority=' || o_orderpriority AS token, COUNT(*) AS cnt
+        FROM orders GROUP BY 1
+        UNION ALL
+        SELECT 'status=' || o_orderstatus, COUNT(*)
+        FROM orders GROUP BY 1
+        UNION ALL
+        SELECT 'cust=' || o_custkey, COUNT(*)
+        FROM orders GROUP BY 1
+    ),
+    h AS (
+        SELECT token, cnt,
+               list_reduce(
+                   list_prepend(CAST(7 AS BIGINT),
+                       list_transform(string_split(token, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 1073741827) AS hv
+        FROM tok
+    )
+    SELECT CAST(hv % 64 AS BIGINT) AS feature_idx,
+           CAST(SUM(CASE WHEN ((hv >> 6) & 1) = 1
+                         THEN cnt ELSE -cnt END) AS BIGINT)
+             AS signed_count,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+    FROM h GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "featurize", "hash"),
+)
+def feature_hash_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer (Weinberger et al., the trick behind
+    HashingVectorizer / feature crosses at scale): categorical tokens
+    ``col=value`` map to a fixed 64-dim space via idx = h(token) mod
+    64 with a sign bit from an independent hash bit, so the training
+    matrix has bounded width no matter how many distinct values
+    arrive. Output = the column marginals of that hashed design
+    matrix (signed counts per feature index) plus collision stats.
+
+    Scale shape: the fact table is touched by three map-side-combined
+    GROUP BYs over single columns — the char-level fold hash runs on
+    the DISTINCT token table (customer-key-dominated, ~|customers| rows), never per
+    fact row, and the final 64-bucket aggregate is trivial. At 100 TB
+    this is three scans (or one, with grouping sets) of one column
+    each plus token-table arithmetic. The poly hash is the suite's
+    oracle-portable fold (operators/dedup.py::poly_hash) — DuckDB
+    list_reduce computes the identical BIGINT, so the query is
+    value-exact, unlike murmur3/xxhash64 featurizers."""
+    from ..operators.dedup import poly_hash
+
+    orders = Catalog(spark, sf_dir).orders
+    parts = []
+    for label, col in (
+        ("priority=", "o_orderpriority"),
+        ("status=", "o_orderstatus"),
+        ("cust=", "o_custkey"),
+    ):
+        parts.append(
+            orders.groupBy(
+                F.concat(F.lit(label), F.col(col)).alias("token")
+            ).agg(F.count(F.lit(1)).alias("cnt"))
+        )
+    tok = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    hashed = tok.select(
+        "cnt", poly_hash("token", 31, 1073741827).alias("hv")
+    )
+    sign = F.when(
+        F.shiftright("hv", 6).bitwiseAND(F.lit(1)) == 1, F.col("cnt")
+    ).otherwise(-F.col("cnt"))
+    return (
+        hashed.groupBy(F.pmod("hv", F.lit(64)).alias("feature_idx"))
+        .agg(
+            F.sum(sign).alias("signed_count"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").alias("n_occurrences"),
+        )
+        .orderBy("feature_idx")
+    )
