@@ -350,3 +350,68 @@ def triangle_counts(
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return per_node.join(deg, "node").select("node", "n_triangles", "deg")
+
+
+def kcore(
+    edges: DataFrame,
+    *,
+    k: int = 3,
+    max_rounds: int = 12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop
+    nodes whose degree in the SURVIVING subgraph is < k until a
+    fixpoint; return the core's nodes with their within-core degree.
+
+    Peeling is monotone (a dropped node never returns), so the
+    fixpoint is unique and extra rounds past convergence are no-ops —
+    which is what makes the algorithm oracle-expressible as a FIXED
+    unrolled round chain even though the engine loop stops early.
+    Raises if ``max_rounds`` rounds do not reach the fixpoint, so a
+    silent truncation can never masquerade as the k-core.
+
+    Scale shape per round: one keyed degree aggregate + two semi
+    joins of the edge list against the surviving-node set (all keyed
+    on node id — co-partitioned under bucketing, AQE-splittable on
+    hub skew). The per-round convergence probe is a COUNT action
+    (1 long to the driver), the edge frame is persisted per round and
+    lineage-truncated every few rounds like pagerank_converged; no
+    node or edge set is ever collected. Cascade depth (#rounds) is
+    typically O(log n) for co-occurrence graphs; at 100 TB the known
+    alternative to fewer-round convergence is distributed bin peeling
+    — same join shape, coarser rounds.
+    """
+    und = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    cur = cache.track(und)
+    n_edges = cur.count()
+    for i in range(max_rounds):
+        keep = cache.track(
+            cur.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .filter(F.col("__d") >= k)
+            .select("u")
+        )
+        nxt = (
+            cur.join(keep, "u", "left_semi")
+            .join(
+                keep.select(F.col("u").alias("v")), "v", "left_semi"
+            )
+            .select("u", "v")
+        )
+        nxt = cache.track(nxt)
+        if (i + 1) % 4 == 0:
+            nxt = cache.register(nxt.localCheckpoint(eager=False))
+        n_next = nxt.count()
+        if n_next == n_edges:
+            return (
+                cur.groupBy(F.col("u").alias("node"))
+                .agg(F.count(F.lit(1)).alias("core_degree"))
+            )
+        cur, n_edges = nxt, n_next
+    raise RuntimeError(
+        f"kcore did not converge in {max_rounds} rounds "
+        f"(still peeling at {n_edges} directed edges)"
+    )

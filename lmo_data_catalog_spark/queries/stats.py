@@ -905,6 +905,91 @@ def triangle_clustering_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled iterative-peeling oracle: ``rounds`` materialized CTE
+    rounds of (degree filter ≥ k → edge semi-restriction). Peeling is
+    monotone, so rounds past the fixpoint are no-ops and a FIXED
+    unrolled chain computes the same k-core the engine's converging
+    loop does (the engine raises if it would need more rounds than
+    the oracle unrolls — operators/graph.py::kcore max_rounds).
+    MATERIALIZED per round: a lazily inlined chain re-expands every
+    previous round per reference and blows up DuckDB's planner (the
+    round-7 recursive-CTE lesson)."""
+    steps = []
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""
+    n{i} AS MATERIALIZED (
+        SELECT u FROM {prev} GROUP BY u HAVING COUNT(*) >= {k}
+    ),
+    d{i} AS MATERIALIZED (
+        SELECT d.u, d.v FROM {prev} d
+        JOIN n{i} a ON d.u = a.u JOIN n{i} b ON d.v = b.u
+    )"""
+        )
+        prev = f"d{i}"
+    chain = ",".join(steps)
+    return f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey
+        FROM lineitem WHERE l_quantity >= 25
+    ),
+    e AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    d0 AS MATERIALIZED (
+        SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ),{chain}
+    SELECT u AS node, COUNT(*) AS core_degree
+    FROM {prev} GROUP BY u ORDER BY node
+    """
+
+
+@query(
+    "kcore_parts_graph",
+    oracle=_kcore_oracle_sql(k=18, rounds=12),
+    tags=("graph", "kcore", "iterative"),
+)
+def kcore_parts_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """18-core of the bulk co-purchase part graph (same edge set as
+    triangle_clustering_parts): the maximal subgraph where every part
+    still co-occurs with ≥ 18 other parts AFTER its weakly-connected
+    neighbors are peeled away — the standard "dense nucleus"
+    extraction behind community seeding and spam-farm detection,
+    strictly stronger than a raw degree filter (peeling cascades:
+    dropping one node can demote its neighbors below k).
+
+    Engine side is operators/graph.py::kcore — a converging loop of
+    one keyed degree aggregate + two semi joins per round, persisted
+    and lineage-truncated every 4 rounds, with a 1-long COUNT action
+    as the convergence probe; raises past max_rounds rather than
+    silently truncating. The oracle unrolls the same peeling as a
+    fixed 12-round materialized CTE chain — monotonicity makes the
+    fixed chain and the early-stopping loop agree exactly (4–6 live
+    rounds at these scales). Output is exact integers (node id,
+    within-core degree): no float surface at all."""
+    from ..operators.graph import kcore
+
+    li = (
+        Catalog(spark, sf_dir)
+        .lineitem.filter(F.col("l_quantity") >= 25)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.toDF("l_orderkey", "u")
+    b = li.toDF("l_orderkey", "v")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .distinct()
+    )
+    return kcore(edges, k=18, max_rounds=12).orderBy("node")
+
+
 def _pr_dangling_round(i: int) -> str:
     """One unrolled round of dangling-aware PageRank as CTE text —
     float order pinned to operators/graph.py::_pr_round: divide per

@@ -208,3 +208,45 @@ def test_triangle_counts_matches_bruteforce_and_canonicalizes(spark):
     # are in none and so are absent from the output entirely
     assert {(1, 3, 3), (2, 3, 3), (3, 3, 3), (4, 3, 3), (10, 1, 5)} <= got
     assert not {r for r in got if r[0] in (13, 14, 15)}
+
+
+def test_kcore_matches_bruteforce_peel(spark):
+    """kcore == a pure-Python peel on a hand-built graph: K5 (every
+    node degree 4) + a tail path and a pendant triangle that must
+    cascade away at k=3, with duplicate-direction noise edges."""
+    from lmo_data_catalog_spark.operators.graph import kcore
+
+    edges = [
+        # K5 on 1-5 -> the 3-core (in fact 4-core)
+        (1, 2), (1, 3), (1, 4), (1, 5), (2, 3),
+        (2, 4), (2, 5), (3, 4), (3, 5), (4, 5),
+        # tail: 5-6-7 path and a triangle 7-8-9 hanging off it —
+        # every node here has degree <= 2 once peeling starts
+        (5, 6), (6, 7), (7, 8), (7, 9), (8, 9),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r.node, r.core_degree) for r in kcore(df, k=3).collect()}
+    assert got == {(1, 4), (2, 4), (3, 4), (4, 4), (5, 4)}
+
+    # k above the max degree peels everything: empty result, converged
+    assert kcore(df, k=6, max_rounds=8).count() == 0
+
+
+def test_kcore_is_fixpoint_and_raises_without_convergence(spark):
+    """Re-peeling the returned core changes nothing (fixpoint), and
+    an impossible round budget raises instead of truncating."""
+    import pytest as _pytest
+
+    from lmo_data_catalog_spark.operators.graph import kcore
+
+    edges = [(i, j) for i in range(1, 6) for j in range(i + 1, 6)]
+    edges += [(5, 6), (6, 7), (7, 8), (7, 9), (8, 9)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    core = kcore(df, k=3)
+    nodes = {r.node for r in core.collect()}
+    sub = df.filter(df.src.isin(nodes) & df.dst.isin(nodes))
+    again = {(r.node, r.core_degree) for r in kcore(sub, k=3).collect()}
+    assert again == {(r.node, r.core_degree) for r in core.collect()}
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        kcore(df, k=3, max_rounds=1)
