@@ -2036,3 +2036,124 @@ def chi2_priority_status_independence(
             F.sqrt(chi2 / (F.min("n") * F.least(dof_p, dof_s))), 6
         ).alias("cramers_v"),
     )
+
+
+# --------------------------------------------- deterministic bootstrap CI
+
+#: Poisson(1) CDF thresholds scaled to 2^32 — an integer hash below
+#: threshold k gets resample weight k (tail merged into 5). Integer
+#: compares only: no float enters until the replicate means.
+_BOOT_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373)
+_BOOT_B = 32
+
+
+def _boot_weight(b: int):
+    """Replicate-``b`` Poisson-bootstrap weight for an order row:
+    Knuth-hash the (orderkey, replicate) pair to a uniform 32-bit
+    integer, invert the Poisson(1) CDF by integer thresholds."""
+    h = F.pmod(
+        (F.col("o_orderkey") + F.lit(b * 1000003)) * F.lit(_KNUTH),
+        F.lit(_M32),
+    )
+    w = F.when(h < _BOOT_T[0], 0)
+    for i, t in enumerate(_BOOT_T[1:], start=1):
+        w = w.when(h < t, i)
+    return w.otherwise(5).cast("long")
+
+
+def _boot_oracle_sql() -> str:
+    cases = "WHEN h < 1580030168 THEN 0 " + " ".join(
+        f"WHEN h < {t} THEN {i}"
+        for i, t in enumerate(_BOOT_T[1:], start=1)
+    )
+    return f"""
+    WITH reps AS (SELECT unnest(range({_BOOT_B})) AS b),
+    hashed AS (
+        SELECT r.b,
+               ((o_orderkey + r.b * 1000003) * {_KNUTH}) % {_M32} AS h,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        FROM orders, reps r
+    ),
+    weighted AS (
+        SELECT b, CASE {cases} ELSE 5 END AS w, p FROM hashed
+    ),
+    means AS (
+        SELECT b, CAST(SUM(w * p) AS DOUBLE) / SUM(w) AS m
+        FROM weighted GROUP BY b
+    ),
+    pt AS (
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*) AS mu
+        FROM orders
+    )
+    SELECT (SELECT n_rows FROM pt) AS n_rows,
+           ROUND((SELECT mu FROM pt), 6) + 0.0 AS point_mean,
+           ROUND(stddev_samp(m), 6) + 0.0 AS boot_se,
+           ROUND(quantile_cont(m, 0.025), 6) + 0.0 AS ci_lo,
+           ROUND(quantile_cont(m, 0.975), 6) + 0.0 AS ci_hi
+    FROM means
+    """
+
+
+@query(
+    "bootstrap_mean_ci",
+    oracle=_boot_oracle_sql(),
+    tags=("analytic", "statistics", "resampling"),
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95 % confidence interval for the mean order
+    price — 32 deterministic resample replicates in ONE scan. Each
+    replicate draws a per-row weight ~ Poisson(1) by inverting the
+    CDF on an integer Knuth hash of (orderkey, replicate) — the
+    classic streaming bootstrap (resampling without materializing
+    resamples), made engine-portable by using integer hash compares
+    instead of either engine's RNG.
+
+    Scale shape: the engine side never explodes rows — all 32
+    replicates are 64 conditional aggregates (weighted DECIMAL sum +
+    weight count per replicate) in a single map-side-combined pass;
+    the 32 replicate means then unfold from one row and feed exact
+    quantiles. The oracle cross-joins orders x 32 instead (same
+    values, |orders|x32 rows) — the shape difference IS the point:
+    at 100 TB the explode costs 32 scans' worth of shuffle, the
+    aggregate-vector costs one. Float parity: weighted sums are
+    exact DECIMAL (weight <= 5 keeps DECIMAL(18,2)x5 well inside
+    38 digits), cast to double once per replicate; quantile
+    interpolation and stddev_samp over the same 32 doubles agree to
+    6 dp; ``+ 0.0`` guards IEEE -0.0."""
+    orders = Catalog(spark, sf_dir).orders
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    aggs = [F.count(F.lit(1)).alias("n_rows"), F.sum(p).alias("tot")]
+    for b in range(_BOOT_B):
+        w = _boot_weight(b)
+        aggs.append(F.sum(p * w).alias(f"s{b}"))
+        aggs.append(F.sum(w).alias(f"c{b}"))
+    one = orders.agg(*aggs)
+    means = one.select(
+        "n_rows",
+        (F.col("tot").cast("double") / F.col("n_rows")).alias("mu"),
+        F.explode(
+            F.array(
+                *[
+                    F.col(f"s{b}").cast("double") / F.col(f"c{b}")
+                    for b in range(_BOOT_B)
+                ]
+            )
+        ).alias("m"),
+    )
+    return means.groupBy("n_rows", "mu").agg(
+        (F.round(F.stddev_samp("m"), 6) + F.lit(0.0)).alias("boot_se"),
+        (F.round(F.percentile("m", F.lit(0.025)), 6) + F.lit(0.0)).alias(
+            "ci_lo"
+        ),
+        (F.round(F.percentile("m", F.lit(0.975)), 6) + F.lit(0.0)).alias(
+            "ci_hi"
+        ),
+    ).select(
+        "n_rows",
+        (F.round(F.col("mu"), 6) + F.lit(0.0)).alias("point_mean"),
+        "boot_se",
+        "ci_lo",
+        "ci_hi",
+    )
