@@ -2157,3 +2157,99 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_lo",
         "ci_hi",
     )
+
+
+@query(
+    "cusum_changepoint_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS r
+        FROM orders GROUP BY 1
+    ),
+    mu AS (
+        SELECT CAST(SUM(CAST(r AS DECIMAL(30,8))) AS DOUBLE)
+                 / COUNT(*) AS m,
+               COUNT(*) AS n
+        FROM daily
+    ),
+    cusum AS (
+        SELECT d,
+               SUM(r - (SELECT m FROM mu))
+                 OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS s
+        FROM daily
+    )
+    SELECT (SELECT n FROM mu) AS n_days,
+           (SELECT d FROM cusum ORDER BY ABS(s) DESC, d LIMIT 1)
+             AS changepoint_day,
+           ROUND((SELECT MAX(ABS(s)) FROM cusum), 4) + 0.0
+             AS max_abs_cusum,
+           ROUND((SELECT m FROM mu), 6) + 0.0 AS mean_daily_revenue
+    """,
+    tags=("timeseries", "statistics", "changepoint"),
+)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point scan over the daily revenue series: the
+    cumulative sum of deviations from the grand mean peaks (in
+    absolute value) at the most likely single shift point — the
+    classic offline CUSUM estimator read next to
+    daily_revenue_autocorr and weekday_seasonal_indices.
+
+    Like theil_sen_daily_trend, the heavy input collapses to the
+    calendar-bounded daily frame first (one map-side-combined DECIMAL
+    aggregate — 100 TB of orders still yields ~2.4k rows), so the
+    ordered running sum is a bounded-frame window, not a fact-table
+    sort; the mean is attached as a 1-row broadcast. Float parity:
+    daily totals are exact DECIMAL cast once; the running sum
+    accumulates ascending-by-day in both engines (identical
+    left-assoc order); the argmax day is pinned deterministic by the
+    (|s| DESC, day ASC) tie-break. The grand mean divides an exact
+    DECIMAL(30,8) total, immune to summation-order ulp."""
+    orders = Catalog(spark, sf_dir).orders
+    daily = cache.track(
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("r")
+        )
+    )
+    mu = daily.agg(
+        (
+            F.sum(F.col("r").cast("decimal(30,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = daily.crossJoin(F.broadcast(mu)).select(
+        "d",
+        "n",
+        "m",
+        F.sum(F.col("r") - F.col("m")).over(w).alias("s"),
+    )
+    top = (
+        cusum.orderBy(F.abs(F.col("s")).desc(), F.col("d").asc())
+        .limit(1)
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("d").alias("changepoint_day"),
+            (F.round(F.abs(F.col("s")), 4) + F.lit(0.0)).alias(
+                "__cand_max"
+            ),
+            (F.round(F.col("m"), 6) + F.lit(0.0)).alias(
+                "mean_daily_revenue"
+            ),
+        )
+    )
+    mx = cusum.agg(
+        (F.round(F.max(F.abs(F.col("s"))), 4) + F.lit(0.0)).alias(
+            "max_abs_cusum"
+        )
+    )
+    return top.crossJoin(F.broadcast(mx)).select(
+        "n_days",
+        "changepoint_day",
+        "max_abs_cusum",
+        "mean_daily_revenue",
+    )

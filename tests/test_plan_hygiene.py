@@ -48,6 +48,7 @@ ALLOWED_BNLJ = {
     "resample_daily_orders",  # 1-row min/max spine bounds
     "tfidf_top_terms",  # 1-row doc-count broadcast
     "theil_sen_daily_trend",  # calendar-bounded daily self-pair + 1-row attach
+    "cusum_changepoint_daily",  # 1-row grand-mean + max-cusum attaches
     "trailing_7d_distinct_users",  # 1-row spine bounds
     "watermark_boundary_admission",  # 1-row watermark broadcast
 }
