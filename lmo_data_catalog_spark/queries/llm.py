@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import cache
 from ..catalog import Catalog
 from ..functions import epoch_us
 from ..operators import text as T
@@ -710,4 +711,127 @@ def feature_hash_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").alias("n_occurrences"),
         )
         .orderBy("feature_idx")
+    )
+
+
+@query(
+    "sparse_cosine_rare_term_pairs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    rare AS (
+        SELECT term FROM tf GROUP BY term HAVING COUNT(*) <= 25
+    ),
+    post AS (
+        SELECT tf.doc_id, tf.term, tf.tf
+        FROM tf JOIN rare USING (term)
+    ),
+    norms AS (
+        SELECT doc_id, SUM(tf * tf) AS n2 FROM post GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               SUM(a.tf * b.tf) AS dot
+        FROM post a JOIN post b
+          ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT d.id_a, d.id_b,
+               CAST(d.dot AS DOUBLE)
+                 / SQRT(CAST(na.n2 AS DOUBLE) * nb.n2) AS cosine
+        FROM dots d
+        JOIN norms na ON d.id_a = na.doc_id
+        JOIN norms nb ON d.id_b = nb.doc_id
+    )
+    SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
+    FROM scored
+    ORDER BY cosine DESC, id_a, id_b
+    LIMIT 100
+    """,
+    tags=("llm", "similarity", "sparse", "text"),
+)
+def sparse_cosine_rare_term_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sparse cosine similarity join via posting lists — the
+    inverted-index sibling of the dense-embedding GEMM path
+    (embedding_neardup_pairs): documents as term-frequency vectors
+    over the RARE-term vocabulary (document frequency ≤ 25), dot
+    products accumulated only where a posting list brings two
+    documents together, top-100 pairs by cosine.
+
+    The df cap is the scale contract (standard rare-term blocking /
+    impact pruning): per-term join fanout is ≤ C(25,2) pairs, so the
+    candidate stage is LINEAR in posting count — no all-pairs stage
+    exists anywhere in the plan, unlike the GEMM verify which is
+    honestly O(n²). Common terms contribute little to cosine ranking
+    and everything to fanout; dropping them from the VECTORS (not
+    just the candidates) keeps the score exact over the declared
+    vocabulary, identically in both engines. Float parity: tf, df,
+    dot and squared norms are exact integers; the single
+    division-by-sqrt per pair is evaluated identically; ties at the
+    top-100 boundary are pinned by the (cosine DESC, id_a, id_b)
+    order. Engine top-k is a TakeOrdered, never a global sort."""
+    cat = Catalog(spark, sf_dir)
+    toks = cat.documents.select(
+        "doc_id", F.explode_outer(T.tokens("text")).alias("term")
+    ).where(F.col("term").isNotNull())
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    rare = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= 25)
+        .select("term")
+    )
+    post = cache.track(tf.join(rare, "term").select("doc_id", "term", "tf"))
+    norms = post.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    a = post.select(
+        F.col("term").alias("t"),
+        F.col("doc_id").alias("id_a"),
+        F.col("tf").alias("tf_a"),
+    )
+    b = post.select(
+        F.col("term").alias("t"),
+        F.col("doc_id").alias("id_b"),
+        F.col("tf").alias("tf_b"),
+    )
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("n2_a"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("n2_b"))
+    scored = (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.col("n2_a").cast("double") * F.col("n2_b")
+                )
+            ).alias("cosine"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("cosine").desc(), F.col("id_a"), F.col("id_b")
+        )
+        .limit(100)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
