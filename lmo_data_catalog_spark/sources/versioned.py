@@ -96,6 +96,43 @@ def _zm_bounds(zm: dict):
     return _stat_decode(tag, zm["min"]), _stat_decode(tag, zm["max"])
 
 
+def _zm_lookup(entry, col: str):
+    """Zone map for ``col`` from one directory's stats entry. Entries
+    are a single zone-map dict (single-key layouts) or a LIST of them
+    (z-order layouts record one per clustering column); lookups are
+    uniform so every pruner (merge, read_range, Bloom) bites on
+    whichever clustering column the caller probes."""
+    if entry is None:
+        return None
+    if isinstance(entry, list):
+        for zm in entry:
+            if zm.get("col") == col:
+                return zm
+        return None
+    return entry if entry.get("col") == col else None
+
+
+def _zm_rename(entry, old: str, new: str):
+    """Rename a column inside a stats entry (dict or list form)."""
+    if isinstance(entry, list):
+        return [
+            dict(zm, col=new) if zm.get("col") == old else zm
+            for zm in entry
+        ]
+    return dict(entry, col=new) if entry.get("col") == old else entry
+
+
+def _zm_drop(entry, col: str):
+    """Drop ``col``'s zone map from a stats entry; None if nothing
+    survives (caller omits the directory's entry entirely)."""
+    if isinstance(entry, list):
+        kept = [zm for zm in entry if zm.get("col") != col]
+        if not kept:
+            return None
+        return kept if len(kept) > 1 else kept[0]
+    return None if entry.get("col") == col else entry
+
+
 def _make_stats(col: str, mn, mx) -> dict:
     tag_mn, enc_mn = _stat_encode(mn)
     tag_mx, enc_mx = _stat_encode(mx)
@@ -340,10 +377,11 @@ class VersionedTable:
 
     @staticmethod
     def _dir_version(d: str) -> int:
-        """The version that WROTE a data directory (its c-prefix) —
-        the anchor for rename lineage: renames published after this
+        """The version that WROTE a data directory (its c-prefix for
+        commits/compactions, z-prefix for z-order compactions) — the
+        anchor for rename lineage: renames published after this
         version apply to the directory's physical column names."""
-        return int(d.split("-", 1)[0].lstrip("c"))
+        return int(d.split("-", 1)[0].lstrip("cz"))
 
     def _renames(self, version: int) -> list[dict]:
         return self._load_manifest(version).get("renames", [])
@@ -426,7 +464,7 @@ class VersionedTable:
             ]
         )
         new_stats = {
-            d: (dict(zm, col=new) if zm.get("col") == old else zm)
+            d: _zm_rename(zm, old, new)
             for d, zm in m.get("stats", {}).items()
         }
         self._publish(
@@ -480,9 +518,12 @@ class VersionedTable:
             [f for f in schema.fields if f.name != col]
         )
         new_stats = {
-            d: zm
-            for d, zm in m.get("stats", {}).items()
-            if zm.get("col") != col
+            d: kept
+            for d, kept in (
+                (d, _zm_drop(zm, col))
+                for d, zm in m.get("stats", {}).items()
+            )
+            if kept is not None
         }
         self._publish(
             version,
@@ -722,9 +763,9 @@ class VersionedTable:
         stats = manifest.get("stats", {})
         keep_dirs, rewrite_dirs = [], []
         for d in manifest["data_dirs"]:
-            zm = stats.get(d)
+            zm = _zm_lookup(stats.get(d), key)
             prunable = False
-            if touched is not None and zm is not None and zm.get("col") == key:
+            if touched is not None and zm is not None:
                 mn, mx = _zm_bounds(zm)
                 prunable = mn is not None and (
                     mx < touched[0] or mn > touched[1]
@@ -747,9 +788,9 @@ class VersionedTable:
             try:
                 still = []
                 for d in rewrite_dirs:
-                    zm = stats.get(d)
+                    zm = _zm_lookup(stats.get(d), key)
                     bl = (zm or {}).get("bloom")
-                    if bl and zm.get("col") == key:
+                    if bl:
                         hit = (
                             keys_df.filter(
                                 bloom_might_contain(
@@ -928,9 +969,9 @@ class VersionedTable:
         stats = m.get("stats", {})
         dirs = []
         for d in m["data_dirs"]:
-            zm = stats.get(d)
+            zm = _zm_lookup(stats.get(d), key)
             prunable = False
-            if zm is not None and zm.get("col") == key:
+            if zm is not None:
                 mn, mx = _zm_bounds(zm)
                 prunable = mn is not None and (mx < lo or mn > hi)
             if not prunable:
@@ -1186,6 +1227,151 @@ class VersionedTable:
                     "props": self._next_props(head, None),
                 },
             )
+        finally:
+            df.unpersist()
+        return version
+
+    def compact_zorder(
+        self,
+        cols: list[str],
+        *,
+        n_dirs: int = 4,
+        bits: int = 12,
+        operation: str | None = None,
+    ) -> int:
+        """Rewrite the head snapshot clustered on a Z-ORDER curve over
+        ``cols`` — the multi-column OPTIMIZE (Delta ``ZORDER BY`` /
+        Iceberg sort-order parity). :meth:`compact` slices one key's
+        range, so pruning on any OTHER column degrades to full scans;
+        interleaving the bits of several columns' positions gives
+        every clustering column locality, so each output directory
+        covers a small sub-rectangle of the key space and zone-map
+        pruning bites on whichever column a merge or read probes.
+
+        Mechanics: each column is mapped to a ``2**bits``-bin
+        equi-width position between its global min and max (one
+        2-value aggregate per column; NULLs ride bin 0 — never
+        dropped, mirroring compact()'s NULL-key rule), bit positions
+        are interleaved column-round-robin into a single z value, and
+        the table is sliced into ``n_dirs`` z-ranges by approximate
+        z-quantiles (skew-robust where equi-width z-slicing is not),
+        each written sorted by z. The manifest records a LIST of zone
+        maps per directory — one per clustering column — which
+        :func:`_zm_lookup` makes transparent to every existing pruner
+        (merge, read_range, Bloom).
+
+        Equi-width (not rank) binning is deliberate: it needs only
+        min/max, is fully distributed, and z-quantile slicing absorbs
+        the skew equi-width binning leaves behind. At 100 TB this is
+        one scan to bin + range-exchange on z + one write; no
+        driver-side state beyond 2 scalars per column and the
+        n_dirs−1 z cuts. Numeric columns only (map dates through
+        their epoch first, like compact())."""
+        if len(cols) < 2:
+            raise ValueError("z-order needs >= 2 clustering columns")
+        head = self.head()
+        if head is None:
+            raise FileNotFoundError(f"no versions in {self.root}")
+        from pyspark.sql import functions as F
+
+        df = self.read().persist()
+        try:
+            bounds_row = df.agg(
+                *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(cols)],
+                *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(cols)],
+            ).collect()[0]
+            nbins = 1 << bits
+            k = len(cols)
+            z = F.lit(0).cast("long")
+            for i, c in enumerate(cols):
+                mn = bounds_row[f"mn_{i}"]
+                mx = bounds_row[f"mx_{i}"]
+                if mn is None or mx is None or float(mx) == float(mn):
+                    binned = F.lit(0).cast("long")
+                else:
+                    span = float(mx) - float(mn)
+                    pos = F.floor(
+                        (F.col(c).cast("double") - F.lit(float(mn)))
+                        / F.lit(span)
+                        * F.lit(nbins)
+                    )
+                    binned = F.coalesce(
+                        F.least(
+                            F.greatest(pos, F.lit(0)),
+                            F.lit(nbins - 1),
+                        ),
+                        F.lit(0),
+                    ).cast("long")
+                for j in range(bits):
+                    bit = F.shiftright(binned, j).bitwiseAND(F.lit(1))
+                    z = z.bitwiseOR(F.shiftleft(bit, j * k + i))
+            zdf = df.withColumn("__z", z).persist()
+            if n_dirs > 1:
+                probs = [i / n_dirs for i in range(1, n_dirs)]
+                cuts = zdf.stat.approxQuantile("__z", probs, 0.001)
+            else:
+                cuts = []
+            zbounds: list[float] = []
+            for c in cuts:
+                if not zbounds or c > zbounds[-1]:
+                    zbounds.append(c)
+            lows = [None] + zbounds
+            highs = zbounds + [None]
+            version = head + 1
+            new_dirs, new_stats = [], {}
+            for lo, hi in zip(lows, highs):
+                sl = zdf
+                if lo is not None:
+                    sl = sl.filter(F.col("__z") > lo)
+                if hi is not None:
+                    sl = sl.filter(F.col("__z") <= hi)
+                cdir = f"z{version:05d}-{uuid.uuid4().hex[:8]}"
+                path = os.path.join(self._data_dir, cdir)
+                sl.sort("__z").drop("__z").write.parquet(path)
+                written = self.spark.read.parquet(path)
+                row = written.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.min(c).alias(f"mn_{i}")
+                        for i, c in enumerate(cols)
+                    ],
+                    *[
+                        F.max(c).alias(f"mx_{i}")
+                        for i, c in enumerate(cols)
+                    ],
+                ).collect()[0]
+                if row["n"] == 0:
+                    shutil.rmtree(path)
+                    continue
+                new_dirs.append(cdir)
+                new_stats[cdir] = [
+                    _make_stats(c, row[f"mn_{i}"], row[f"mx_{i}"])
+                    for i, c in enumerate(cols)
+                ]
+            schema = self.schema(head)
+            self._publish(
+                version,
+                {
+                    "version": version,
+                    "parent": head,
+                    "operation": operation
+                    or f"compact_zorder(cols={list(cols)})",
+                    "data_dirs": new_dirs,
+                    "stats": new_stats,
+                    **(
+                        {}
+                        if not self._renames(head)
+                        else {"renames": self._renames(head)}
+                    ),
+                    **(
+                        {}
+                        if schema is None
+                        else {"schema": schema.jsonValue()}
+                    ),
+                    "props": self._next_props(head, None),
+                },
+            )
+            zdf.unpersist()
         finally:
             df.unpersist()
         return version

@@ -864,3 +864,94 @@ def test_compact_after_rename_physically_migrates(spark, tmp_path):
 
     f = t.read().inputFiles()[0].replace("file:", "")
     assert "label" in pq.read_schema(f).names
+
+
+def test_zorder_compact_prunes_on_both_columns(spark, tmp_path):
+    """compact_zorder gives BOTH clustering columns zone-map locality:
+    after z-ordering a grid table on (x, y), a tight read_range on x
+    AND a tight read_range on y each skip directories — where a
+    single-key compact("x") only ever prunes x probes. Content
+    (including NULLs in either column) is preserved exactly."""
+    t = VersionedTable(spark, str(tmp_path / "zo"))
+    rows = [(x, y, f"v{x}-{y}") for x in range(40) for y in range(40)]
+    rows += [(None, 5, "nx"), (7, None, "ny"), (None, None, "nn")]
+    t.commit(df_of(spark, rows, ["x", "y", "val"]), stats_col="x")
+    pre = rows_set(t.read())
+
+    v = t.compact_zorder(["x", "y"], n_dirs=4, bits=8)
+    m = t._load_manifest(v)
+    assert 1 < len(m["data_dirs"]) <= 4
+    assert rows_set(t.read()) == pre  # nothing lost, NULLs included
+    # every directory records a zone map PER clustering column
+    for d in m["data_dirs"]:
+        entry = m["stats"][d]
+        assert isinstance(entry, list)
+        assert {zm["col"] for zm in entry} == {"x", "y"}
+    # both columns prune: a corner probe must skip >= 1 directory
+    all_files = len(t.read().inputFiles())
+    assert len(t.read_range("x", 0, 4).inputFiles()) < all_files
+    assert len(t.read_range("y", 0, 4).inputFiles()) < all_files
+    # correctness of the pruned reads (superset-filter contract)
+    got_x = {
+        r.val
+        for r in t.read_range("x", 0, 4)
+        .where("x >= 0 and x <= 4")
+        .collect()
+    }
+    assert got_x == {f"v{x}-{y}" for x in range(5) for y in range(40)}
+
+
+def test_zorder_layout_survives_merge_rename_and_drop(spark, tmp_path):
+    """The list-form stats entry is transparent to every consumer:
+    merge prunes against it, rename rewrites the right member, drop
+    removes one member and keeps the other column's pruning alive."""
+    t = VersionedTable(spark, str(tmp_path / "zs"))
+    rows = [(x, y, x * 100 + y) for x in range(20) for y in range(20)]
+    t.commit(df_of(spark, rows, ["x", "y", "val"]), stats_col="x")
+    t.compact_zorder(["x", "y"], n_dirs=4, bits=6)
+    n_total = len(t._load_manifest(t.head())["data_dirs"])
+
+    # merge on x prunes directories using the list-form zone maps
+    before = t._load_manifest(t.head())["data_dirs"]
+    t.merge(df_of(spark, [(1, 1, 9999)], ["x", "y", "val"]), "x")
+    after = t._load_manifest(t.head())["data_dirs"]
+    assert len(set(before) & set(after)) > 0  # some dirs survived untouched
+    assert (1, 1, 9999) in rows_set(t.read())
+
+    # rename y -> yy keeps its zone map under the new name
+    t.rename_column("y", "yy")
+    m = t._load_manifest(t.head())
+    carried = [
+        zm
+        for d in m["data_dirs"]
+        for zm in (
+            m["stats"][d]
+            if isinstance(m["stats"][d], list)
+            else [m["stats"][d]]
+        )
+    ]
+    assert any(zm["col"] == "yy" for zm in carried)
+    assert not any(zm["col"] == "y" for zm in carried)
+    assert len(t.read_range("yy", 0, 3).inputFiles()) < len(
+        t.read().inputFiles()
+    )
+
+    # dropping yy keeps x's zone maps (list entry collapses, not dies)
+    t.drop_column("yy")
+    m = t._load_manifest(t.head())
+    remaining = [
+        zm
+        for d in m["data_dirs"]
+        if d in m["stats"]
+        for zm in (
+            m["stats"][d]
+            if isinstance(m["stats"][d], list)
+            else [m["stats"][d]]
+        )
+    ]
+    assert remaining and all(zm["col"] == "x" for zm in remaining)
+    assert "yy" not in t.read().columns
+    assert len(t.read_range("x", 0, 3).inputFiles()) < len(
+        t.read().inputFiles()
+    )
+    assert n_total >= 2
