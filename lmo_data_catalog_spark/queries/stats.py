@@ -2253,3 +2253,94 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_abs_cusum",
         "mean_daily_revenue",
     )
+
+
+@query(
+    "seasonal_naive_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS r
+        FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT MAX(d) AS dmax FROM daily),
+    preds AS (
+        SELECT d, r, LAG(r, 7) OVER (ORDER BY d) AS yhat
+        FROM daily
+    ),
+    test AS (
+        SELECT r, yhat, r - yhat AS e
+        FROM preds, mx
+        WHERE d > dmax - INTERVAL 28 DAY AND yhat IS NOT NULL
+    )
+    SELECT COUNT(*) AS n_test_days,
+           ROUND(AVG(ABS(e) / ABS(r)) * 100, 6) + 0.0 AS mape_pct,
+           ROUND(AVG(2.0 * ABS(e) / (ABS(r) + ABS(yhat))) * 100, 6)
+             + 0.0 AS smape_pct,
+           ROUND(SQRT(AVG(e * e)), 4) + 0.0 AS rmse
+    FROM test
+    """,
+    tags=("timeseries", "forecast", "backtest"),
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the weekly seasonal-naive forecaster (predict each
+    day with the revenue seven days earlier) over the series' final
+    28 days — MAPE, symmetric MAPE and RMSE. The evaluation-harness
+    primitive every forecasting pipeline needs before trusting a
+    fancier model; seasonal-naive is the standard no-skill baseline
+    those models must beat (read with daily_revenue_autocorr's lag-7
+    coefficient, which predicts how well this does).
+
+    Scale shape: the fact table collapses to the calendar-bounded
+    daily frame (one DECIMAL map-side aggregate); the LAG and the
+    28-day filter run on ~2.4k rows; the test-window max date is a
+    1-row broadcast. Float parity: daily totals are exact DECIMAL
+    cast once; each error term is one subtraction/division evaluated
+    identically per row; the three error means average ≤ 28 such
+    doubles in the same order (ascending-day input to an
+    order-insensitive 28-term sum — both engines hash-agg a bounded
+    set; ROUND(6/4) absorbs the ≤ 1-ulp commutation)."""
+    orders = Catalog(spark, sf_dir).orders
+    daily = cache.track(
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("r")
+        )
+    )
+    mx = daily.agg(F.max("d").alias("dmax"))
+    preds = daily.select(
+        "d", "r", F.lag("r", 7).over(Window.orderBy("d")).alias("yhat")
+    )
+    test = (
+        preds.crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("d") > F.date_sub(F.col("dmax"), 28))
+            & F.col("yhat").isNotNull()
+        )
+        .select(
+            "r", "yhat", (F.col("r") - F.col("yhat")).alias("e")
+        )
+    )
+    return test.agg(
+        F.count(F.lit(1)).alias("n_test_days"),
+        (
+            F.round(F.avg(F.abs("e") / F.abs("r")) * 100, 6) + F.lit(0.0)
+        ).alias("mape_pct"),
+        (
+            F.round(
+                F.avg(
+                    F.lit(2.0)
+                    * F.abs("e")
+                    / (F.abs("r") + F.abs("yhat"))
+                )
+                * 100,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("smape_pct"),
+        (F.round(F.sqrt(F.avg(F.col("e") * F.col("e"))), 4) + F.lit(0.0)).alias(
+            "rmse"
+        ),
+    )

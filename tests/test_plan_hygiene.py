@@ -49,6 +49,7 @@ ALLOWED_BNLJ = {
     "tfidf_top_terms",  # 1-row doc-count broadcast
     "theil_sen_daily_trend",  # calendar-bounded daily self-pair + 1-row attach
     "cusum_changepoint_daily",  # 1-row grand-mean + max-cusum attaches
+    "seasonal_naive_backtest",  # 1-row max-date test-window bound
     "trailing_7d_distinct_users",  # 1-row spine bounds
     "watermark_boundary_admission",  # 1-row watermark broadcast
 }
