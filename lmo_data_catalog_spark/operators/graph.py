@@ -401,15 +401,24 @@ def kcore(
             )
             .select("u", "v")
         )
-        nxt = cache.track(nxt)
-        if (i + 1) % 4 == 0:
-            nxt = cache.register(nxt.localCheckpoint(eager=False))
+        # truncate lineage EVERY round: nxt references cur twice (the
+        # two semi joins), so an un-truncated chain doubles the
+        # logical plan per round — by ~round 12 merely STRINGIFYING
+        # the plan (persist's cache name, explain) OOMs the driver
+        # (the round-7 doubled-plan pitfall). localCheckpoint is lazy;
+        # the convergence count below materializes it.
+        nxt = cache.register(nxt.localCheckpoint(eager=False))
         n_next = nxt.count()
         if n_next == n_edges:
             return (
                 cur.groupBy(F.col("u").alias("node"))
                 .agg(F.count(F.lit(1)).alias("core_degree"))
             )
+        # nxt is materialized (count above) — superseded round frames
+        # can release NOW, so a long session (or a suite building many
+        # plans) doesn't accumulate one persisted edge set per round
+        cur.unpersist()
+        keep.unpersist()
         cur, n_edges = nxt, n_next
     raise RuntimeError(
         f"kcore did not converge in {max_rounds} rounds "

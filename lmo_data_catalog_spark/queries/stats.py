@@ -963,8 +963,10 @@ def kcore_parts_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropping one node can demote its neighbors below k).
 
     Engine side is operators/graph.py::kcore — a converging loop of
-    one keyed degree aggregate + two semi joins per round, persisted
-    and lineage-truncated every 4 rounds, with a 1-long COUNT action
+    one keyed degree aggregate + two semi joins per round,
+    lineage-truncated every round (the plan references the previous
+    frame twice — un-truncated it doubles per round), with a 1-long
+    COUNT action
     as the convergence probe; raises past max_rounds rather than
     silently truncating. The oracle unrolls the same peeling as a
     fixed 12-round materialized CTE chain — monotonicity makes the

@@ -57,10 +57,17 @@ ALLOWED_BNLJ = {
 
 @pytest.fixture(scope="module")
 def plans(spark):
+    from lmo_data_catalog_spark import cache
+
     out = {}
     for name, spec in REGISTRY.items():
         df = spec.builder(spark, SF)
         out[name] = df._jdf.queryExecution().executedPlan().toString()
+    # iterative builders (kcore, pagerank_converged) EXECUTE and
+    # persist while building; release them so a full-suite session
+    # doesn't carry this module's storage into later tests (or OOM
+    # when this module runs late in the suite)
+    cache.release_all()
     return out
 
 

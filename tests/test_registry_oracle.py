@@ -12,6 +12,17 @@ from tools.verify_local import normalize
 from .conftest import SF_SMOKE
 
 
+@pytest.fixture(autouse=True)
+def _release_tracked_caches():
+    """Operators persist shared intermediates via cache.track; over
+    174 parametrized queries in one session-scoped JVM those add up —
+    release after every query like bench.py does between queries."""
+    from lmo_data_catalog_spark import cache
+
+    yield
+    cache.release_all()
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(name, spark, duck):
     spec = REGISTRY[name]
