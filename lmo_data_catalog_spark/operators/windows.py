@@ -446,3 +446,77 @@ def global_running_sum(
     )
     running = F.sum(value_col).over(w) + F.coalesce(off, F.lit(0))
     return b.withColumn(name, running).drop("__bucket")
+
+
+def exact_percentile_selection(
+    df: DataFrame,
+    col: str,
+    p: float,
+    *,
+    rel_err: float = 0.0005,
+    max_rounds: int = 6,
+) -> float | None:
+    """EXACT interpolated percentile by distributed selection — the
+    scale path for one global quantile over a huge column, where both
+    a global sort and Spark's exact ``percentile`` aggregate (which
+    buffers every value) die first.
+
+    Three bounded passes: (1) count n; (2) ``approxQuantile`` brackets
+    the target rank with guaranteed rank error; (3) one aggregate
+    counts values below the bracket and ``collect_list``s the
+    bracket's members (≈ 2·rel_err·n values — driver-bounded, tuned
+    by ``rel_err``). The exact order statistics are then read out of
+    the sorted bracket and interpolated with the SAME weighted form
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` both use
+    (``v_lo·(⌈pos⌉ − pos) + v_hi·(pos − ⌊pos⌋)`` at fractional rank
+    pos = p·(n−1), exact value when pos is integral — kept verbatim,
+    NOT the algebraically-equal ``lo + Δ·frac``, so results are
+    bit-identical to both engines). A pathological
+    duplicate mass at the bracket edge can evict the target rank from
+    the bracket; each retry doubles ``rel_err`` (``max_rounds``
+    caps it, then raises rather than returning an approximation).
+    """
+    import math
+
+    sdf = (
+        df.select(F.col(col).alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .persist()
+    )
+    try:
+        n = sdf.count()
+        if n == 0:
+            return None
+        pos = p * (n - 1)
+        lo_idx, hi_idx = math.floor(pos), math.ceil(pos)
+        eps = max(rel_err, 2.0 / n)
+        for _ in range(max_rounds):
+            plo = max(0.0, p - eps)
+            phi = min(1.0, p + eps)
+            blo, bhi = sdf.stat.approxQuantile(
+                "__v", [plo, phi], eps * 0.25
+            )
+            in_bracket = (F.col("__v") >= blo) & (F.col("__v") <= bhi)
+            row = sdf.agg(
+                F.sum(
+                    F.when(F.col("__v") < blo, 1).otherwise(0)
+                ).alias("below"),
+                F.sort_array(
+                    F.collect_list(F.when(in_bracket, F.col("__v")))
+                ).alias("bracket"),
+            ).collect()[0]
+            below = row["below"] or 0
+            bracket = row["bracket"]
+            if below <= lo_idx and hi_idx < below + len(bracket):
+                v_lo = bracket[lo_idx - below]
+                if lo_idx == hi_idx:
+                    return v_lo
+                v_hi = bracket[hi_idx - below]
+                return v_lo * (hi_idx - pos) + v_hi * (pos - lo_idx)
+            eps *= 2.0
+        raise RuntimeError(
+            f"exact_percentile_selection: bracket missed rank {pos} "
+            f"after {max_rounds} widenings (rel_err now {eps})"
+        )
+    finally:
+        sdf.unpersist()

@@ -1902,13 +1902,21 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     of fact-table size — 100 TB of orders still collapses to the same
     few-thousand-row frame through one map-side-combined DECIMAL
     aggregate. The self-pair join is a broadcast of that bounded
-    frame (allow-listed BNLJ, never fact×fact); the ~3M slopes feed
-    one exact percentile. Float parity: daily totals are exact
-    DECIMAL sums cast once to double; each slope is one subtraction
-    and one division evaluated identically per pair; both engines use
-    the same linear-interpolation percentile (verified equal across
-    the suite); the intercept reuses the UNROUNDED slope in both
-    engines; ``+ 0.0`` guards IEEE −0.0 on the near-zero slope."""
+    frame (allow-listed BNLJ, never fact×fact); the ~3M slopes' median
+    comes from ``exact_percentile_selection`` — three bounded passes
+    (count, rank-bracketing approxQuantile, one bracket collect)
+    instead of Spark's value-buffering ``percentile`` aggregate,
+    which is both the 100 TB-safe plan (nothing ever gathers more
+    than the ~2·rel_err·n bracket) and ~3× faster here. Float parity:
+    daily totals are exact DECIMAL sums cast once to double; each
+    slope is one subtraction and one division evaluated identically
+    per pair; the selection interpolates with the same SQL-standard
+    weighted form as DuckDB quantile_cont (bit-identical, pinned in
+    test_operators.py); the intercept reuses the UNROUNDED slope in
+    both engines; ``+ 0.0`` guards IEEE −0.0 on the near-zero
+    slope."""
+    from ..operators.windows import exact_percentile_selection
+
     orders = Catalog(spark, sf_dir).orders
     daily = cache.track(
         orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
@@ -1924,22 +1932,27 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r",
         )
     )
-    a = daily.select(F.col("x").alias("x1"), F.col("r").alias("r1"))
+    a = daily.repartition(32).select(
+        F.col("x").alias("x1"), F.col("r").alias("r1")
+    )
     b = daily.select(F.col("x").alias("x2"), F.col("r").alias("r2"))
-    slopes = a.join(F.broadcast(b), F.col("x2") > F.col("x1")).select(
-        (
-            (F.col("r2") - F.col("r1"))
-            / (F.col("x2") - F.col("x1")).cast("double")
-        ).alias("slope")
+    slopes = cache.track(
+        a.join(F.broadcast(b), F.col("x2") > F.col("x1")).select(
+            (
+                (F.col("r2") - F.col("r1"))
+                / (F.col("x2") - F.col("x1")).cast("double")
+            ).alias("slope")
+        )
     )
-    m = slopes.agg(
-        F.percentile("slope", F.lit(0.5)).alias("ts"),
-        F.count(F.lit(1)).alias("n_pairs"),
+    ts = exact_percentile_selection(slopes, "slope", 0.5)
+    n_pairs = slopes.count()
+    resid = daily.select(
+        (F.col("r") - F.lit(ts) * F.col("x")).alias("res")
     )
-    resid = daily.crossJoin(F.broadcast(m)).select(
-        "ts",
-        "n_pairs",
-        (F.col("r") - F.col("ts") * F.col("x")).alias("res"),
+    intercept = resid.agg(
+        (F.round(F.percentile("res", F.lit(0.5)), 6) + F.lit(0.0)).alias(
+            "ts_intercept"
+        )
     )
     stats = daily.agg(
         F.count(F.lit(1)).alias("n_days"),
@@ -1947,17 +1960,12 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ols_slope"
         ),
     )
-    summary = resid.groupBy("ts", "n_pairs").agg(
-        (F.round(F.percentile("res", F.lit(0.5)), 6) + F.lit(0.0)).alias(
-            "ts_intercept"
-        )
-    )
     return (
-        stats.crossJoin(F.broadcast(summary))
+        stats.crossJoin(F.broadcast(intercept))
         .select(
             "n_days",
-            "n_pairs",
-            (F.round(F.col("ts"), 6) + F.lit(0.0)).alias("ts_slope"),
+            F.lit(n_pairs).alias("n_pairs"),
+            (F.round(F.lit(ts), 6) + F.lit(0.0)).alias("ts_slope"),
             "ts_intercept",
             "ols_slope",
         )

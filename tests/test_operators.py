@@ -410,3 +410,35 @@ def test_bucket_proximity_join_rejects_nonpositive_window(spark):
     df = spark.range(1).select(F.col("id").alias("t"))
     with pytest.raises(ValueError):
         bucket_proximity_join(df, df, left_ts="t", right_ts="t", window=0)
+
+
+def test_exact_percentile_selection_matches_percentile_agg(spark):
+    """Selection-based exact percentile == Spark's buffering
+    ``percentile`` aggregate bit-for-bit, across odd/even n, heavy
+    duplicates, and a tiny frame (bracket = everything)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lmo_data_catalog_spark.operators.windows import (
+        exact_percentile_selection,
+    )
+
+    rng = random.Random(11)
+    cases = [
+        [rng.uniform(-1e6, 1e6) for _ in range(10_001)],  # odd n
+        [rng.uniform(0, 1) for _ in range(5_000)],  # even n
+        [float(rng.randint(0, 5)) for _ in range(4_000)],  # dup mass
+        [3.25, 1.5, -7.0],  # tiny
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], ["x"])
+        for p in (0.5, 0.025, 0.975):
+            want = df.agg(
+                F.percentile("x", F.lit(p)).alias("q")
+            ).collect()[0]["q"]
+            got = exact_percentile_selection(df, "x", p)
+            assert got == want, (p, got, want, len(vals))
+    # empty input -> None
+    empty = spark.createDataFrame([], "x double")
+    assert exact_percentile_selection(empty, "x", 0.5) is None
