@@ -109,3 +109,114 @@ def read_aggregate(
             f"{col}_avg", F.col(f"{col}_sum") / F.col("row_count")
         )
     return df
+
+
+def join_view_delta(
+    delta_a: DataFrame | None,
+    delta_b: DataFrame | None,
+    a_old: DataFrame | None,
+    b_old: DataFrame | None,
+    *,
+    on: str,
+) -> DataFrame | None:
+    """The exact delta of the inner equi-join view V = A ⋈ B under
+    append-only deltas — the textbook IVM identity:
+
+        ΔV  =  ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    Every new output pair has a new row on exactly one side or on
+    both; the three terms cover those cases disjointly, so the union
+    is a plain multiset UNION ALL (no dedup shuffle). Duplicate join
+    keys multiply multiplicities exactly as a full recompute would;
+    NULL keys join nothing on either path. Returns None when both
+    deltas are empty/absent.
+    """
+    a_cols = None if delta_a is None else set(delta_a.columns)
+    b_cols = None if delta_b is None else set(delta_b.columns)
+    if a_cols is not None and b_cols is not None:
+        overlap = (a_cols & b_cols) - {on}
+        if overlap:
+            raise ValueError(
+                f"non-key columns shared by both sides: {sorted(overlap)}"
+            )
+    parts = []
+    if delta_a is not None and b_old is not None:
+        parts.append(delta_a.join(b_old, on))
+    if a_old is not None and delta_b is not None:
+        parts.append(a_old.join(delta_b, on))
+    if delta_a is not None and delta_b is not None:
+        parts.append(delta_a.join(delta_b, on))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def update_incremental_join(
+    a_state: VersionedTable,
+    b_state: VersionedTable,
+    view: VersionedTable,
+    *,
+    on: str,
+    delta_a: DataFrame | None = None,
+    delta_b: DataFrame | None = None,
+    operation: str | None = None,
+) -> int | None:
+    """Maintain a materialized inner equi-join view V = A ⋈_on B
+    under append-only batches, without ever re-joining history.
+
+    Reference status: extension surface — the reference re-joins its
+    full inputs on every annual rebuild (01_source_me.R:87-96); at
+    100 TB a maintained join view costs O(Δ ⋈ touched-history) per
+    batch instead of O(A ⋈ B). Each update:
+
+    1. computes ΔV via :func:`join_view_delta` against the CURRENT
+       (pre-append) state snapshots — the history side of each term is
+       a ``read_range`` pruned to the delta's [min, max] join-key
+       envelope, so a key-local batch scans only the state
+       directories its keys can touch (zone maps recorded at every
+       commit), not the table;
+    2. appends ΔA / ΔB to their state tables (``stats_col=on`` keeps
+       future reads pruned);
+    3. appends ΔV to the view.
+
+    All three appends are separate manifest commits: a crash between
+    them leaves the view one batch behind its inputs, never wrong —
+    re-running the SAME batch would double-append, so exactly-once
+    re-delivery is the caller's contract (the streaming sinks in
+    streaming/ops.py show the watermark-tag pattern). Returns the new
+    view version, or None when both deltas are empty (no commits).
+
+    Deletes/updates are out of scope by design: append-only deltas
+    keep ΔV monotone. Retractions need weighted (z-set) rows — store
+    a sign column and fold, as in DBSP — which the aggregate
+    maintainer's sum-state already demonstrates.
+    """
+
+    def _bounds(df: DataFrame):
+        row = df.agg(F.min(on).alias("mn"), F.max(on).alias("mx")).collect()[0]
+        return (row["mn"], row["mx"])
+
+    def _pruned(table: VersionedTable, bounds):
+        if table.head() is None or bounds[0] is None:
+            return None
+        return table.read_range(on, bounds[0], bounds[1])
+
+    a_bounds = (None, None) if delta_a is None else _bounds(delta_a)
+    b_bounds = (None, None) if delta_b is None else _bounds(delta_b)
+    live_a = delta_a if a_bounds[0] is not None else None
+    live_b = delta_b if b_bounds[0] is not None else None
+    # NULL-key-only batches still append to state (a full read must
+    # return them) but cannot produce view rows.
+    dv = join_view_delta(
+        live_a, live_b, _pruned(a_state, b_bounds), _pruned(b_state, a_bounds), on=on
+    )
+    if delta_a is not None and delta_a.limit(1).count() > 0:
+        a_state.commit(delta_a, stats_col=on, operation=operation)
+    if delta_b is not None and delta_b.limit(1).count() > 0:
+        b_state.commit(delta_b, stats_col=on, operation=operation)
+    if dv is None:
+        return None
+    return view.commit(dv, stats_col=on, operation=operation)

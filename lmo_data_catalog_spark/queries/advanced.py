@@ -389,6 +389,57 @@ def upsert_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- incremental join view (IVM)
+
+
+@query(
+    "incremental_join_view_delta",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey AS custkey,
+           ROUND(o.o_totalprice, 2) AS total_price,
+           c.c_mktsegment AS segment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE (o.o_orderkey % 7 = 0) OR (c.c_custkey % 5 = 0)
+    """,
+    tags=("incremental", "ivm", "join"),
+)
+def incremental_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized JOIN-view maintenance as a plan — the delta
+    algebra from operators/incremental.py::join_view_delta:
+
+        ΔV = ΔO ⋈ C_old  ∪  O_old ⋈ ΔC  ∪  ΔO ⋈ ΔC
+
+    Orders with ``o_orderkey % 7 = 0`` stand for the new order batch,
+    customers with ``c_custkey % 5 = 0`` for the new customer batch;
+    the complements are the maintained state. The three terms cover
+    new output pairs disjointly (new-left, new-right, new-both), so
+    the union is UNION ALL — no dedup shuffle — and equals exactly
+    the full join restricted to pairs touching either batch (the
+    oracle). At 100 TB the history side of each term is a
+    zone-map-pruned ``read_range`` of the versioned state (see
+    update_incremental_join + tests/test_incremental.py): per-batch
+    cost O(Δ ⋈ touched-history), never O(A ⋈ B)."""
+    from ..operators.incremental import join_view_delta
+
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders.select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+    )
+    c = cat.customer.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    delta_o = o.filter(F.col("o_orderkey") % 7 == 0)
+    o_old = o.filter(F.col("o_orderkey") % 7 != 0)
+    delta_c = c.filter(F.col("custkey") % 5 == 0)
+    c_old = c.filter(F.col("custkey") % 5 != 0)
+    return join_view_delta(delta_o, delta_c, o_old, c_old, on="custkey").select(
+        "o_orderkey", "custkey", "total_price", "segment"
+    )
+
+
 # ------------------------------------------------------- sketch aggregates
 
 

@@ -886,6 +886,51 @@ def sliding_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------- stream-stream outer join (batch mirror)
+
+
+@query(
+    "click_attribution_outer",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us,
+           ROUND(p.value, 4) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    tags=("join", "interval", "streaming"),
+)
+def click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch mirror of the LEFT OUTER stream-stream interval join
+    (streaming/ops.py::click_purchase_attribution(how="left_outer")):
+    every click joined to same-user purchases within the next hour,
+    un-attributed clicks kept with NULL purchase columns. In
+    streaming, both sides are watermarked and null rows emit only
+    when the watermark proves no match can arrive — the
+    batch-equivalence sandwich is pinned in tests/test_streaming.py.
+    The equi-key (user_id) carries the shuffle; the time bound is a
+    residual predicate, so the plan is a hash join, never a
+    cartesian."""
+    from ..streaming.ops import click_purchase_attribution
+
+    ev = Catalog(spark, sf_dir).events
+    out = click_purchase_attribution(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        how="left_outer",
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        epoch_us("click_ts").alias("click_us"),
+        epoch_us("purchase_ts").alias("purchase_us"),
+        "purchase_value",
+    )
+
+
 # ----------------------------------------- watermark admission rule (batch)
 
 

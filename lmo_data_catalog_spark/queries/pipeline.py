@@ -291,6 +291,231 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------------ BM25
+
+#: fixed query terms (shared literal list → both engines score the
+#: same lexical query); realistic use: retrieval for contamination
+#: review / RAG over the corpus.
+BM25_TERMS = ["spark", "merge", "hash", "vector"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_sql() -> str:
+    feats = ",\n               ".join(
+        f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    dfs = ",\n               ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    scores = [
+        (
+            f"ln(1.0 + (CAST(g.n AS DOUBLE) - CAST(g.df_{t} AS DOUBLE) + 0.5)"
+            f" / (CAST(g.df_{t} AS DOUBLE) + 0.5))"
+            f" * (CAST(f.tf_{t} AS DOUBLE) * {_BM25_K1 + 1.0})"
+            f" / (CAST(f.tf_{t} AS DOUBLE) + {_BM25_K1} * ({1.0 - _BM25_B}"
+            f" + {_BM25_B} * (CAST(f.dl AS DOUBLE)"
+            f" / (CAST(g.sumdl AS DOUBLE) / CAST(g.n AS DOUBLE)))))"
+        )
+        for t in BM25_TERMS
+    ]
+    total = scores[0]
+    for s in scores[1:]:
+        total = f"({total} + {s})"
+    return rf"""
+    WITH feat AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+               {feats}
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS w
+              FROM documents)
+    ),
+    g AS (
+        SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+               {dfs}
+        FROM feat
+    )
+    SELECT f.doc_id, ROUND({total}, 6) AS bm25
+    FROM feat f CROSS JOIN g
+    WHERE {" + ".join(f"f.tf_{t}" for t in BM25_TERMS)} > 0
+    ORDER BY {total} DESC, f.doc_id
+    LIMIT 20
+    """
+
+
+@query("bm25_topk_docs", oracle=_bm25_sql(), tags=("text", "retrieval", "bm25"))
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 retrieval for a fixed lexical query — the
+    standard ranking function for corpus search / contamination
+    review, as a TWO-SCAN zero-join plan:
+
+    - per-term tf is ``size(filter(tokens, t = term))`` — a pure
+      map-side expression, no explode and no (doc, term) shuffle
+      (contrast tfidf_top_terms, which needs the full term table);
+    - all global stats (N, Σdl, per-term df) come from ONE aggregate
+      whose sums are INTEGER — avgdl is derived by a single division
+      from an exact Σdl, so summation order cannot perturb it —
+      broadcast back as a 1-row frame;
+    - the score is a FIXED left-deep fold over the query terms
+      (identical expression tree in the oracle), so the only
+      cross-engine float surface is ``ln`` itself (same policy as
+      lang_entropy_by_source); top-k is TakeOrderedAndProject.
+
+    At 100 TB this is the shape you want: one stats pass (cacheable
+    across queries of the same corpus snapshot), one scoring pass,
+    no shuffle proportional to |docs|·|vocab|."""
+    docs = Catalog(spark, sf_dir).documents
+    w = T.tokens("text")
+    feat = docs.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("dl"),
+        # unary lambda only: F.filter dispatches on arity (a 2-arg
+        # lambda would receive the element INDEX as its second
+        # argument). The closure is consumed eagerly per iteration.
+        *[
+            F.size(F.filter(w, (lambda term: lambda x: x == F.lit(term))(t)))
+            .cast("bigint")
+            .alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    g = feat.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sumdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("bigint")).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    scored = feat.crossJoin(F.broadcast(g))
+    avgdl = F.col("sumdl").cast("double") / F.col("n").cast("double")
+    norm = F.col("dl").cast("double") / avgdl
+
+    def term_score(t: str):
+        tf = F.col(f"tf_{t}").cast("double")
+        df = F.col(f"df_{t}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n").cast("double") - df + F.lit(0.5)) / (df + F.lit(0.5))
+        )
+        return (
+            idf
+            * (tf * F.lit(_BM25_K1 + 1.0))
+            / (
+                tf
+                + F.lit(_BM25_K1)
+                * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * norm)
+            )
+        )
+
+    total = term_score(BM25_TERMS[0])
+    for t in BM25_TERMS[1:]:
+        total = total + term_score(t)
+    any_tf = sum(F.col(f"tf_{t}") for t in BM25_TERMS[1:]) + F.col(
+        f"tf_{BM25_TERMS[0]}"
+    )
+    return (
+        scored.withColumn("__score", total)
+        .filter(any_tf > 0)
+        .orderBy(F.col("__score").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", F.round("__score", 6).alias("bm25"))
+    )
+
+
+# ------------------------------------------------------- C4-style span dedup
+
+
+@query(
+    "span_dedup_keep_first",
+    oracle=r"""
+    WITH idx AS (
+        SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS w
+              FROM documents)
+    ),
+    spans AS (
+        SELECT doc_id, i AS pos,
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                    || ' ' || w[i+4] AS span
+        FROM idx
+    ),
+    ranked AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY span ORDER BY doc_id, pos
+               ) AS rn
+        FROM spans
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+           ROUND(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_frac
+    FROM ranked GROUP BY doc_id
+    """,
+    tags=("text", "dedup", "c4"),
+)
+def span_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-global span dedup decision (C4 drops any
+    three-sentence span occurring more than once; here: overlapping
+    5-token spans, keep the FIRST occurrence by (doc_id, position)
+    and mark every later instance a duplicate). Returns the per-doc
+    removal profile — span count, duplicates removed, duplicate
+    fraction.
+
+    Plan: span enumeration is pure expression work (transform over a
+    position sequence + posexplode — no UDF); the keep-first decision
+    is ONE hash-partitioned window keyed by the span string (no
+    global sort — ordering is only within each span's tiny group);
+    then a per-doc re-aggregate. At 100 TB the span shuffle is
+    O(corpus tokens) — inherent to exact corpus-global dedup; the
+    approximate alternative at that scale is the MinHash/LSH family
+    (minhash_lsh_pairs), with THIS operator run per-shard or on the
+    LSH-clustered survivors."""
+    docs = Catalog(spark, sf_dir).documents
+    # Same expression-shingling idiom as operators/text.py::shingles —
+    # the size guard lives INSIDE when/otherwise (Spark's sequence(1, n)
+    # counts DOWN for n < 1), and posexplode_outer + null-filter keeps
+    # InferFiltersFromGenerate from re-inlining the transform into the
+    # scan (double tokenization). Docs with <5 tokens have no spans and
+    # are absent from the result, mirroring generate_series.
+    grams = docs.select("doc_id", T.tokens("text").alias("__toks")).select(
+        "doc_id",
+        F.when(
+            F.size("__toks") >= 5,
+            F.expr(
+                "transform(sequence(1, size(__toks) - 4),"
+                " i -> concat_ws(' ', slice(__toks, i, 5)))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__spans"),
+    )
+    spans = grams.select(
+        "doc_id", F.posexplode_outer("__spans").alias("pos", "span")
+    ).where(F.col("span").isNotNull())
+    rn = F.row_number().over(
+        Window.partitionBy("span").orderBy("doc_id", "pos")
+    )
+    dup = (rn > 1).cast("bigint")
+    return (
+        spans.select("doc_id", dup.alias("is_dup"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("is_dup").alias("n_dup_spans"),
+            F.round(
+                F.sum("is_dup").cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
 # ---------------------------------------------------------- contamination screen
 
 #: fixed probe phrases (shared literal list → both engines test the

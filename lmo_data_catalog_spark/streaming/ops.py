@@ -354,6 +354,7 @@ def click_purchase_attribution(
     *,
     horizon: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: attribute each purchase to same-user
     clicks in the preceding ``horizon``.
@@ -364,6 +365,14 @@ def click_purchase_attribution(
     the time bound Spark would (correctly) refuse an inner
     stream-stream join as unbounded-state. Works identically on batch
     frames, where it plans as a plain range join.
+
+    ``how="left_outer"`` additionally emits every un-attributed click
+    with NULL purchase columns — but only once the watermark proves no
+    match can still arrive (click_ts + horizon < watermark), so a
+    finite AvailableNow run WITHHOLDS null rows for the freshest
+    clicks: the stream's outer rows are a watermark-bounded prefix of
+    the batch left join (pinned in tests/test_streaming.py). Matched
+    rows still emit immediately.
     """
     c = clicks.select(
         F.col("user_id").alias("c_user"),
@@ -381,7 +390,7 @@ def click_purchase_attribution(
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
     )
-    return c.join(p, cond).select(
+    return c.join(p, cond, how).select(
         F.col("c_user").alias("user_id"),
         "click_id",
         "purchase_id",

@@ -6,10 +6,13 @@ key ranges must survive merges verbatim (the O(batch) cost claim)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from lmo_data_catalog_spark.operators.incremental import (
+    join_view_delta,
     read_aggregate,
     update_incremental_agg,
+    update_incremental_join,
 )
 from lmo_data_catalog_spark.sources.versioned import VersionedTable
 
@@ -148,3 +151,110 @@ def test_composite_key_siblings_survive_merge(spark, tmp_path):
     )
     assert t.read().exceptAll(exp).count() == 0
     assert exp.exceptAll(t.read()).count() == 0
+
+
+# ------------------------------------------------- join-view maintenance
+
+
+def _multiset_eq(a, b):
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def _jv(spark, tmp_path, name="jv"):
+    return (
+        VersionedTable(spark, str(tmp_path / f"{name}_a")),
+        VersionedTable(spark, str(tmp_path / f"{name}_b")),
+        VersionedTable(spark, str(tmp_path / f"{name}_v")),
+    )
+
+
+def side_a(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, a_val string")
+
+
+def side_b(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, b_val string")
+
+
+def test_join_view_equals_full_recompute_after_every_batch(spark, tmp_path):
+    """The IVM invariant: after each batch (appends on either or both
+    sides, duplicate keys included so multiplicities multiply), the
+    maintained view is multiset-equal to re-joining the full states."""
+    a_t, b_t, v_t = _jv(spark, tmp_path)
+    batches = [
+        ([(1, "a1"), (2, "a2")], [(1, "b1")]),
+        (None, [(1, "b1x"), (2, "b2"), (3, "b3")]),
+        ([(1, "a1dup"), (3, "a3"), (3, "a3dup")], None),
+        ([(9, "a9")], [(9, "b9"), (9, "b9x")]),
+    ]
+    for da, db in batches:
+        update_incremental_join(
+            a_t,
+            b_t,
+            v_t,
+            on="k",
+            delta_a=None if da is None else side_a(spark, da),
+            delta_b=None if db is None else side_b(spark, db),
+        )
+        full = a_t.read().join(b_t.read(), "k")
+        assert _multiset_eq(v_t.read(), full)
+
+
+def test_join_view_null_keys_append_but_never_join(spark, tmp_path):
+    a_t, b_t, v_t = _jv(spark, tmp_path)
+    update_incremental_join(
+        a_t, b_t, v_t, on="k", delta_a=side_a(spark, [(1, "a1")]),
+        delta_b=side_b(spark, [(1, "b1")]),
+    )
+    # NULL-key-only batch: state grows, view does not (and no view
+    # version is committed for the empty delta union).
+    v_before = v_t.head()
+    update_incremental_join(
+        a_t, b_t, v_t, on="k",
+        delta_a=side_a(spark, [(None, "a_null")]),
+    )
+    assert a_t.read().count() == 2
+    assert v_t.head() == v_before
+    assert _multiset_eq(v_t.read(), a_t.read().join(b_t.read(), "k"))
+
+
+def test_join_view_delta_rejects_ambiguous_columns(spark):
+    with pytest.raises(ValueError, match="non-key"):
+        join_view_delta(
+            side_a(spark, [(1, "x")]),
+            side_a(spark, [(1, "y")]),  # same non-key column name
+            None,
+            None,
+            on="k",
+        )
+
+
+def test_join_view_update_prunes_history_by_key_envelope(spark, tmp_path):
+    """The O(Δ ⋈ touched-history) claim: a key-local batch's history
+    read must include only state directories whose zone map intersects
+    the delta's join-key envelope."""
+    a_t, b_t, v_t = _jv(spark, tmp_path)
+    # Two key-disjoint B commits -> two directories with zone maps.
+    update_incremental_join(
+        a_t, b_t, v_t, on="k",
+        delta_b=side_b(spark, [(k, f"lo{k}") for k in range(0, 10)]),
+    )
+    update_incremental_join(
+        a_t, b_t, v_t, on="k",
+        delta_b=side_b(spark, [(k, f"hi{k}") for k in range(100, 110)]),
+    )
+    pruned = b_t.read_range("k", 100, 109)
+    files = {r[0] for r in pruned.select(F.input_file_name()).distinct().collect()}
+    all_files = {
+        r[0]
+        for r in b_t.read().select(F.input_file_name()).distinct().collect()
+    }
+    assert len(files) < len(all_files)
+    # and the maintained view only ever saw the pruned side: the
+    # invariant still holds after joining into the high range.
+    update_incremental_join(
+        a_t, b_t, v_t, on="k", delta_a=side_a(spark, [(105, "a105")])
+    )
+    assert _multiset_eq(v_t.read(), a_t.read().join(b_t.read(), "k"))
+    got = {(r["k"], r["a_val"], r["b_val"]) for r in v_t.read().collect()}
+    assert got == {(105, "a105", "hi105")}

@@ -35,6 +35,7 @@ ALLOWED_BNLJ = {
     "ann_ivf_topk",  # broadcast centroid table
     "ann_lsh_multiprobe",  # broadcast 1-row query (vector + bucket)
     "bigram_pmi_topk",  # 1-row corpus totals (n_uni, n_bg)
+    "bm25_topk_docs",  # 1-row corpus stats (N, Σdl, per-term df)
     "corpus_mixture_sample",  # 1-row grand token total
     "customer_rfm_segments",  # 1-row corpus-max-date + total attach
     "dormant_rich_customers",  # scalar-subquery broadcast

@@ -327,6 +327,65 @@ def test_stream_stream_interval_join_equals_batch(batch_events, stream_src):
     assert {tuple(r) for r in got.collect()} == want_rows
 
 
+def test_stream_stream_left_outer_join_watermark_withholds_tail(
+    batch_events, stream_src
+):
+    """Left-outer stream-stream join: matched rows equal the batch
+    range join exactly; null-padded rows for un-attributed clicks
+    emit only once the watermark proves no match can arrive
+    (click_ts + 1h horizon below the final 2h watermark), so the
+    stream's null rows sandwich between "provably unmatchable" and
+    "all batch-unmatched"."""
+    import datetime
+
+    def split(ev):
+        return (
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+        )
+
+    want = ops.click_purchase_attribution(
+        *split(batch_events), how="left_outer"
+    )
+    want_rows = {tuple(r) for r in want.collect()}
+    got = ops.run_available_now(
+        ops.click_purchase_attribution(*split(stream_src), how="left_outer"),
+        output_mode="append",
+        name="t_ssjoin_outer",
+    )
+    got_rows = {tuple(r) for r in got.collect()}
+
+    # nothing spurious, and the inner (matched) subset is complete.
+    assert got_rows <= want_rows
+    matched = lambda rows: {r for r in rows if r[2] is not None}  # noqa: E731
+    assert matched(got_rows) == matched(want_rows)
+
+    # null rows: everything the final watermark proved unmatchable
+    # (click_ts + 1h horizon strictly below it) must have emitted.
+    # The operative watermark is the MIN across both input sides
+    # (each side tracks its own max event time; multipleWatermarkPolicy
+    # defaults to min), so derive the cutoff from the smaller side's
+    # max ts — the global max would overstate it and flag clicks Spark
+    # correctly still holds. 1s slack covers ms truncation.
+    side_max = min(
+        batch_events.filter(F.col("event_type") == t)
+        .agg(F.max("ts"))
+        .first()[0]
+        for t in ("click", "purchase")
+    )
+    cutoff = (
+        side_max
+        - datetime.timedelta(hours=3)  # 2h watermark + 1h horizon
+        - datetime.timedelta(seconds=1)
+    )
+    nulls_got = {r for r in got_rows if r[2] is None}
+    must_emit = {
+        r for r in want_rows if r[2] is None and r[3] < cutoff
+    }
+    assert must_emit <= nulls_got
+    assert must_emit, "fixture has no provably-unmatchable clicks"
+
+
 def test_incremental_agg_sink_maintains_materialized_view(
     spark, batch_events, tmp_path
 ):
