@@ -444,6 +444,77 @@ def incremental_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "audience_overlap_hll",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(v) AS BIGINT) AS exact_view,
+           CAST(SUM(p) AS BIGINT) AS exact_purchase,
+           CAST(SUM(v * p) AS BIGINT) AS exact_overlap,
+           TRUE AS overlap_ok
+    FROM per_user
+    """,
+    tags=("sketch", "hll", "overlap"),
+)
+def audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap (viewers ∩ purchasers) by HLL
+    inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A ∪ B), where
+    the union estimate comes from MERGING the two stored sketches
+    (``hll_union``) — never re-scanning raw ids. Emits the exact
+    cardinalities plus overlap_ok = the sketch overlap landing within
+    5% of (|A|+|B|); the oracle emits literal TRUE, so the hash gate
+    certifies the bound (the approx_distinct_bounded pattern).
+
+    At 100 TB this is how segment-overlap matrices are built: one
+    sketch per segment (kilobytes, map-side combinable), any pairwise
+    overlap from sketch algebra — O(segments²) tiny merges instead of
+    O(segments²) id-set intersections. Inclusion–exclusion error
+    compounds the three estimates' errors, so the certified bound is
+    on the SUM of the set sizes, not the (possibly tiny) overlap —
+    the honest contract for sketch differencing."""
+    ev = Catalog(spark, sf_dir).events
+    sk = ev.agg(
+        F.expr(
+            "hll_sketch_agg(user_id) FILTER (WHERE event_type = 'view')"
+        ).alias("sk_v"),
+        F.expr(
+            "hll_sketch_agg(user_id) FILTER (WHERE event_type = 'purchase')"
+        ).alias("sk_p"),
+    ).select(
+        F.expr("hll_sketch_estimate(sk_v)").alias("est_v"),
+        F.expr("hll_sketch_estimate(sk_p)").alias("est_p"),
+        F.expr("hll_sketch_estimate(hll_union(sk_v, sk_p))").alias("est_u"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("v"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("p"),
+    )
+    exact = per_user.agg(
+        F.sum("v").alias("exact_view"),
+        F.sum("p").alias("exact_purchase"),
+        F.sum(F.col("v") * F.col("p")).alias("exact_overlap"),
+    )
+    est_overlap = (
+        F.col("est_v").cast("double")
+        + F.col("est_p").cast("double")
+        - F.col("est_u").cast("double")
+    )
+    return exact.crossJoin(F.broadcast(sk)).select(
+        "exact_view",
+        "exact_purchase",
+        "exact_overlap",
+        (
+            F.abs(est_overlap - F.col("exact_overlap"))
+            <= 0.05 * (F.col("exact_view") + F.col("exact_purchase"))
+        ).alias("overlap_ok"),
+    )
+
+
+@query(
     "approx_distinct_bounded",
     oracle="""
     SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,

@@ -931,6 +931,77 @@ def click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- multi-touch attribution
+
+
+@query(
+    "linear_attribution_credits",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS pts, value
+      FROM events WHERE event_type = 'purchase'
+    ), j AS (
+      SELECT c.click_id, p.purchase_id, p.value,
+             COUNT(*) OVER (PARTITION BY p.purchase_id) AS n_touch
+      FROM c JOIN p
+        ON c.user_id = p.user_id
+       AND c.cts <= p.pts AND p.pts <= c.cts + INTERVAL 1 HOUR
+    )
+    SELECT click_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(ROUND(value * 1000000 / n_touch) AS BIGINT))
+                AS BIGINT) AS credited_micros
+    FROM j GROUP BY click_id
+    """,
+    tags=("attribution", "window", "interval"),
+)
+def linear_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-weight) multi-touch attribution: every purchase's
+    value splits evenly across the same-user clicks in the preceding
+    hour; each click accumulates its credits. The marketing-analytics
+    staple on top of the interval join.
+
+    Determinism contract: the per-pair credit is quantized to INTEGER
+    micro-units in one fixed expression (round(value·1e6 / n_touch))
+    BEFORE the per-click sum, so the aggregate is an exact BIGINT sum
+    — summation order (Spark partial aggs vs DuckDB's) cannot move
+    the result, the same policy as the DECIMAL money sums. Plan: one
+    equi-key interval join (user_id carries the shuffle), one window
+    keyed by purchase (touch count), one hash aggregate — every stage
+    scales on its key."""
+    ev = Catalog(spark, sf_dir).events
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    j = c.join(
+        p.withColumnRenamed("user_id", "p_user"),
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    n_touch = F.count(F.lit(1)).over(Window.partitionBy("purchase_id"))
+    credit = F.round(F.col("value") * 1000000 / F.col("n_touch")).cast(
+        "bigint"
+    )
+    return (
+        j.withColumn("n_touch", n_touch)
+        .groupBy("click_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(credit).alias("credited_micros"),
+        )
+    )
+
+
 # ----------------------------------------- watermark admission rule (batch)
 
 

@@ -34,6 +34,7 @@ ALLOWED_BNLJ = {
     "ann_cosine_topk",  # broadcast query vector
     "ann_ivf_topk",  # broadcast centroid table
     "ann_lsh_multiprobe",  # broadcast 1-row query (vector + bucket)
+    "audience_overlap_hll",  # 1-row sketch-estimate triple attach
     "bigram_pmi_topk",  # 1-row corpus totals (n_uni, n_bg)
     "bm25_topk_docs",  # 1-row corpus stats (N, Σdl, per-term df)
     "corpus_mixture_sample",  # 1-row grand token total
