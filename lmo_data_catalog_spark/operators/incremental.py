@@ -73,6 +73,23 @@ def update_incremental_agg(
     """
     key = keys[0]
     part = _partial(batch, keys, specs)
+    bounds = part.agg(
+        F.min(key).alias("mn"),
+        F.max(key).alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+        F.count(key).alias("n_keyed"),
+    ).collect()[0]
+    # A NULL merge key cannot round-trip through merge(): its
+    # null-rejecting anti-join would leave the OLD null-key state row
+    # in place while the fresh partial appends beside it — silent
+    # double rows (the same null-semantics family as the compact()
+    # NULL-key fix). Refuse up front; callers encode null groups with
+    # a sentinel of the key's type if they need them.
+    if bounds["n_keyed"] < bounds["n"]:
+        raise ValueError(
+            f"NULL {key!r} in batch: the aggregate state's merge key "
+            "must be non-null (encode null groups with a sentinel)"
+        )
     if table.head() is None:
         return table.commit(
             part.sort(*keys),
@@ -80,10 +97,7 @@ def update_incremental_agg(
             operation=operation or "incremental-init",
             props=props,
         )
-    bounds = part.agg(
-        F.min(key).alias("mn"), F.max(key).alias("mx")
-    ).collect()[0]
-    if bounds["mn"] is None:
+    if bounds["n"] == 0:
         return table.head()  # empty batch: no new version
     state = table.read_range(key, bounds["mn"], bounds["mx"])
     # Semi-join on the MERGE key alone (keys[0]), not the full
@@ -109,6 +123,45 @@ def read_aggregate(
             f"{col}_avg", F.col(f"{col}_sum") / F.col("row_count")
         )
     return df
+
+
+def sync_incremental_agg(
+    source: VersionedTable,
+    state: VersionedTable,
+    *,
+    keys: list[str],
+    specs: dict[str, tuple[str, ...]],
+    prop: str = "consumed_version",
+) -> int | None:
+    """Derived-table pipeline in one call: fold everything appended to
+    ``source`` since the last sync into the aggregate ``state`` —
+    the lakehouse change-data-feed consumer.
+
+    The consumed source version rides as a STATE-TABLE PROPERTY on the
+    very commit that folds its changes (props are carried in every
+    manifest, atomic with the commit and vacuum-proof), so the
+    watermark and the fold cannot diverge: re-running sync after a
+    crash either sees the advanced watermark (no-op) or re-folds the
+    identical change set — exactly-once without any external
+    coordination, the same pattern as the streaming sinks' manifest
+    watermark. Changes come from :meth:`VersionedTable.read_changes`,
+    which scans ONLY the directories appended since the watermark and
+    raises across non-append rewrites rather than double-counting.
+    Returns the new state version, or None when there is nothing new.
+    """
+    consumed = int(state.get_props().get(prop, 0) or 0)
+    head = source.head()
+    if head is None or head <= consumed:
+        return None
+    batch = source.read_changes(consumed or None, head)
+    return update_incremental_agg(
+        state,
+        batch,
+        keys=keys,
+        specs=specs,
+        operation=f"sync-v{head}",
+        props={prop: head},
+    )
 
 
 def join_view_delta(

@@ -1486,6 +1486,53 @@ class VersionedTable:
         )
         return added.unionByName(removed).unionByName(changed)
 
+    # --------------------------------------------- incremental consumption
+
+    def read_changes(
+        self, since_version: int | None, to_version: int | None = None
+    ) -> DataFrame:
+        """Rows APPENDED strictly after ``since_version`` up to
+        ``to_version`` (default head) — the change-data-feed read an
+        incremental consumer wants: scan ONLY the data directories new
+        manifests added, never re-read history. ``since_version=None``
+        (or 0) returns the full snapshot (bootstrap).
+
+        Only valid across append-only history: if any directory
+        referenced at ``since_version`` is gone at ``to_version`` (a
+        merge/compact/rollback rewrote rows), the directory delta no
+        longer equals the row delta and this RAISES rather than
+        returning silently wrong changes — use :meth:`diff` (keyed,
+        O(both snapshots)) across rewrites. Appends land at the to-
+        version's logical schema (older consumers see new columns as
+        the schema-evolution read path defines them).
+        """
+        to = self.head() if to_version is None else to_version
+        if to is None:
+            raise FileNotFoundError(f"no versions in {self.root}")
+        m_to = self._load_manifest(to)
+        if not since_version:
+            return self.read(to)
+        m_since = self._load_manifest(since_version)
+        gone = set(m_since["data_dirs"]) - set(m_to["data_dirs"])
+        if gone:
+            raise ValueError(
+                f"non-append history between v{since_version} and v{to}: "
+                f"{sorted(gone)} rewritten (merge/compact/rollback) — "
+                "read_changes would be wrong; use diff() instead"
+            )
+        new_dirs = [
+            d for d in m_to["data_dirs"] if d not in set(m_since["data_dirs"])
+        ]
+        if not new_dirs:
+            return self.read(to).limit(0)
+        return self._read_dirs(
+            new_dirs,
+            self.schema(to),
+            m_to.get("partitioned", {}),
+            m_to.get("renames", []),
+            to,
+        )
+
     def commit_retry(
         self, df: DataFrame, *, attempts: int = 5, **kwargs
     ) -> int:

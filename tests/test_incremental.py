@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from lmo_data_catalog_spark.operators.incremental import (
     join_view_delta,
     read_aggregate,
+    sync_incremental_agg,
     update_incremental_agg,
     update_incremental_join,
 )
@@ -151,6 +152,79 @@ def test_composite_key_siblings_survive_merge(spark, tmp_path):
     )
     assert t.read().exceptAll(exp).count() == 0
     assert exp.exceptAll(t.read()).count() == 0
+
+
+def test_null_merge_key_raises_not_duplicates(spark, tmp_path):
+    """A NULL merge key cannot round-trip through merge()'s
+    null-rejecting anti-join (the old null-key state row would survive
+    beside the fresh partial — silent double rows), so both the init
+    and the update path refuse it up front."""
+
+    def nb(rows):
+        return spark.createDataFrame(rows, "k bigint, amount double")
+
+    t = VersionedTable(spark, str(tmp_path / "agg"))
+    with pytest.raises(ValueError, match="NULL 'k'"):
+        update_incremental_agg(t, nb([(None, 1.0)]), keys=["k"], specs=SPECS)
+    update_incremental_agg(t, nb([(1, 1.0)]), keys=["k"], specs=SPECS)
+    with pytest.raises(ValueError, match="NULL 'k'"):
+        update_incremental_agg(
+            t, nb([(1, 2.0), (None, 9.0)]), keys=["k"], specs=SPECS
+        )
+    # the failed batch left no partial state behind
+    assert as_map(t.read()) == as_map(full_recompute(spark, [(1, 1.0)]))
+
+
+# --------------------------------------- change feed + derived-table sync
+
+
+def test_read_changes_returns_only_appended_rows(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "src"))
+    v1 = t.commit(batch(spark, [(1, 1.0), (2, 2.0)]), stats_col="k")
+    v2 = t.commit(batch(spark, [(3, 3.0)]), stats_col="k")
+    t.commit(batch(spark, [(4, 4.0), (5, 5.0)]), stats_col="k")
+    since_v1 = {(r["k"], r["amount"]) for r in t.read_changes(v1).collect()}
+    assert since_v1 == {(3, 3.0), (4, 4.0), (5, 5.0)}
+    only_v2_to_v3 = {
+        (r["k"], r["amount"]) for r in t.read_changes(v1, v2).collect()
+    }
+    assert only_v2_to_v3 == {(3, 3.0)}
+    # bootstrap (since=None) is the full snapshot; same-version is empty
+    assert t.read_changes(None).count() == 5
+    assert t.read_changes(t.head()).count() == 0
+
+
+def test_read_changes_raises_across_rewrites(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "src"))
+    v1 = t.commit(batch(spark, [(1, 1.0), (2, 2.0)]), stats_col="k")
+    t.merge(batch(spark, [(1, 9.0)]), "k")
+    with pytest.raises(ValueError, match="non-append"):
+        t.read_changes(v1)
+
+
+def test_sync_incremental_agg_exactly_once(spark, tmp_path):
+    """Derived-table pipeline: the state follows the source's appends
+    batch-by-batch, the consumed-version watermark rides the folding
+    commit (re-sync is a no-op), and the final state equals a full
+    recompute over the source."""
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    st = VersionedTable(spark, str(tmp_path / "state"))
+    all_rows = []
+    for rows in (
+        [(1, 10.0), (2, 5.0)],
+        [(1, 2.5), (3, 7.0)],
+        [(2, -1.0), (3, 7.0), (4, 100.0)],
+    ):
+        src.commit(batch(spark, rows), stats_col="k")
+        all_rows += rows
+        got = sync_incremental_agg(src, st, keys=["k"], specs=SPECS)
+        assert got is not None
+        assert as_map(st.read()) == as_map(full_recompute(spark, all_rows))
+        assert int(st.get_props()["consumed_version"]) == src.head()
+    # nothing new -> no-op, no new state version
+    v = st.head()
+    assert sync_incremental_agg(src, st, keys=["k"], specs=SPECS) is None
+    assert st.head() == v
 
 
 # ------------------------------------------------- join-view maintenance
