@@ -207,6 +207,89 @@ def join_view_delta(
     return out
 
 
+def sync_join_view(
+    a: VersionedTable,
+    b: VersionedTable,
+    view: VersionedTable,
+    *,
+    on: str,
+    operation: str | None = None,
+) -> int | None:
+    """Maintain the join view V = A ⋈ B directly off two versioned
+    sources' change feeds — no separate state copies: the history
+    sides of the IVM identity are TIME-TRAVEL reads of the sources at
+    their consumed versions, the deltas are :meth:`read_changes`
+    scans of only the appended directories.
+
+        ΔV = ΔA ⋈ B@consumed_b  ∪  A@consumed_a ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    Both consumed-version watermarks ride the view's folding commit as
+    table properties (atomic with the fold, vacuum-proof), so a
+    crashed or repeated sync either sees the advanced watermarks
+    (no-op) or recomputes the identical ΔV — exactly-once, same
+    contract as :func:`sync_incremental_agg`. History reads are
+    zone-map-pruned (``read_range`` at the consumed version over the
+    delta's key envelope). Raises if either source history was
+    rewritten since its watermark (read_changes' append-only
+    contract). Returns the new view version, or None when neither
+    source moved.
+    """
+    props = view.get_props()
+    ca = int(props.get("consumed_version_a", 0) or 0)
+    cb = int(props.get("consumed_version_b", 0) or 0)
+    ha, hb = a.head(), b.head()
+    new_a = ha is not None and ha > ca
+    new_b = hb is not None and hb > cb
+    if not new_a and not new_b:
+        return None
+    delta_a = a.read_changes(ca or None, ha) if new_a else None
+    delta_b = b.read_changes(cb or None, hb) if new_b else None
+
+    def _bounds(df):
+        if df is None:
+            return (None, None)
+        r = df.agg(F.min(on).alias("mn"), F.max(on).alias("mx")).collect()[0]
+        return (r["mn"], r["mx"])
+
+    a_bounds, b_bounds = _bounds(delta_a), _bounds(delta_b)
+
+    def _old(table, consumed, bounds):
+        if consumed == 0 or bounds[0] is None:
+            return None
+        return table.read_range(on, bounds[0], bounds[1], version=consumed)
+
+    dv = join_view_delta(
+        delta_a if a_bounds[0] is not None else None,
+        delta_b if b_bounds[0] is not None else None,
+        _old(a, ca, b_bounds),
+        _old(b, cb, a_bounds),
+        on=on,
+    )
+    new_props = {
+        "consumed_version_a": ha if new_a else ca,
+        "consumed_version_b": hb if new_b else cb,
+    }
+    if dv is None:
+        # sources moved but produced no joinable delta (e.g. null-key
+        # or bootstrap-empty): still advance the watermarks so the
+        # next sync doesn't rescan — an empty commit carries them.
+        empty = view.read().limit(0) if view.head() is not None else None
+        if empty is None:
+            return None
+        return view.commit(
+            empty, stats_col=on, operation=operation or "sync-noop",
+            props=new_props,
+        )
+    return view.commit(
+        dv,
+        stats_col=on,
+        operation=operation
+        or f"sync-a{new_props['consumed_version_a']}"
+        f"-b{new_props['consumed_version_b']}",
+        props=new_props,
+    )
+
+
 def update_incremental_join(
     a_state: VersionedTable,
     b_state: VersionedTable,

@@ -227,6 +227,50 @@ def test_sync_incremental_agg_exactly_once(spark, tmp_path):
     assert st.head() == v
 
 
+def test_sync_join_view_follows_two_change_feeds(spark, tmp_path):
+    """sync_join_view maintains V = A >< B straight off the sources'
+    change feeds with time-travel history reads: after every sync the
+    view is multiset-equal to re-joining the current sources, repeated
+    sync is a no-op, and both watermarks track the source heads."""
+    from lmo_data_catalog_spark.operators.incremental import sync_join_view
+
+    a = VersionedTable(spark, str(tmp_path / "a"))
+    b = VersionedTable(spark, str(tmp_path / "b"))
+    v = VersionedTable(spark, str(tmp_path / "v"))
+
+    def sa(rows):
+        return spark.createDataFrame(rows, "k bigint, a_val string")
+
+    def sb(rows):
+        return spark.createDataFrame(rows, "k bigint, b_val string")
+
+    steps = [
+        (sa([(1, "a1"), (2, "a2")]), sb([(1, "b1")])),  # bootstrap both
+        (None, sb([(2, "b2"), (3, "b3")])),  # B only
+        (sa([(3, "a3"), (1, "a1x")]), None),  # A only
+        (sa([(9, "a9")]), sb([(9, "b9"), (1, "b1x")])),  # both
+    ]
+    for da, db in steps:
+        if da is not None:
+            a.commit(da, stats_col="k")
+        if db is not None:
+            b.commit(db, stats_col="k")
+        assert sync_join_view(a, b, v, on="k") is not None
+        full = a.read().join(b.read(), "k")
+        assert _multiset_eq(v.read(), full)
+        props = v.get_props()
+        assert int(props["consumed_version_a"]) == a.head()
+        assert int(props["consumed_version_b"]) == b.head()
+    head = v.head()
+    assert sync_join_view(a, b, v, on="k") is None
+    assert v.head() == head
+    # a rewrite on a source invalidates its feed: sync must raise, not
+    # silently double-count
+    a.merge(sa([(1, "rewritten")]), "k")
+    with pytest.raises(ValueError, match="non-append"):
+        sync_join_view(a, b, v, on="k")
+
+
 # ------------------------------------------------- join-view maintenance
 
 
