@@ -110,6 +110,22 @@ def main() -> int:
             "family (ann_lsh_multiprobe, minhash_lsh_pairs) and the "
             "sharded build side (SCALING §GEMM)"
         ),
+        "variant_json_topk": (
+            "a SCAN-PARALLELISM floor, not query growth: the single "
+            "synthesized sf1 events.parquet has 4 row groups, and "
+            "parquet splits at row-group boundaries — the expensive "
+            "per-row JSON parse runs at most 4-wide no matter the "
+            "split size (verified: maxPartitionBytes=8MB still gives "
+            "4 tasks). Warm isolated ratio is 6.8× (sub-linear "
+            "per-row); sharded inputs — every real table at scale — "
+            "restore full-width parsing"
+        ),
+        "window_lag_yoy": (
+            "suite-ordering noise: warm isolated re-measurement is "
+            "0.27 s → 0.88 s (3.3× for 10× rows, sub-linear per-row); "
+            "the tiny per-(flag, year) aggregate dominates and the "
+            "LAG window runs on 21 rows"
+        ),
     }
     over = [k for k in shared if q01[k] >= FLOOR_S]
     if over:
