@@ -2013,3 +2013,235 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         quartile.alias("quartile"),
         F.round(pct, 6).alias("pct_rank"),
     )
+
+
+# ------------------------------------------------------ semantic dedup
+
+_SEMDEDUP_SQL = f"""
+    WITH qv AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
+               list_transform(
+                   embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1024.0 + 0.5)
+                             AS BIGINT)
+               ) AS q
+        FROM embeddings
+    ),
+    seed AS (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 8),
+    c0 AS MATERIALIZED (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cell,
+               q AS s
+        FROM seed
+    ),
+    {",".join(_kmeans_sql_round(i) for i in (1, 2))},
+    {_kmeans_sql_assign("af", "c2")},
+    removed AS (
+        SELECT DISTINCT y.vec_id AS vec_id
+        FROM af x
+        JOIN af y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        JOIN qv ea ON ea.vec_id = x.vec_id
+        JOIN qv eb ON eb.vec_id = y.vec_id
+        WHERE ({_sql_dot('ea.embedding', 'eb.embedding')})
+              / (ea.nrm * eb.nrm) >= 0.45
+    )
+    SELECT v.vec_id, CAST(a.cell AS INT) AS cell
+    FROM qv v JOIN af a ON a.vec_id = v.vec_id
+    WHERE v.vec_id NOT IN (SELECT vec_id FROM removed)
+"""
+
+
+@query(
+    "semantic_dedup_keep",
+    oracle=_SEMDEDUP_SQL,
+    tags=("dedup", "semantic", "kmeans"),
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public):
+    k-means the embedding space into cells, compare pairs ONLY within
+    a cell at exact cosine >= 0.45, and keep the lowest vec_id of any
+    similar pair — the keep-list that prunes semantically redundant
+    training examples without an all-pairs pass.
+
+    Scale shape: cell training is the deterministic integer-sum Lloyd
+    of ``kmeans_cells_exact`` (one scan + one k-row hash aggregate per
+    iteration); the candidate stage is a self-equi-join ON THE CELL
+    KEY, so the quadratic is bounded by the largest cell, never the
+    corpus. At 100 TB the published recipe holds: k grows with N to
+    pin the expected cell size (k ~ N/target), keeping per-cell work
+    constant and the join a plain shuffled equi-join; the k=8 used
+    here keeps the unrolled-CTE oracle tractable. Value-exact on both
+    engines because the cell assignment is the order-free quantized
+    Lloyd (see ann_ivf_kmeans_topk) and the cosine threshold is the
+    same left-deep double fold both engines evaluate identically."""
+    from ..operators.similarity import kmeans_cells_exact
+
+    cat = Catalog(spark, sf_dir)
+    assigned = kmeans_cells_exact(
+        cat.embeddings,
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=DIM,
+        k=8,
+        iters=2,
+    )
+    from ..operators.similarity import dot_pair
+
+    # Per-vector norm computed ONCE (sqrt of the same left-deep dot
+    # the per-pair formula would fold), so the 25M-pair stage at sf1
+    # pays one 64-term dot per pair instead of three — bit-identical
+    # to cosine_pair because sqrt/divide see the exact same doubles.
+    withnorm = assigned.select(
+        "vec_id",
+        "embedding",
+        "__cell",
+        F.sqrt(norm_sq("embedding", DIM)).alias("__nrm"),
+    )
+    a = withnorm.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("__nrm").alias("na"),
+        F.col("__cell").alias("cell"),
+    )
+    b = withnorm.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("__nrm").alias("nb"),
+        F.col("__cell").alias("cell"),
+    )
+    removed = (
+        a.join(b, on="cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            dot_pair("va", "vb", DIM) / (F.col("na") * F.col("nb")) >= 0.45
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(removed, on="vec_id", how="left_anti").select(
+        "vec_id", F.col("__cell").cast("int").alias("cell")
+    )
+
+
+# ------------------------------------------------- hard-negative mining
+
+_HARDNEG_SQL = f"""
+    WITH q AS (
+        SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+        FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.qid, e.vec_id, e.label,
+               {_sql_cosine('e.embedding', 'q.qv')} AS c
+        FROM embeddings e JOIN q ON e.label <> q.qlabel
+    ),
+    r AS (
+        SELECT qid, vec_id, label, c,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY c DESC, vec_id
+               ) AS rn
+        FROM scored
+    )
+    SELECT qid, vec_id, label, ROUND(c, 6) AS cosine
+    FROM r WHERE rn <= 5
+"""
+
+
+@query(
+    "hard_negative_mining_topk",
+    oracle=_HARDNEG_SQL,
+    tags=("similarity", "training", "topk"),
+)
+def hard_negative_mining_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector (vec_id < 5), the 5 most cosine-similar vectors with a
+    DIFFERENT label — the highest-loss negatives a retrieval trainer
+    wants in-batch.
+
+    Scale shape: the 5-row query set broadcasts, the score is one
+    map-side left-deep fold riding the scan, and the per-query top-k
+    is TWO-PHASE — a local row_number inside (qid, vec_id%32) shards
+    takes each shard's top 5, then the global rank runs over at most
+    5*32 survivors per query — so no single task ever sorts a whole
+    query's candidate stream (the few-key window cliff, SCALING
+    s.token-budget). Identical output to the single-window plan
+    because every global top-5 member is by definition in its shard's
+    top 5, and ties are impossible to misorder (vec_id tiebreak on
+    bit-identical doubles)."""
+    cat = Catalog(spark, sf_dir)
+    e = cat.embeddings
+    qs = F.broadcast(
+        e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("qv"),
+        )
+    )
+    scored = (
+        e.crossJoin(qs)
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            cosine_pair("embedding", "qv", DIM).alias("__c"),
+            (F.col("vec_id") % 32).alias("__shard"),
+        )
+    )
+    local = Window.partitionBy("qid", "__shard").orderBy(
+        F.col("__c").desc(), F.col("vec_id").asc()
+    )
+    survivors = scored.withColumn(
+        "__lr", F.row_number().over(local)
+    ).filter(F.col("__lr") <= 5)
+    final = Window.partitionBy("qid").orderBy(
+        F.col("__c").desc(), F.col("vec_id").asc()
+    )
+    return (
+        survivors.withColumn("__r", F.row_number().over(final))
+        .filter(F.col("__r") <= 5)
+        .select("qid", "vec_id", "label", F.round("__c", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------- leakage-safe train split
+
+
+@query(
+    "leakage_safe_split",
+    oracle=f"""
+    SELECT doc_id, cluster_id,
+           CASE WHEN cluster_id % 10 < 8 THEN 'train' ELSE 'test' END
+               AS split
+    FROM ({_CLUSTERS_SQL}) cl
+    """,
+    tags=("dedup", "split", "iterative"),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: near-duplicate CLUSTERS (not
+    documents) are the unit of assignment, so two near-dup documents
+    can never land on opposite sides of the split — the
+    contamination-by-construction guard an eval pipeline needs before
+    any held-out measurement.
+
+    Composition: verified MinHash-LSH pairs -> connected components
+    (min-label + pointer jumping) -> route each cluster by
+    ``cluster_id % 10`` (8/10 train). The route key is the component's
+    min doc_id — already materialized, integer, engine-portable modulo
+    (non-negative), and uniform enough for a synthetic-id corpus; a
+    production corpus with adversarial id spacing would hash the
+    cluster_id first. Cost is one CC run over the pair graph
+    (log-diameter rounds) plus a map-side CASE — the split itself adds
+    no shuffle."""
+    cat = Catalog(spark, sf_dir)
+    pairs = minhash_lsh_dedup_pairs(
+        cat.documents, id_col="doc_id", text_col="text", threshold=0.8
+    )
+    cc = connected_components(pairs, cat.documents, id_col="doc_id")
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        F.when(F.col("cluster_id") % 10 < 8, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
