@@ -301,7 +301,9 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-def _bm25_sql() -> str:
+def _bm25_sql_parts() -> tuple[str, str]:
+    """(WITH-clause body ``feat, g``; left-deep ``total`` score expr)
+    — shared by the BM25 query and the RRF fusion's lexical arm."""
     feats = ",\n               ".join(
         f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
         for t in BM25_TERMS
@@ -324,8 +326,7 @@ def _bm25_sql() -> str:
     total = scores[0]
     for s in scores[1:]:
         total = f"({total} + {s})"
-    return rf"""
-    WITH feat AS (
+    ctes = rf"""feat AS (
         SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
                {feats}
         FROM (SELECT doc_id,
@@ -336,7 +337,14 @@ def _bm25_sql() -> str:
         SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
                {dfs}
         FROM feat
-    )
+    )"""
+    return ctes, total
+
+
+def _bm25_sql() -> str:
+    ctes, total = _bm25_sql_parts()
+    return rf"""
+    WITH {ctes}
     SELECT f.doc_id, ROUND({total}, 6) AS bm25
     FROM feat f CROSS JOIN g
     WHERE {" + ".join(f"f.tf_{t}" for t in BM25_TERMS)} > 0
@@ -367,6 +375,18 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     across queries of the same corpus snapshot), one scoring pass,
     no shuffle proportional to |docs|·|vocab|."""
     docs = Catalog(spark, sf_dir).documents
+    return (
+        _bm25_scored(docs)
+        .orderBy(F.col("__score").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", F.round("__score", 6).alias("bm25"))
+    )
+
+
+def _bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, __score) for every document matching >=1 query term —
+    the two-scan zero-join BM25 plan shared by bm25_topk_docs and the
+    RRF fusion's lexical arm."""
     w = T.tokens("text")
     feat = docs.select(
         "doc_id",
@@ -416,13 +436,7 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     any_tf = sum(F.col(f"tf_{t}") for t in BM25_TERMS[1:]) + F.col(
         f"tf_{BM25_TERMS[0]}"
     )
-    return (
-        scored.withColumn("__score", total)
-        .filter(any_tf > 0)
-        .orderBy(F.col("__score").desc(), F.col("doc_id").asc())
-        .limit(20)
-        .select("doc_id", F.round("__score", 6).alias("bm25"))
-    )
+    return scored.withColumn("__score", total).filter(any_tf > 0)
 
 
 # ------------------------------------------------------- C4-style span dedup
@@ -2244,4 +2258,219 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("cluster_id") % 10 < 8, F.lit("train"))
         .otherwise(F.lit("test"))
         .alias("split"),
+    )
+
+
+# ----------------------------------------------------- RRF rank fusion
+
+_RRF_K = 60
+_RRF_ARM_K = 100
+
+
+def _rrf_sql() -> str:
+    ctes, total = _bm25_sql_parts()
+    cos = _sql_cosine("e.embedding", "dq.qv")
+    return rf"""
+    WITH {ctes},
+    lex AS (
+        SELECT doc_id, r FROM (
+            SELECT f.doc_id,
+                   ROW_NUMBER() OVER (ORDER BY {total} DESC, f.doc_id) AS r
+            FROM feat f CROSS JOIN g
+            WHERE {" + ".join(f"f.tf_{t}" for t in BM25_TERMS)} > 0
+        ) WHERE r <= {_RRF_ARM_K}
+    ),
+    dq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    den AS (
+        SELECT vec_id, r FROM (
+            SELECT e.vec_id,
+                   ROW_NUMBER() OVER (ORDER BY {cos} DESC, e.vec_id) AS r
+            FROM embeddings e CROSS JOIN dq
+        ) WHERE r <= {_RRF_ARM_K}
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, d.vec_id) AS doc_id,
+               CAST(l.r AS INT) AS lex_rank,
+               CAST(d.r AS INT) AS emb_rank,
+               COALESCE(CAST(1.0 AS DOUBLE)
+                        / CAST({_RRF_K} + l.r AS DOUBLE),
+                        CAST(0.0 AS DOUBLE))
+               + COALESCE(CAST(1.0 AS DOUBLE)
+                          / CAST({_RRF_K} + d.r AS DOUBLE),
+                          CAST(0.0 AS DOUBLE)) AS rrf
+        FROM lex l FULL OUTER JOIN den d ON l.doc_id = d.vec_id
+    )
+    SELECT doc_id, lex_rank, emb_rank, ROUND(rrf, 6) AS rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """
+
+
+@query(
+    "rrf_fusion_topk",
+    oracle=_rrf_sql(),
+    tags=("retrieval", "fusion", "similarity"),
+)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a dense retrieval arm
+    (Cormack et al. 2009, public): BM25 top-100 for the fixed term
+    query fused with cosine top-100 against the vec_id=0 query vector
+    by score = sum 1/(60 + rank), missing arm contributing 0 — the
+    standard hybrid-search ranker.
+
+    Scale shape: each arm is TakeOrderedAndProject top-K (no global
+    sort — K bounds the only single-task step, ranking 100 collected
+    rows), and the fusion is a full-outer join of two 100-row frames.
+    The id spaces genuinely differ (at sf0.1 only 2000 of 5000 docs
+    are embedded), so the outer join is doing real work: lexical-only
+    hits still rank. Rank floats are 1/(60+r) over INTEGER ranks —
+    both engines divide the same doubles, so fusion scores and ties
+    (same rank in one arm only) order identically under the doc_id
+    tiebreak."""
+    cat = Catalog(spark, sf_dir)
+    lex100 = (
+        _bm25_scored(cat.documents)
+        .orderBy(F.col("__score").desc(), F.col("doc_id").asc())
+        .limit(_RRF_ARM_K)
+    )
+    lexr = lex100.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("__score").desc(), F.col("doc_id").asc()))
+        .alias("rl"),
+    )
+    e = cat.embeddings
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    den100 = (
+        e.crossJoin(qv)
+        .select("vec_id", cosine_pair("embedding", "qv", DIM).alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("vec_id").asc())
+        .limit(_RRF_ARM_K)
+    )
+    denr = den100.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("__c").desc(), F.col("vec_id").asc()))
+        .alias("rd"),
+    )
+    contrib_l = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("rl")).cast("double"),
+        F.lit(0.0),
+    )
+    contrib_d = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("rd")).cast("double"),
+        F.lit(0.0),
+    )
+    fused = lexr.join(
+        denr, lexr.doc_id == denr.vec_id, "full_outer"
+    ).select(
+        F.coalesce(lexr.doc_id, denr.vec_id).alias("doc_id"),
+        F.col("rl").cast("int").alias("lex_rank"),
+        F.col("rd").cast("int").alias("emb_rank"),
+        (contrib_l + contrib_d).alias("__rrf"),
+    )
+    return (
+        fused.orderBy(F.col("__rrf").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "emb_rank",
+            F.round("__rrf", 6).alias("rrf"),
+        )
+    )
+
+
+# --------------------------------------------- int8-quantization recall
+
+_Q_SCALE = 64.0  # power of two: x*scale is exact, both engines floor alike
+
+
+@query(
+    "ann_int8_recall",
+    oracle=f"""
+    WITH qz AS (
+        SELECT vec_id, embedding,
+               list_transform(
+                   embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_Q_SCALE} + 0.5)
+                             AS BIGINT)
+               ) AS q
+        FROM embeddings
+    ),
+    anchor AS (SELECT embedding AS qv, q AS qq FROM qz WHERE vec_id = 0),
+    exact10 AS (
+        SELECT e.vec_id FROM qz e CROSS JOIN anchor a
+        ORDER BY {_sql_cosine('e.embedding', 'a.qv')} DESC, e.vec_id
+        LIMIT 10
+    ),
+    quant10 AS (
+        SELECT e.vec_id FROM qz e CROSS JOIN anchor a
+        WHERE ({_sql_dot('e.q', 'e.q')}) > 0
+        ORDER BY CAST({_sql_dot('e.q', 'a.qq')} AS DOUBLE)
+                 / (sqrt(CAST({_sql_dot('e.q', 'e.q')} AS DOUBLE))
+                    * sqrt(CAST({_sql_dot('a.qq', 'a.qq')} AS DOUBLE)))
+                 DESC, e.vec_id
+        LIMIT 10
+    )
+    SELECT CAST(COUNT(*) AS INT) AS n_overlap,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(10.0 AS DOUBLE), 6)
+               AS recall_at_10
+    FROM exact10 JOIN quant10 USING (vec_id)
+    """,
+    tags=("similarity", "ann", "quantization"),
+)
+def ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of int8-style quantized cosine scoring vs exact float
+    cosine, against the vec_id=0 anchor — the measurement that tells
+    you whether the 4x-smaller quantized index you'd ship at 100 TB
+    (scan bytes dominate there) actually preserves the neighbors.
+
+    Both arms are map-side score + TakeOrderedAndProject. The
+    quantized arm scores with INTEGER dot products of
+    floor(x*64 + 0.5) codes (power-of-two scale: the multiply is
+    exact, so both engines floor identical doubles and every score is
+    a ratio of exact integers — ties on the coarse grid are real and
+    broken by vec_id identically in both engines). Zero-norm codes
+    are excluded in both engines before the divide."""
+    cat = Catalog(spark, sf_dir)
+    from ..operators.similarity import dot_pair, quantize_expr
+
+    qz = cat.embeddings.select(
+        "vec_id",
+        "embedding",
+        quantize_expr("embedding", _Q_SCALE).alias("q"),
+    )
+    anchor = F.broadcast(
+        qz.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv"), F.col("q").alias("qq")
+        )
+    )
+    both = qz.crossJoin(anchor)
+    exact10 = (
+        both.select(
+            "vec_id", cosine_pair("embedding", "qv", DIM).alias("__c")
+        )
+        .orderBy(F.col("__c").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    qnorm = dot_pair("q", "q", DIM)
+    qscore = dot_pair("q", "qq", DIM).cast("double") / (
+        F.sqrt(qnorm.cast("double"))
+        * F.sqrt(dot_pair("qq", "qq", DIM).cast("double"))
+    )
+    quant10 = (
+        both.filter(qnorm > 0)
+        .select("vec_id", qscore.alias("__qs"))
+        .orderBy(F.col("__qs").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    return exact10.join(quant10, on="vec_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_overlap"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.lit(10.0), 6
+        ).alias("recall_at_10"),
     )
