@@ -19,7 +19,7 @@ from ..functions import epoch_us
 from ..operators import text as T
 from ..operators.dedup import connected_components, minhash_lsh_dedup_pairs
 from ..operators.similarity import cosine_pair, norm_sq
-from ..operators.windows import global_row_number
+from ..operators.windows import global_row_number, global_running_sum
 from ..registry import query
 from .llm import _SHINGLES_SQL, DIM, _sql_cosine, _sql_dot
 
@@ -2473,4 +2473,68 @@ def ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.count(F.lit(1)).cast("double") / F.lit(10.0), 6
         ).alias("recall_at_10"),
+    )
+
+
+# ------------------------------------------ weighted systematic sampling
+
+_PPS_STRIDES = 50
+
+
+@query(
+    "weighted_systematic_sample",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id, n_chars,
+               CAST(SUM(n_chars) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_w
+        FROM documents
+    ),
+    t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS total FROM documents)
+    SELECT doc_id, n_chars, cum_w
+    FROM c CROSS JOIN t
+    WHERE (cum_w * {_PPS_STRIDES}) // total
+          > ((cum_w - n_chars) * {_PPS_STRIDES}) // total
+    """,
+    tags=("sampling", "pps", "running-sum"),
+)
+def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size systematic sample (textbook
+    PPS: Madow 1949): lay every document's weight (n_chars) end to
+    end in doc_id order and pick the document under each of 50
+    equally-spaced stride boundaries — heavier documents
+    proportionally likelier, at most once each, ~50 out regardless of
+    corpus size. The weighted corpus-mixing sampler: weight by
+    quality score or token count and the sample tracks the mixture.
+
+    Exactness: selection is floor(cum*K/total) > floor(prev*K/total)
+    in PURE BIGINT (integer div both engines, non-negative operands
+    — the engine-portable `div` contract), and the cumulative weight
+    comes from the quantile-bucketed two-phase running sum
+    (`global_running_sum`: per-bucket window + driver-folded offsets,
+    no single-task global sort), whose integer sums are order-free.
+    At 100 TB the plan is the same three bounded passes as
+    pareto_part_classes; nothing about the stride test depends on
+    partition layout."""
+    cat = Catalog(spark, sf_dir)
+    base = cat.documents.select("doc_id", "n_chars")
+    cum = global_running_sum(
+        base,
+        value_col="n_chars",
+        order_col="doc_id",
+        name="cum_w",
+    )
+    total = F.broadcast(
+        base.agg(F.sum("n_chars").cast("bigint").alias("total"))
+    )
+    sel = F.expr(
+        f"(cum_w * {_PPS_STRIDES}) DIV total"
+        f" > ((cum_w - n_chars) * {_PPS_STRIDES}) DIV total"
+    )
+    return (
+        cum.crossJoin(total)
+        .filter(sel)
+        .select("doc_id", "n_chars", F.col("cum_w").cast("bigint"))
     )
