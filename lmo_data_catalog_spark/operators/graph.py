@@ -382,33 +382,53 @@ def kcore(
     alternative to fewer-round convergence is distributed bin peeling
     — same join shape, coarser rounds.
     """
+    # Both directions in ONE pass over the edge builder: a UNION of
+    # two projections would execute the (often expensive) upstream
+    # plan twice — Spark does not dedupe shared union branches.
     und = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+            )
+        ).alias("__e")
+    ).select("__e.u", "__e.v")
     cur = cache.track(und)
     n_edges = cur.count()
-    for i in range(max_rounds):
-        keep = cache.track(
-            cur.groupBy("u")
+
+    def _peel(frame: DataFrame) -> DataFrame:
+        keep = (
+            frame.groupBy("u")
             .agg(F.count(F.lit(1)).alias("__d"))
             .filter(F.col("__d") >= k)
             .select("u")
         )
-        nxt = (
-            cur.join(keep, "u", "left_semi")
-            .join(
-                keep.select(F.col("u").alias("v")), "v", "left_semi"
-            )
+        return (
+            frame.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
             .select("u", "v")
         )
-        # truncate lineage EVERY round: nxt references cur twice (the
-        # two semi joins), so an un-truncated chain doubles the
-        # logical plan per round — by ~round 12 merely STRINGIFYING
-        # the plan (persist's cache name, explain) OOMs the driver
-        # (the round-7 doubled-plan pitfall). localCheckpoint is lazy;
-        # the convergence count below materializes it.
+
+    # TWO peel levels per materialize+count: peeling is monotone, so
+    # equal counts across a double round mean neither level dropped a
+    # node — the fixpoint. Halves the checkpoint/count actions; the
+    # engine still never exceeds max_rounds levels.
+    done = 0
+    while done < max_rounds:
+        levels = min(2, max_rounds - done)
+        nxt = _peel(cur)
+        if levels == 2:
+            nxt = _peel(nxt)
+        # truncate lineage EVERY batch: each peel references its
+        # input twice (the two semi joins), so an un-truncated chain
+        # multiplies the logical plan per round — by ~round 12 merely
+        # STRINGIFYING the plan (persist's cache name, explain) OOMs
+        # the driver (the round-7 doubled-plan pitfall).
+        # localCheckpoint is lazy; the convergence count below
+        # materializes it.
         nxt = cache.register(nxt.localCheckpoint(eager=False))
         n_next = nxt.count()
+        done += levels
         if n_next == n_edges:
             return (
                 cur.groupBy(F.col("u").alias("node"))
@@ -418,7 +438,6 @@ def kcore(
         # can release NOW, so a long session (or a suite building many
         # plans) doesn't accumulate one persisted edge set per round
         cur.unpersist()
-        keep.unpersist()
         cur, n_edges = nxt, n_next
     raise RuntimeError(
         f"kcore did not converge in {max_rounds} rounds "
