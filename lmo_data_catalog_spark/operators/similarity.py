@@ -396,6 +396,7 @@ def neardup_pairs_gemm(
     threshold: float,
     eps: float = 1e-9,
     max_build_rows: int = 1_000_000,
+    same_col: str | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold via GEMM tiles + exact
     re-verification — same output as :func:`neardup_pairs_bruteforce`,
@@ -423,6 +424,12 @@ def neardup_pairs_gemm(
     so peak executor footprint is ONE block matrix regardless of
     block count; on a real cluster swap localCheckpoint for a
     checkpoint dir or a parquet spill of the (tiny) candidate ids.
+
+    ``same_col`` (optional) restricts pairs to rows AGREEING on that
+    column (e.g. a k-means cell id): the equality test rides the
+    stage-1 numpy mask, so blocked variants — SemDeDup within-cell
+    compare, partition-scoped dedup — reuse the same kernel and pay
+    nothing for the pairs they exclude.
     """
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
@@ -436,12 +443,13 @@ def neardup_pairs_gemm(
         ids_b = side[id_col].to_numpy()
         B = np.stack(side[vec_col].to_numpy()).astype(np.float64)
         nb = np.sqrt((B * B).sum(axis=1))
-        bc = spark.sparkContext.broadcast((ids_b, B, nb))
+        blk_b = side[same_col].to_numpy() if same_col else None
+        bc = spark.sparkContext.broadcast((ids_b, B, nb, blk_b))
 
         def gen(batches):
             import pandas as pd
 
-            ids_b_, B_, nb_ = bc.value
+            ids_b_, B_, nb_, blk_b_ = bc.value
             for pdf in batches:
                 if not len(pdf):
                     continue
@@ -449,12 +457,15 @@ def neardup_pairs_gemm(
                 ida = pdf[id_col].to_numpy()
                 na = np.sqrt((A * A).sum(axis=1))
                 S = (A @ B_.T) / np.outer(na, nb_)
-                ia, ib = np.nonzero(
-                    (S >= cut) & (ida[:, None] < ids_b_[None, :])
-                )
+                mask = (S >= cut) & (ida[:, None] < ids_b_[None, :])
+                if blk_b_ is not None:
+                    blk_a = pdf[same_col].to_numpy()
+                    mask &= blk_a[:, None] == blk_b_[None, :]
+                ia, ib = np.nonzero(mask)
                 yield pd.DataFrame({"id_a": ida[ia], "id_b": ids_b_[ib]})
 
-        return df.select(id_col, vec_col).mapInPandas(
+        cols = [id_col, vec_col] + ([same_col] if same_col else [])
+        return df.select(*cols).mapInPandas(
             gen, f"id_a {id_type}, id_b {id_type}"
         )
 
@@ -464,7 +475,9 @@ def neardup_pairs_gemm(
     # max_build_rows-vector gather; EVERY toPandas below is bounded
     # with limit(bound + 1) so even pathological id skew cannot pull
     # an unbounded block onto the driver before the guard fires.
-    probe = df.select(id_col, vec_col)
+    probe = df.select(
+        *([id_col, vec_col] + ([same_col] if same_col else []))
+    )
     n = probe.count()
     if n <= max_build_rows:
         cand = _block_candidates(probe.toPandas())

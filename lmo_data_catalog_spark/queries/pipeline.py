@@ -2079,15 +2079,18 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: cell training is the deterministic integer-sum Lloyd
     of ``kmeans_cells_exact`` (one scan + one k-row hash aggregate per
-    iteration); the candidate stage is a self-equi-join ON THE CELL
-    KEY, so the quadratic is bounded by the largest cell, never the
-    corpus. At 100 TB the published recipe holds: k grows with N to
-    pin the expected cell size (k ~ N/target), keeping per-cell work
-    constant and the join a plain shuffled equi-join; the k=8 used
-    here keeps the unrolled-CTE oracle tractable. Value-exact on both
-    engines because the cell assignment is the order-free quantized
-    Lloyd (see ann_ivf_kmeans_topk) and the cosine threshold is the
-    same left-deep double fold both engines evaluate identically."""
+    iteration); the candidate stage is the Arrow GEMM kernel BLOCKED
+    on the cell id (``same_col`` mask in stage 1), so only same-cell
+    pairs are ever emitted and the quadratic is bounded by the
+    largest cell, never the corpus. At 100 TB the published recipe
+    holds: k grows with N to pin the expected cell size
+    (k ~ N/target), keeping per-cell work constant — and the sharded
+    build side of ``neardup_pairs_gemm`` bounds driver/executor
+    memory regardless of k; the k=8 used here keeps the unrolled-CTE
+    oracle tractable. Value-exact on both engines because the cell
+    assignment is the order-free quantized Lloyd (see
+    ann_ivf_kmeans_topk) and every surviving candidate is re-scored
+    with the same left-deep double fold the oracle evaluates."""
     from ..operators.similarity import kmeans_cells_exact
 
     cat = Catalog(spark, sf_dir)
@@ -2099,39 +2102,23 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=8,
         iters=2,
     )
-    from ..operators.similarity import dot_pair
+    from ..operators.similarity import neardup_pairs_gemm
 
-    # Per-vector norm computed ONCE (sqrt of the same left-deep dot
-    # the per-pair formula would fold), so the 25M-pair stage at sf1
-    # pays one 64-term dot per pair instead of three — bit-identical
-    # to cosine_pair because sqrt/divide see the exact same doubles.
-    withnorm = assigned.select(
-        "vec_id",
-        "embedding",
-        "__cell",
-        F.sqrt(norm_sq("embedding", DIM)).alias("__nrm"),
+    # Within-cell pairs via the Arrow GEMM kernel BLOCKED on the cell
+    # id (same_col): the cell-equality test rides the stage-1 numpy
+    # mask, and the surviving candidates are re-scored with the exact
+    # left-deep fold — bit-identical to an expression self-join on the
+    # cell key, ~40x faster at sf1 (25M array-fold pairs is the slow
+    # path; see embedding_neardup_pairs).
+    pairs = neardup_pairs_gemm(
+        assigned,
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=DIM,
+        threshold=0.45,
+        same_col="__cell",
     )
-    a = withnorm.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-        F.col("__nrm").alias("na"),
-        F.col("__cell").alias("cell"),
-    )
-    b = withnorm.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-        F.col("__nrm").alias("nb"),
-        F.col("__cell").alias("cell"),
-    )
-    removed = (
-        a.join(b, on="cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            dot_pair("va", "vb", DIM) / (F.col("na") * F.col("nb")) >= 0.45
-        )
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-    )
+    removed = pairs.select(F.col("id_b").alias("vec_id")).distinct()
     return assigned.join(removed, on="vec_id", how="left_anti").select(
         "vec_id", F.col("__cell").cast("int").alias("cell")
     )

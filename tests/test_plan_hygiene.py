@@ -23,6 +23,7 @@ ALLOWED_ARROW = {
     "multimodal_decode_stub",
     "embedding_neardup_pairs",
     "pack_documents_greedy",  # grouped-map greedy fold (per-shard scan)
+    "semantic_dedup_keep",  # cell-blocked GEMM kernel (same_col mask)
 }
 
 #: queries whose plans legitimately contain BroadcastNestedLoopJoin —
@@ -32,6 +33,10 @@ ALLOWED_ARROW = {
 #: construction), never a fact×fact product
 ALLOWED_BNLJ = {
     "ann_cosine_topk",  # broadcast query vector
+    "ann_int8_recall",  # broadcast 1-row anchor (query vector + codes)
+    "hard_negative_mining_topk",  # broadcast 5-row query-vector set
+    "rrf_fusion_topk",  # broadcast query vector + two 100-row arm frames
+    "weighted_systematic_sample",  # 1-row grand-total-weight attach
     "ann_ivf_topk",  # broadcast centroid table
     "ann_lsh_multiprobe",  # broadcast 1-row query (vector + bucket)
     "audience_overlap_hll",  # 1-row sketch-estimate triple attach
