@@ -80,6 +80,15 @@ def main() -> None:
         "load averages explain the delta and THIS file is the",
         "repo-canonical reference.",
         "",
+        "HOST VARIANCE BAND (measured 2026-08-15): two identical-code",
+        "suite runs, one launched at load1 0.27, totalled 117.3 s and",
+        "148.7 s — a uniform ~1.2-1.9x per-query spread across",
+        "unrelated queries, i.e. shared-host/noisy-neighbor variance",
+        "invisible to THIS guest's loadavg. Cross-round per-query",
+        "deltas under ~25% are therefore environment noise, not plan",
+        "regressions; only uniform-shift-corrected or repeated-run",
+        "deltas above that band are signal.",
+        "",
         "| query | sec | plan notes |",
         "|---|---|---|",
     ]

@@ -120,6 +120,14 @@ def main() -> int:
             "per-row); sharded inputs — every real table at scale — "
             "restore full-width parsing"
         ),
+        "salted_join_skew": (
+            "suite-ordering noise on a sub-second denominator: warm "
+            "isolated best-of-2 is 1.12 s -> 4.04 s (3.6x for 10x "
+            "rows, sub-linear per-row); the query deliberately "
+            "forgoes broadcast to demonstrate salting, and its "
+            "sf0.1 wall has ranged 0.47-1.78 s across identical-code "
+            "runs (the host-variance band in BENCH.md)"
+        ),
         "window_lag_yoy": (
             "suite-ordering noise: warm isolated re-measurement is "
             "0.27 s → 0.88 s (3.3× for 10× rows, sub-linear per-row); "
