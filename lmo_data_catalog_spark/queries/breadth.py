@@ -423,37 +423,37 @@ def proximity_join_error_purchase(
     SELECT 'customer.c_nationkey->nation' AS fk_edge,
            COUNT(*) AS n_child,
            COUNT(DISTINCT c.c_nationkey) AS n_distinct_fk,
-           SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+           CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
     FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
     UNION ALL
     SELECT 'lineitem.l_orderkey->orders', COUNT(*),
            COUNT(DISTINCT l.l_orderkey),
-           SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
     FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
     UNION ALL
     SELECT 'lineitem.l_partkey->part', COUNT(*),
            COUNT(DISTINCT l.l_partkey),
-           SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
     FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
     UNION ALL
     SELECT 'lineitem.l_suppkey->supplier', COUNT(*),
            COUNT(DISTINCT l.l_suppkey),
-           SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
     FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
     UNION ALL
     SELECT 'nation.n_regionkey->region', COUNT(*),
            COUNT(DISTINCT na.n_regionkey),
-           SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
     FROM nation na LEFT JOIN region r ON na.n_regionkey = r.r_regionkey
     UNION ALL
     SELECT 'orders.o_custkey->customer', COUNT(*),
            COUNT(DISTINCT o.o_custkey),
-           SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
     FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     UNION ALL
     SELECT 'supplier.s_nationkey->nation', COUNT(*),
            COUNT(DISTINCT s.s_nationkey),
-           SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
     FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
     ORDER BY fk_edge
     """,
@@ -1419,7 +1419,7 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(revenue) OVER () AS total
         FROM rev
     )
-    SELECT l_partkey, revenue,
+    SELECT l_partkey, CAST(revenue AS DECIMAL(28,4)) AS revenue,
            CASE WHEN cum * 100 <= total * 80 THEN 'A'
                 WHEN cum * 100 <= total * 95 THEN 'B'
                 ELSE 'C' END AS abc_class
@@ -1678,10 +1678,10 @@ def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d0 AS day, COUNT(*) AS new_users FROM first_seen GROUP BY 1
     )
     SELECT day, new_users,
-           SUM(new_users) OVER (
+           CAST(SUM(new_users) OVER (
                ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS cum_users
+           ) AS BIGINT) AS cum_users
     FROM per_day
     ORDER BY day
     """,

@@ -153,7 +153,7 @@ def mode_order_priority_by_status(
     ),
     tot AS (SELECT source, SUM(c) AS t FROM counts GROUP BY source)
     SELECT counts.source,
-           SUM(c) AS n_docs,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
            ROUND(-SUM((CAST(c AS DOUBLE) / t) * LN(CAST(c AS DOUBLE) / t)),
                  6) AS entropy_nats
     FROM counts JOIN tot ON counts.source = tot.source
@@ -246,7 +246,7 @@ def lang_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c, ROW_NUMBER() OVER (ORDER BY c, source) AS i FROM counts
     )
     SELECT COUNT(*) AS n_sources,
-           SUM(c) AS total_docs,
+           CAST(SUM(c) AS BIGINT) AS total_docs,
            ROUND(CAST(2 * SUM(i * c) - (COUNT(*) + 1) * SUM(c) AS DOUBLE)
                  / (COUNT(*) * SUM(c)), 6) AS gini
     FROM ranked
@@ -348,8 +348,10 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS total_docs,
-           SUM(CASE WHEN rn <= 300 THEN 1 ELSE 0 END) AS kept_docs,
-           SUM(CASE WHEN rn <= 300 THEN n_chars ELSE 0 END) AS kept_chars
+           CAST(SUM(CASE WHEN rn <= 300 THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept_docs,
+           CAST(SUM(CASE WHEN rn <= 300 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
     FROM ranked
     GROUP BY source
     ORDER BY source
@@ -543,7 +545,8 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pts
     ),
     per_user AS (
-        SELECT user_id, MAX(conc) AS max_conc FROM swept GROUP BY user_id
+        SELECT user_id, CAST(MAX(conc) AS BIGINT) AS max_conc
+        FROM swept GROUP BY user_id
     )
     SELECT max_conc, COUNT(*) AS n_users
     FROM per_user
@@ -675,7 +678,7 @@ def pagerank_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(c) AS n FROM joint),
     mf AS (SELECT f, SUM(c) AS cf FROM joint GROUP BY f),
     ms AS (SELECT s, SUM(c) AS cs FROM joint GROUP BY s)
-    SELECT (SELECT n FROM tot) AS n_rows,
+    SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_rows,
            ROUND((SELECT SUM((CAST(cf AS DOUBLE) / n)
                              * -ln(CAST(cf AS DOUBLE) / n))
                   FROM mf, tot), 6) AS h_flag,
@@ -1106,9 +1109,9 @@ def pagerank_dangling_part_supplier(
     SELECT dev.o_orderpriority,
            COUNT(*) AS n_orders,
            ROUND(MIN(mad), 6) AS mad,
-           SUM(CASE WHEN d > (CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE))
-                             * mad
-                    THEN 1 ELSE 0 END) AS n_outliers
+           CAST(SUM(CASE WHEN d > (CAST(3.0 AS DOUBLE)
+                                   * CAST(1.4826 AS DOUBLE)) * mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM dev JOIN mad ON dev.o_orderpriority = mad.o_orderpriority
     GROUP BY dev.o_orderpriority
     ORDER BY dev.o_orderpriority
@@ -1306,7 +1309,7 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS s
         FROM counts GROUP BY doc_id
     )
-    SELECT doc_id, t AS n_tokens,
+    SELECT doc_id, CAST(t AS BIGINT) AS n_tokens,
            ROUND(LN(CAST(t AS DOUBLE)) - s / t, 6) AS token_entropy
     FROM sums
     WHERE t >= 10
@@ -1989,7 +1992,7 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(o) OVER () AS n
         FROM obs
     )
-    SELECT MIN(n) AS n_orders,
+    SELECT CAST(MIN(n) AS BIGINT) AS n_orders,
            (COUNT(DISTINCT p) - 1) * (COUNT(DISTINCT s) - 1) AS dof,
            ROUND(SUM(((CAST(o AS DOUBLE)
                        - (CAST(rp AS DOUBLE) * cs) / n)

@@ -38,3 +38,25 @@ def test_all_oracles_plan(con):
         except Exception as e:  # noqa: BLE001
             bad[name] = str(e).splitlines()[0]
     assert not bad, f"oracles failed to plan: {bad}"
+
+
+def test_oracle_output_type_parity(con, spark):
+    """r8 judge finding (fk_integrity_audit): the driver's value hash
+    is TYPE-sensitive, so an oracle output column that binds as
+    HUGEINT/UHUGEINT (any uncasted integer SUM — Spark emits BIGINT)
+    or a DECIMAL whose (precision, scale) differs from the Spark
+    schema fails the driver gate even when every value is equal.
+    Eleven oracles carried the latent class in r8; this pins the fix:
+    bind every oracle in DuckDB, build every Spark plan (no
+    execution), and reject the representation mismatch at test time."""
+    from tools.verify_local import type_parity_problems
+
+    bad = {}
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        schema = spec.builder(spark, SF).schema
+        problems = type_parity_problems(con, spec.oracle, schema)
+        if problems:
+            bad[name] = problems
+    assert not bad, f"oracle output type parity violations: {bad}"

@@ -17,10 +17,41 @@ from __future__ import annotations
 
 import math
 import os
+import re
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+
+def type_parity_problems(con, oracle_sql, spark_schema):
+    """Representation-level guard (r8 judge finding): the driver's
+    value hash is TYPE-sensitive, so an oracle column that binds as
+    HUGEINT/UHUGEINT (e.g. any uncasted integer SUM — Spark emits
+    BIGINT) or a DECIMAL whose (precision, scale) differs from the
+    Spark schema fails the driver even when every value is equal.
+    The tolerance-normalized compare below provably cannot catch
+    this class (Python fetch collapses int128 → int), so it is
+    checked here at bind time, before any rows are compared."""
+    rel = con.sql(oracle_sql)
+    s_dec = {}
+    for f in spark_schema.fields:
+        m = re.match(r"decimal\((\d+),(\d+)\)", f.dataType.simpleString())
+        if m:
+            s_dec[f.name] = (int(m.group(1)), int(m.group(2)))
+    problems = []
+    for col, dt in zip(rel.columns, (str(t) for t in rel.types)):
+        if dt in ("HUGEINT", "UHUGEINT"):
+            problems.append(f"{col} binds as {dt} (cast AS BIGINT)")
+        m = re.match(r"DECIMAL\((\d+),(\d+)\)", dt)
+        if m:
+            dpair = (int(m.group(1)), int(m.group(2)))
+            if s_dec.get(col) != dpair:
+                problems.append(
+                    f"{col} duck DECIMAL{dpair} vs spark "
+                    f"{s_dec.get(col)}"
+                )
+    return problems
 
 
 def normalize(rows, columns):
@@ -88,6 +119,11 @@ def main() -> int:
                   f"{time.time()-t0:.1f}s) — no oracle")
             continue
         try:
+            tp = type_parity_problems(con, spec.oracle, df.schema)
+            if tp:
+                print(f"FAIL {name}: oracle type parity: " + "; ".join(tp))
+                failures.append(name)
+                continue
             res = con.execute(spec.oracle)
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
