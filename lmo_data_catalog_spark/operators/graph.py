@@ -20,7 +20,7 @@ lineage growth.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import cache
@@ -359,10 +359,20 @@ def kcore(
     max_rounds: int = 12,
     src: str = "src",
     dst: str = "dst",
+    canonicalize: bool = False,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling: repeatedly drop
     nodes whose degree in the SURVIVING subgraph is < k until a
     fixpoint; return the core's nodes with their within-core degree.
+
+    Input contract: ``edges`` must be UNIQUE single-orientation
+    undirected edges with no self-loops (each {a,b} appears exactly
+    once, as either (a,b) or (b,a), never both) — duplicates,
+    bidirectional pairs, or self-loops double node degrees and yield
+    a wrong core. Callers that cannot guarantee this pass
+    ``canonicalize=True`` to get the triangle_counts treatment
+    (least/greatest orientation + distinct, self-loops dropped) at
+    the cost of one extra shuffle.
 
     Peeling is monotone (a dropped node never returns), so the
     fixpoint is unique and extra rounds past convergence are no-ops —
@@ -382,6 +392,15 @@ def kcore(
     alternative to fewer-round convergence is distributed bin peeling
     — same join shape, coarser rounds.
     """
+    if canonicalize:
+        edges = (
+            edges.filter(F.col(src) != F.col(dst))
+            .select(
+                F.least(src, dst).alias(src),
+                F.greatest(src, dst).alias(dst),
+            )
+            .distinct()
+        )
     # Both directions in ONE pass over the edge builder: a UNION of
     # two projections would execute the (often expensive) upstream
     # plan twice — Spark does not dedupe shared union branches.
@@ -396,29 +415,49 @@ def kcore(
     cur = cache.track(und)
     n_edges = cur.count()
 
-    def _peel(frame: DataFrame) -> DataFrame:
-        keep = (
-            frame.groupBy("u")
-            .agg(F.count(F.lit(1)).alias("__d"))
-            .filter(F.col("__d") >= k)
-            .select("u")
-        )
+    # Window-based peel: deg(u) and deg(v) as COUNT over partition-by
+    # windows on the SAME frame (both directions are present, so the
+    # v-partition count IS v's degree). Crucially this references the
+    # input exactly ONCE — the r8 semi-join formulation scanned it 3×
+    # (degree agg + two semi joins), so chaining L lazy levels
+    # recomputed level 1 3^(L-1) times and capped the batch at 2.
+    # Linear chaining lets one materialize+count cover 3 levels.
+    # Alternating the two windows' order per level makes each level's
+    # FIRST window start on the key the previous level's LAST window
+    # ended on — WindowExec leaves the frame hash-partitioned and
+    # sorted by its partition key and filter preserves both, so
+    # EnsureRequirements inserts no Exchange/Sort for it: chained
+    # levels cost 1 exchange each instead of 2.
+    wu = Window.partitionBy("u")
+    wv = Window.partitionBy("v")
+
+    def _peel(frame: DataFrame, flip: bool = False) -> DataFrame:
+        first, second = (wv, wu) if flip else (wu, wv)
         return (
-            frame.join(keep, "u", "left_semi")
-            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            frame.withColumn("__d1", F.count(F.lit(1)).over(first))
+            .withColumn("__d2", F.count(F.lit(1)).over(second))
+            .filter((F.col("__d1") >= k) & (F.col("__d2") >= k))
             .select("u", "v")
         )
 
-    # TWO peel levels per materialize+count: peeling is monotone, so
-    # equal counts across a double round mean neither level dropped a
-    # node — the fixpoint. Halves the checkpoint/count actions; the
-    # engine still never exceeds max_rounds levels.
+    def _core(frame: DataFrame) -> DataFrame:
+        return frame.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).alias("core_degree")
+        )
+
+    # THREE peel levels per materialize+count: peeling is monotone,
+    # so equal counts across a triple round mean no level dropped a
+    # node — the fixpoint. Cuts the checkpoint/count actions to
+    # ceil(live_rounds/3)+1 (r8 ran 2 levels/action; the extra level
+    # trades one lazy degree-agg+semi-join layer — cheap, the data
+    # shrinks per level — for a whole edge-list materialization);
+    # the engine still never exceeds max_rounds levels.
     done = 0
     while done < max_rounds:
-        levels = min(2, max_rounds - done)
-        nxt = _peel(cur)
-        if levels == 2:
-            nxt = _peel(nxt)
+        levels = min(3, max_rounds - done)
+        nxt = cur
+        for lvl in range(levels):
+            nxt = _peel(nxt, flip=bool(lvl % 2))
         # truncate lineage EVERY batch: each peel references its
         # input twice (the two semi joins), so an un-truncated chain
         # multiplies the logical plan per round — by ~round 12 merely
@@ -430,15 +469,24 @@ def kcore(
         n_next = nxt.count()
         done += levels
         if n_next == n_edges:
-            return (
-                cur.groupBy(F.col("u").alias("node"))
-                .agg(F.count(F.lit(1)).alias("core_degree"))
-            )
+            return _core(cur)
         # nxt is materialized (count above) — superseded round frames
         # can release NOW, so a long session (or a suite building many
         # plans) doesn't accumulate one persisted edge set per round
         cur.unpersist()
         cur, n_edges = nxt, n_next
+    # Round budget exhausted with the last batch still dropping edges
+    # — but the fixpoint may have been reached exactly AT the final
+    # allowed level (an earlier level in the batch dropped, the last
+    # was already converged; the batch-level count cannot tell).
+    # Probe with ONE extra peel: an unchanged count PROVES cur is the
+    # fixpoint (monotonicity), so a converged graph never gets the
+    # spurious non-convergence error.
+    probe = cache.register(_peel(cur).localCheckpoint(eager=False))
+    n_probe = probe.count()
+    probe.unpersist()
+    if n_probe == n_edges:
+        return _core(cur)
     raise RuntimeError(
         f"kcore did not converge in {max_rounds} rounds "
         f"(still peeling at {n_edges} directed edges)"

@@ -233,8 +233,11 @@ def test_kcore_matches_bruteforce_peel(spark):
 
 
 def test_kcore_is_fixpoint_and_raises_without_convergence(spark):
-    """Re-peeling the returned core changes nothing (fixpoint), and
-    an impossible round budget raises instead of truncating."""
+    """Re-peeling the returned core changes nothing (fixpoint); a
+    graph that converges exactly AT the final allowed level returns
+    instead of raising (the post-loop probe — an earlier level in the
+    last batch dropped edges so the batch count can't prove the
+    fixpoint); a genuinely unconverged cascade still raises."""
     import pytest as _pytest
 
     from lmo_data_catalog_spark.operators.graph import kcore
@@ -248,5 +251,35 @@ def test_kcore_is_fixpoint_and_raises_without_convergence(spark):
     again = {(r.node, r.core_degree) for r in kcore(sub, k=3).collect()}
     assert again == {(r.node, r.core_degree) for r in core.collect()}
 
+    # converges at level 1 (6,8,9 peel and 7 goes edge-less with
+    # them): max_rounds=1 exhausts the budget mid-drop, but the probe
+    # proves the fixpoint — no spurious non-convergence error
+    assert kcore(df, k=3, max_rounds=1).count() == 5
+
+    # a path peels two endpoints per level — 8 nodes need 4 levels,
+    # so a 1-level budget is a REAL non-convergence and must raise
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["src", "dst"]
+    )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        kcore(df, k=3, max_rounds=1)
+        kcore(path, k=2, max_rounds=1)
+
+
+def test_kcore_canonicalize_handles_dirty_edges(spark):
+    """canonicalize=True makes duplicate, reversed, and self-loop
+    edges harmless; without it the input contract (unique single
+    orientation) is the caller's job — dirty input silently doubles
+    degrees, which this pins by showing the two modes differ."""
+    from lmo_data_catalog_spark.operators.graph import kcore
+
+    clean = [(i, j) for i in range(1, 6) for j in range(i + 1, 6)]
+    dirty = clean + [(j, i) for i, j in clean[:5]] + [(3, 3)]
+    df = spark.createDataFrame(dirty, ["src", "dst"])
+    got = {
+        (r.node, r.core_degree)
+        for r in kcore(df, k=4, canonicalize=True).collect()
+    }
+    assert got == {(n, 4) for n in range(1, 6)}
+    # sanity: the raw dirty frame would inflate degrees past 4
+    raw = {r.core_degree for r in kcore(df, k=4).collect()}
+    assert max(raw) > 4
