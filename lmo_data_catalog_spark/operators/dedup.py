@@ -821,6 +821,14 @@ class LshDedupState:
             F.pmod(F.col("band_hash"), F.lit(self.n_buckets)).cast("int"),
         )
 
+    # batch band rows above this stop being broadcast and the probe
+    # falls back to a shuffle join: an explicit broadcast hint is not
+    # capped by autoBroadcastJoinThreshold, so a huge backfill batch
+    # (bands x docs rows) would otherwise OOM the driver. ~2M rows of
+    # (id, band_idx, band_hash, band_bucket) is ~100 MB serialized —
+    # comfortably under the 8 GB broadcast ceiling with headroom.
+    BROADCAST_MAX_BAND_ROWS = 2_000_000
+
     def probe(
         self, docs: DataFrame, *, id_col: str = "doc_id",
         text_col: str = "text",
@@ -841,14 +849,21 @@ class LshDedupState:
         Committing first would leave the replay a watermark no-op
         with that batch's pairs permanently missing."""
         batch = cache.track(self._band_rows(docs, id_col, text_col))
+        # size the (persisted) batch ONCE: normal micro-batches stay
+        # on the broadcast fast path (state scan joins with no
+        # Exchange); an oversized backfill degrades to a plain
+        # shuffle join instead of OOMing the driver — still correct,
+        # just pays a state-side shuffle, so chunk big backfills
+        small = batch.count() <= self.BROADCAST_MAX_BAND_ROWS
         a = batch.select(
             F.col("id").alias("id_a"), "band_idx", "band_hash"
         )
         b = batch.select(
             F.col("id").alias("id_b"), "band_idx", "band_hash"
         )
+        a_side = F.broadcast(a) if small else a
         cand = (
-            F.broadcast(a)
+            a_side
             .join(b, on=["band_idx", "band_hash"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
@@ -867,9 +882,10 @@ class LshDedupState:
             )
             # batch side broadcast: the (pruned) state scan streams
             # through a BroadcastHashJoin with NO Exchange — the
-            # whole probe is O(batch) shuffle
+            # whole probe is O(batch) shuffle (shuffle-join fallback
+            # above the size guard, see BROADCAST_MAX_BAND_ROWS)
             cross = (
-                F.broadcast(a)
+                a_side
                 .join(hist, on=["band_idx", "band_hash"])
                 .select(
                     F.least("id_a", "id_b").alias("id_a"),

@@ -192,9 +192,25 @@ def bucket_proximity_join(
     bucket assignment exact and engine-portable for non-negative
     epochs — float division can round a just-below-boundary quotient
     up (see the pitfalls note in SCALING §sf1).
+
+    Only inner/left-shaped joins are sound: the RIGHT side is the
+    exploded one, so under right/full outer an unmatched right row
+    would surface once PER exploded bucket (2–3 duplicate
+    null-extended rows). Such ``how`` values are rejected; flip the
+    operands to get right-outer semantics.
     """
     if window <= 0:
         raise ValueError(f"window must be positive, got {window}")
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"how={how!r} is unsound for bucket_proximity_join: the "
+            "right side is exploded to 2-3 buckets, so right/full "
+            "outer would emit each unmatched right row once per "
+            "bucket. Use one of {inner, left(_outer), left_semi, "
+            "left_anti, cross}, or swap the operands."
+        )
     lb = left.withColumn("__bucket", F.expr(f"{left_ts} div {window}"))
     rb = right.withColumn(
         "__bucket",

@@ -1316,13 +1316,18 @@ def sql_interface_source_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNUTH = 2654435761  # Fibonacci-hash multiplier
 _M32 = 4294967296
+# reduce ids mod 2^31 before the Knuth multiply: the product then
+# stays under int64 max at any corpus size (unreduced ids overflow
+# at ~3.5e9 — Spark wraps silently while DuckDB errors on BIGINT
+# overflow, breaking cross-engine parity; the bootstrap_mean_ci class)
+_M31 = 2147483648
 
 
 @query(
     "stratified_sample_langs",
     oracle=f"""
     SELECT doc_id, lang FROM documents
-    WHERE (doc_id * {_KNUTH}) % {_M32} <
+    WHERE ((doc_id % {_M31}) * {_KNUTH}) % {_M32} <
           CASE WHEN lang = 'en' THEN {_M32 // 2} ELSE {_M32} END
     """,
     tags=("sampling",),
@@ -1335,7 +1340,9 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible across engines, runs, and partitionings — unlike
     ``df.sample`` whose output depends on partition layout."""
     cat = Catalog(spark, sf_dir)
-    bucket = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_M32)
+    bucket = ((F.col("doc_id") % F.lit(_M31)) * F.lit(_KNUTH)) % F.lit(
+        _M32
+    )
     cutoff = F.when(F.col("lang") == "en", F.lit(_M32 // 2)).otherwise(
         F.lit(_M32)
     )

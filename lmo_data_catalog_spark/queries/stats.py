@@ -29,6 +29,12 @@ from .. import cache
 # integer ids without relying on either engine's RNG.
 _KNUTH = 2654435761
 _M32 = 4294967296
+# pre-multiply reduction modulus: operands reduced mod 2^31 keep the
+# Knuth product under 2^31 * 2654435761 ≈ 5.7e18 < int64 max, so the
+# hash can never overflow at ANY scale factor. An unreduced key
+# overflows int64 once it passes ~3.5e9 (≈ sf500 orderkeys) — Spark
+# would wrap silently while DuckDB errors, breaking engine parity.
+_M31 = 2147483648
 
 
 # ------------------------------------------------- correlation / regression
@@ -284,9 +290,13 @@ def gini_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------- weighted sampling
 
 
-#: engine-portable uniform in (0, 1) from the doc id (Fibonacci hash).
+#: engine-portable uniform in (0, 1) from the doc id (Fibonacci
+#: hash); the id is reduced mod 2^31 BEFORE the Knuth multiply so the
+#: product stays within int64 at any corpus size (the bootstrap_mean_ci
+#: overflow class — Spark wraps silently, DuckDB errors).
 _U_SQL = (
-    f"(CAST(((doc_id * {_KNUTH}) % {_M32}) + 1 AS DOUBLE) / {_M32 + 1}.0)"
+    f"(CAST((((doc_id % {_M31}) * {_KNUTH}) % {_M32}) + 1 AS DOUBLE)"
+    f" / {_M32 + 1}.0)"
 )
 
 
@@ -314,9 +324,9 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers, at any corpus size.
     """
     docs = Catalog(spark, sf_dir).documents
-    u = (((F.col("doc_id") * _KNUTH) % _M32) + 1).cast("double") / (
-        _M32 + 1
-    )
+    u = ((((F.col("doc_id") % _M31) * _KNUTH) % _M32) + 1).cast(
+        "double"
+    ) / (_M32 + 1)
     key = F.log(u) / F.col("n_chars").cast("double")
     return (
         docs.select(
@@ -2065,7 +2075,8 @@ def _boot_weight(b: int):
     Knuth-hash the (orderkey, replicate) pair to a uniform 32-bit
     integer, invert the Poisson(1) CDF by integer thresholds."""
     h = F.pmod(
-        (F.col("o_orderkey") + F.lit(b * 1000003)) * F.lit(_KNUTH),
+        F.pmod(F.col("o_orderkey") + F.lit(b * 1000003), F.lit(_M31))
+        * F.lit(_KNUTH),
         F.lit(_M32),
     )
     w = F.when(h < _BOOT_T[0], 0)
@@ -2083,7 +2094,8 @@ def _boot_oracle_sql() -> str:
     WITH reps AS (SELECT unnest(range({_BOOT_B})) AS b),
     hashed AS (
         SELECT r.b,
-               ((o_orderkey + r.b * 1000003) * {_KNUTH}) % {_M32} AS h,
+               (((o_orderkey + r.b * 1000003) % {_M31}) * {_KNUTH})
+                   % {_M32} AS h,
                CAST(o_totalprice AS DECIMAL(18,2)) AS p
         FROM orders, reps r
     ),

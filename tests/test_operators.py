@@ -412,6 +412,54 @@ def test_bucket_proximity_join_rejects_nonpositive_window(spark):
         bucket_proximity_join(df, df, left_ts="t", right_ts="t", window=0)
 
 
+def test_bucket_proximity_join_rejects_right_and_full_outer(spark):
+    """The RIGHT side is the exploded one: under right/full outer an
+    unmatched right row surfaces once per exploded bucket (2-3
+    duplicate null-extended rows), silently wrong — so those join
+    types must be rejected, while every left-shaped type passes."""
+    import pytest
+
+    from lmo_data_catalog_spark.operators.joins import bucket_proximity_join
+
+    lf = spark.range(3).select(F.col("id").alias("lt"))
+    rt = spark.range(3).select(F.col("id").alias("rt"))
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="unsound"):
+            bucket_proximity_join(
+                lf, rt, left_ts="lt", right_ts="rt", window=5, how=how
+            )
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        bucket_proximity_join(
+            lf, rt, left_ts="lt", right_ts="rt", window=5, how=how
+        ).count()
+
+
+def test_lsh_probe_shuffle_fallback_matches_broadcast(spark, tmp_path):
+    """Above BROADCAST_MAX_BAND_ROWS the probe must drop the explicit
+    broadcast hint (a huge backfill batch would OOM the driver) and
+    fall back to a shuffle join with IDENTICAL candidates."""
+    from lmo_data_catalog_spark.operators.dedup import LshDedupState
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely unrelated text about spark partitions"),
+        ],
+        ["doc_id", "text"],
+    )
+    st = LshDedupState(spark, str(tmp_path / "lsh_a"))
+    st.commit_batch(st.probe(docs)[1])
+    newdocs = spark.createDataFrame(
+        [(4, "the quick brown fox jumps over the lazy dog tomorrow")],
+        ["doc_id", "text"],
+    )
+    fast = {tuple(r) for r in st.probe(newdocs)[0].collect()}
+    st.BROADCAST_MAX_BAND_ROWS = 0  # force every batch onto the fallback
+    slow = {tuple(r) for r in st.probe(newdocs)[0].collect()}
+    assert fast == slow and fast
+
+
 def test_exact_percentile_selection_matches_percentile_agg(spark):
     """Selection-based exact percentile == Spark's buffering
     ``percentile`` aggregate bit-for-bit, across odd/even n, heavy
