@@ -294,6 +294,14 @@ def quantize_expr(vec_col: str, scale: float) -> Column:
     )
 
 
+#: above this k the Lloyd assignment runs as an Arrow GEMM kernel
+#: instead of a k-wide fold-expression array: the expression tree
+#: grows O(k*dim) and hits the Catalyst analysis/codegen cliff, while
+#: the arithmetic (exact-integer doubles, see kmeans_cells_exact) is
+#: provably order-free so the two paths are bit-identical.
+_KERNEL_MIN_K = 16
+
+
 def kmeans_cells_exact(
     df: DataFrame,
     *,
@@ -360,13 +368,55 @@ def kmeans_cells_exact(
             cols.append(dot_literal("__q", svec) / F.lit(math.sqrt(acc)))
         return F.array(*cols)
 
-    cell = F.expr("array_position(__scores, array_max(__scores))").cast(
-        "int"
-    )
+    # Two bit-identical assignment paths. Every operand is an INTEGER
+    # (quantized vector x integer centroid sums) and every
+    # intermediate stays far below 2^53 (|q_i| <= scale*|x|_max,
+    # |S_ci| <= members*scale*|x|_max; products/sums ~1e12-1e14 for
+    # realistic cells), so double arithmetic is EXACT and therefore
+    # order-free: the left-deep fold, numpy's blocked dgemm, and the
+    # oracle's SQL fold all yield the same doubles, the same
+    # quotients, and the same argmax (ties -> lowest cell in both
+    # array_position and np.argmax). The expression path keeps small-k
+    # plans whole-stage-codegen'd; above _KERNEL_MIN_K the k-wide
+    # fold-array expression hits the Catalyst compile cliff (and the
+    # r8 fold-vs-GEMM 7x gap), so assignment runs as one Arrow batch
+    # kernel instead — pinned equal in test_operators.py.
+    def with_cell(frame: DataFrame, keep: list[str]) -> DataFrame:
+        if k <= _KERNEL_MIN_K:
+            return frame.select(
+                *keep, score_array().alias("__scores")
+            ).select(
+                *keep,
+                F.expr("array_position(__scores, array_max(__scores))")
+                .cast("int")
+                .alias("__cell"),
+            )
+        S = np.array(state, dtype=np.float64)
+        norms = np.sqrt((S * S).sum(axis=1))
+
+        def assign(batches):
+            for pdf in batches:
+                if len(pdf):
+                    Q = np.array(pdf["__q"].tolist(), dtype=np.float64)
+                    cells = ((Q @ S.T) / norms).argmax(axis=1) + 1
+                else:
+                    cells = np.empty(0, dtype=np.int64)
+                yield pdf.assign(__cell=cells.astype("int32"))[
+                    keep + ["__cell"]
+                ]
+
+        out_schema = ", ".join(
+            f"`{c}` {frame.schema[c].dataType.simpleString()}"
+            for c in keep
+        )
+        return frame.mapInPandas(
+            assign, schema=f"{out_schema}, __cell int"
+        )
+
     for _ in range(iters):
         agg = (
-            q.select(score_array().alias("__scores"), "__q")
-            .select(cell.alias("__cell"), "__q")
+            with_cell(q.select("__q"), ["__q"])
+            .select("__cell", "__q")
             .groupBy("__cell")
             .agg(
                 *[
@@ -380,11 +430,7 @@ def kmeans_cells_exact(
         for row in agg:
             new[row["__cell"] - 1] = [row[f"__s{i}"] for i in range(dim)]
         state = new
-    return cache.track(
-        q.select(id_col, vec_col, score_array().alias("__scores")).select(
-            id_col, vec_col, cell.alias("__cell")
-        )
-    )
+    return cache.track(with_cell(q, [id_col, vec_col]))
 
 
 def neardup_pairs_gemm(

@@ -2038,6 +2038,13 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------ semantic dedup
 
+#: expected vectors per k-means cell: k = clamp(N / this, 8, 64), the
+#: SemDeDup recipe (k grows with the corpus so within-cell pair count
+#: — the quadratic residual — stays ~linear in N). Both engines
+#: compute k from the same COUNT with integer division, so the cell
+#: model is identical at every scale factor.
+_SEMDEDUP_CELL = 250
+
 _SEMDEDUP_SQL = f"""
     WITH qv AS MATERIALIZED (
         SELECT vec_id, embedding,
@@ -2049,7 +2056,18 @@ _SEMDEDUP_SQL = f"""
                ) AS q
         FROM embeddings
     ),
-    seed AS (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 8),
+    nk AS (
+        SELECT GREATEST(8, LEAST(64, CAST(COUNT(*) // {_SEMDEDUP_CELL}
+                                          AS INT))) AS k
+        FROM qv
+    ),
+    seed AS (
+        SELECT vec_id, q FROM (
+            SELECT vec_id, q,
+                   ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+            FROM qv
+        ) WHERE rn <= (SELECT k FROM nk)
+    ),
     c0 AS MATERIALIZED (
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cell,
                q AS s
@@ -2089,24 +2107,28 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration); the candidate stage is the Arrow GEMM kernel BLOCKED
     on the cell id (``same_col`` mask in stage 1), so only same-cell
     pairs are ever emitted and the quadratic is bounded by the
-    largest cell, never the corpus. At 100 TB the published recipe
-    holds: k grows with N to pin the expected cell size
-    (k ~ N/target), keeping per-cell work constant — and the sharded
-    build side of ``neardup_pairs_gemm`` bounds driver/executor
-    memory regardless of k; the k=8 used here keeps the unrolled-CTE
-    oracle tractable. Value-exact on both engines because the cell
-    assignment is the order-free quantized Lloyd (see
-    ann_ivf_kmeans_topk) and every surviving candidate is re-scored
-    with the same left-deep double fold the oracle evaluates."""
+    largest cell, never the corpus. The published recipe's k-scaling
+    is LIVE here: k = clamp(N / _SEMDEDUP_CELL, 8, 64) from one
+    COUNT, so the expected cell size — and with it the within-cell
+    pair count per vector — is pinned as the corpus grows (the sf1
+    growth ratio in SCALING §sf1 is the measurement); both engines
+    derive k from the same integer division, and the sharded build
+    side of ``neardup_pairs_gemm`` bounds executor memory regardless
+    of k. Value-exact on both engines because the cell assignment is
+    the order-free quantized Lloyd (see ann_ivf_kmeans_topk) and
+    every surviving candidate is re-scored with the same left-deep
+    double fold the oracle evaluates."""
     from ..operators.similarity import kmeans_cells_exact
 
     cat = Catalog(spark, sf_dir)
+    n = cat.embeddings.count()
+    k = max(8, min(64, n // _SEMDEDUP_CELL))
     assigned = kmeans_cells_exact(
         cat.embeddings,
         id_col="vec_id",
         vec_col="embedding",
         dim=DIM,
-        k=8,
+        k=k,
         iters=2,
     )
     from ..operators.similarity import neardup_pairs_gemm

@@ -490,3 +490,28 @@ def test_exact_percentile_selection_matches_percentile_agg(spark):
     # empty input -> None
     empty = spark.createDataFrame([], "x double")
     assert exact_percentile_selection(empty, "x", 0.5) is None
+
+
+def test_kmeans_kernel_path_matches_expression_path(spark, monkeypatch):
+    """kmeans_cells_exact has two assignment paths (k-wide fold
+    expressions vs the Arrow GEMM kernel above _KERNEL_MIN_K). All
+    operands are exact-integer doubles, so both must produce the SAME
+    cells on the same data — pinned by running k=8 through each."""
+    import lmo_data_catalog_spark.operators.similarity as sim
+
+    rows = [
+        (i, [((i * 37 + j * 11) % 19 - 9) / 4.0 for j in range(8)])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kw = dict(id_col="vec_id", vec_col="embedding", dim=8, k=8, iters=2)
+    expr_path = {
+        (r["vec_id"], r["__cell"])
+        for r in sim.kmeans_cells_exact(df, **kw).collect()
+    }
+    monkeypatch.setattr(sim, "_KERNEL_MIN_K", 0)
+    kernel_path = {
+        (r["vec_id"], r["__cell"])
+        for r in sim.kmeans_cells_exact(df, **kw).collect()
+    }
+    assert expr_path == kernel_path and len(expr_path) == 120
