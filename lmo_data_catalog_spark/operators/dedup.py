@@ -403,15 +403,17 @@ def winnow_dedup_pairs(
         df, id_col=id_col, text_col=text_col, k=k, w=w
     ).toDF("id", "fp")
     # fingerprints present in a single doc can't form a pair — prune
-    # before the self-join (same df>=2 trick as exact_jaccard_pairs).
-    fps = cache.track(fps)
-    shared = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("fp")
+    # before the self-join. A count-over-window does it in the SAME
+    # shuffle that keys the self-join (one Exchange on fp total),
+    # where the exact_jaccard_pairs-style agg+join-back pays a second
+    # full pass over the fingerprint table.
+    fp2 = cache.track(
+        fps.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .filter(F.col("__df") >= 2)
+        .select("fp", "id")
     )
-    fp2 = fps.join(shared, on="fp")
     cand = (
         fp2.toDF("fp", "id_a")
         .join(fp2.toDF("fp", "id_b"), on="fp")
