@@ -13,12 +13,17 @@ too (:func:`decode_wav_pcm`: manual RIFF chunk walk, integer PCM
 8/16/24/32-bit + IEEE float 32/64, WAVE_FORMAT_EXTENSIBLE resolve;
 compressed formats raise), surfaced as :func:`wav_audio_stats`
 (per-channel RMS/peak — tests/test_wav_decode.py pins sine-wave
-RMS = A/√2 analytically). Payloads that are not a
-recognized container (e.g. the text-derived fixture payloads) fall
-back to a deterministic fake keyed on byte length in the meta
-kernels, and pixel decode of OTHER formats (JPEG entropy decode,
-palette/16-bit/interlaced PNG) stays gated on a codec library that
-is not in this container — strict kernels raise rather than fake.
+RMS = A/√2 analytically). JPEG PIXEL decode is real as well
+(operators/jpeg.py::decode_jpeg_pixels: baseline SOF0 Huffman +
+dequant + IDCT + chroma upsampling + YCbCr→RGB, restart intervals,
+round-tripped against an independent encoder in
+tests/test_jpeg_decode.py), surfaced as :func:`jpeg_pixel_stats`.
+Payloads that are not a recognized container (e.g. the text-derived
+fixture payloads) fall back to a deterministic fake keyed on byte
+length in the meta kernels, and pixel decode of the REMAINING shapes
+(progressive/arithmetic JPEG, palette/16-bit/interlaced PNG) stays
+gated on a codec library that is not in this container — strict
+kernels raise rather than fake.
 What is also real and tested: the binary column representation, the
 mapInPandas signature, Arrow batch shapes, output schema, and
 partition behavior — the parts that matter for Spark at scale.
@@ -349,6 +354,47 @@ def png_pixel_stats(
             }
             for did, b in zip(pdf[id_col], pdf[payload_col]):
                 px = decode_png_pixels(bytes(b))
+                h, w, c = px.shape
+                rows["doc_id"].append(did)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(c)
+                rows["n_pixels"].append(h * w)
+                rows["mean_channels"].append(
+                    [round(float(m), 6) for m in px.reshape(-1, c).mean(0)]
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        stats, schema=PNG_STATS_SCHEMA
+    )
+
+
+def jpeg_pixel_stats(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-image pixel statistics from REAL baseline-JPEG decode
+    (:func:`..jpeg.decode_jpeg_pixels` — Huffman + dequant + IDCT +
+    chroma upsampling + YCbCr->RGB) via mapInPandas; the JPEG
+    counterpart of :func:`png_pixel_stats` and the same strict
+    contract: progressive/arithmetic/non-JPEG payloads raise rather
+    than faking (a wrong IDCT or upsample shifts every mean)."""
+    import pandas as pd
+
+    from .jpeg import decode_jpeg_pixels
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "channels": [],
+                "n_pixels": [],
+                "mean_channels": [],
+            }
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_jpeg_pixels(bytes(b))
                 h, w, c = px.shape
                 rows["doc_id"].append(did)
                 rows["width"].append(w)

@@ -124,6 +124,16 @@ def main() -> int:
                 print(f"FAIL {name}: oracle type parity: " + "; ".join(tp))
                 failures.append(name)
                 continue
+            if os.environ.get("SPARK_GRAFT_PRINT_TYPES"):
+                rel = con.sql(spec.oracle)
+                duck_t = ", ".join(
+                    f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+                )
+                spark_t = ", ".join(
+                    f"{f.name}:{f.dataType.simpleString()}"
+                    for f in df.schema.fields
+                )
+                print(f"TYPES {name}: duck[{duck_t}] spark[{spark_t}]")
             res = con.execute(spec.oracle)
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()

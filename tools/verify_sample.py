@@ -50,16 +50,29 @@ def main() -> int:
             text=True,
             cwd=ROOT,
             timeout=900,
+            env={**os.environ, "SPARK_GRAFT_PRINT_TYPES": "1"},
         )
         wall = time.monotonic() - t0
         ok = proc.returncode == 0 and f"PASS {name}" in proc.stdout
-        results.append((name, ok, wall))
+        # the engine-pair output types, as bound/planned (r8 judge
+        # finding: the driver hash is representation-sensitive, so
+        # future type drift — a Spark mapping change, a DuckDB
+        # upgrade — must be visible here before the driver sees it)
+        types = next(
+            (
+                ln.split(": ", 1)[1]
+                for ln in proc.stdout.splitlines()
+                if ln.startswith(f"TYPES {name}:")
+            ),
+            "(rows-only — no oracle)",
+        )
+        results.append((name, ok, wall, types))
         print(f"{'PASS' if ok else 'FAIL'} {name} ({wall:.1f}s)", flush=True)
         if not ok:
             print(proc.stdout[-2000:])
             print(proc.stderr[-2000:])
 
-    n_ok = sum(1 for _, ok, _ in results if ok)
+    n_ok = sum(1 for _, ok, _, _ in results if ok)
     lines = [
         "# VERIFY_SAMPLE — isolated-run audit",
         "",
@@ -71,12 +84,18 @@ def main() -> int:
         "",
         f"**{n_ok}/{len(results)} passed.**",
         "",
-        "| query | isolated run | wall (s) |",
-        "|---|---|---|",
+        "Types are the engine-pair OUTPUT schemas as bound (DuckDB) and",
+        "planned (Spark) — the representation layer the driver's hash is",
+        "sensitive to; any drift here (engine upgrade, type-mapping",
+        "change) is a red driver row waiting to be sampled.",
+        "",
+        "| query | isolated run | wall (s) | output types |",
+        "|---|---|---|---|",
     ]
-    for name, ok, wall in results:
+    for name, ok, wall, types in results:
         lines.append(
-            f"| {name} | {'PASS' if ok else '**FAIL**'} | {wall:.1f} |"
+            f"| {name} | {'PASS' if ok else '**FAIL**'} | {wall:.1f} "
+            f"| `{types}` |"
         )
     lines.append("")
     with open(os.path.join(ROOT, "VERIFY_SAMPLE.md"), "w") as fh:
