@@ -128,6 +128,14 @@ def main() -> int:
             "sf0.1 wall has ranged 0.47-1.78 s across identical-code "
             "runs (the host-variance band in BENCH.md)"
         ),
+        "semantic_dedup_keep": (
+            "k-scaled in r9: k = clamp(N/250, 8, 64) pins expected "
+            "cell size, so 10x rows means ~linear within-cell pair "
+            "work (8 -> 64 cells); sf1 isolated warm 21.6 s vs "
+            "sf0.1 4.6 s = 4.7x, down from 7.8x at fixed k=8 (and "
+            "the wide-k Lloyd assignment runs as the Arrow GEMM "
+            "kernel past the k=16 expression-compile cliff)"
+        ),
         "window_lag_yoy": (
             "suite-ordering noise: warm isolated re-measurement is "
             "0.27 s → 0.88 s (3.3× for 10× rows, sub-linear per-row); "
