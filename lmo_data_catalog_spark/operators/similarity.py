@@ -311,6 +311,7 @@ def kmeans_cells_exact(
     k: int,
     iters: int = 3,
     scale: float = 1024.0,
+    return_state: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd cell assignment with CROSS-ENGINE EXACT
     arithmetic — the trainer behind the value-exact
@@ -430,7 +431,13 @@ def kmeans_cells_exact(
         for row in agg:
             new[row["__cell"] - 1] = [row[f"__s{i}"] for i in range(dim)]
         state = new
-    return cache.track(with_cell(q, [id_col, vec_col]))
+    assigned = cache.track(with_cell(q, [id_col, vec_col]))
+    if return_state:
+        # the final per-cell integer centroid sums (1-based cell id
+        # order) — consumers like prototype pruning need the centroid
+        # each row was assigned to, not just the assignment
+        return assigned, state
+    return assigned
 
 
 def neardup_pairs_gemm(

@@ -2153,6 +2153,246 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- DSIR importance weights
+
+_DSIR_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents
+    ),
+    src AS (SELECT w, COUNT(*) AS cs FROM toks GROUP BY w),
+    tgt AS (SELECT w, COUNT(*) AS ct FROM toks WHERE lang = 'en' GROUP BY w),
+    tot AS (
+        SELECT CAST(SUM(cs) AS BIGINT) AS ns,
+               CAST(COUNT(*) AS BIGINT) AS v,
+               (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) FROM tgt) AS nt
+        FROM src
+    ),
+    lr AS (
+        SELECT src.w,
+               LN(CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE)
+                  / CAST(nt + v AS DOUBLE))
+               - LN(CAST(src.cs + 1 AS DOUBLE)
+                    / CAST(ns + v AS DOUBLE)) AS llr
+        FROM src LEFT JOIN tgt ON src.w = tgt.w CROSS JOIN tot
+    ),
+    dtc AS (
+        SELECT doc_id, lang, w, COUNT(*) AS c
+        FROM toks GROUP BY doc_id, lang, w
+    ),
+    weights AS (
+        SELECT doc_id, lang,
+               SUM(CAST(c AS DOUBLE) * llr) AS wgt
+        FROM dtc JOIN lr ON dtc.w = lr.w
+        GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, ROUND(wgt, 6) + 0.0 AS dsir_weight
+    FROM weights
+    ORDER BY wgt DESC, doc_id
+    LIMIT 100
+"""
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=_DSIR_SQL,
+    tags=("llm", "sampling", "importance"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, public): score
+    every document by the log-likelihood ratio between a TARGET
+    unigram model (here the ``lang='en'`` slice) and the SOURCE model
+    (the whole corpus), both add-one smoothed over the source
+    vocabulary — the data-selection step that resamples a raw crawl
+    toward a target distribution. Top-100 by weight.
+
+    Scale shape: token instances flow through two hash aggregates
+    (per-token counts for source/target — map-side combined), the
+    per-token log-ratio is computed once per DISTINCT token and
+    joined back to per-doc token counts (never per instance), the
+    corpus totals are a 1-row broadcast, and the global top-100
+    compiles to TakeOrderedAndProject (per-partition heads, no global
+    sort). The add-one smoothing keeps every count integer until the
+    final LN, which both engines evaluate on identical rationals."""
+    cat = Catalog(spark, sf_dir)
+    toks = cat.documents.select(
+        "doc_id", "lang", F.explode(T.tokens("text")).alias("w")
+    )
+    src = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cs"))
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = src.agg(
+        F.sum("cs").alias("ns"), F.count(F.lit(1)).alias("v")
+    ).crossJoin(
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+    )
+    lr = (
+        src.join(tgt, on="w", how="left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("nt") + F.col("v")).cast("double")
+                )
+                - F.log(
+                    (F.col("cs") + 1).cast("double")
+                    / (F.col("ns") + F.col("v")).cast("double")
+                )
+            ).alias("llr"),
+        )
+    )
+    dtc = toks.groupBy("doc_id", "lang", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    weights = (
+        dtc.join(lr, on="w")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("c").cast("double") * F.col("llr")).alias("wgt"))
+    )
+    return (
+        weights.orderBy(F.desc("wgt"), "doc_id")
+        .limit(100)
+        .select(
+            "doc_id",
+            "lang",
+            (F.round("wgt", 6) + F.lit(0.0)).alias("dsir_weight"),
+        )
+    )
+
+
+# ------------------------------------------------ prototype pruning
+
+_PROTO_SQL = f"""
+    WITH qv AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               list_transform(
+                   embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1024.0 + 0.5)
+                             AS BIGINT)
+               ) AS q
+        FROM embeddings
+    ),
+    seed AS (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 8),
+    c0 AS MATERIALIZED (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cell,
+               q AS s
+        FROM seed
+    ),
+    {",".join(_kmeans_sql_round(i) for i in (1, 2))},
+    {_kmeans_sql_assign("af", "c2")},
+    scored AS (
+        SELECT v.vec_id, a.cell,
+               ({_sql_dot('v.q', 'c.s')})
+               / (sqrt({_sql_dot('v.q', 'v.q')})
+                  * sqrt({_sql_dot('c.s', 'c.s')})) AS score
+        FROM qv v
+        JOIN af a ON a.vec_id = v.vec_id
+        JOIN c2 c ON c.cell = a.cell
+    ),
+    r AS (
+        SELECT vec_id, cell, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cell ORDER BY score DESC, vec_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY cell) AS n
+        FROM scored
+    )
+    SELECT vec_id, CAST(cell AS INT) AS cell,
+           ROUND(score, 6) + 0.0 AS proto_score
+    FROM r WHERE rn * 10 > n
+    ORDER BY vec_id
+"""
+
+
+@query(
+    "embedding_prototype_prune",
+    oracle=_PROTO_SQL,
+    tags=("pruning", "semantic", "kmeans"),
+)
+def embedding_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes data pruning (Sorscher et al. 2022, DataComp
+    recipe, public): k-means the embedding space, score every vector
+    by cosine to its OWN cell centroid, and drop the most prototypical
+    decile per cell — easy, redundant examples prune first, keeping
+    the hard/rare tail that drives scaling-law gains. Complements
+    semantic_dedup_keep (which removes near-DUPLICATE pairs; this
+    removes over-REPRESENTED regions).
+
+    Scale shape: the trainer is the same deterministic integer-sum
+    Lloyd as semantic dedup; the centroid table is k rows
+    broadcast-joined on the cell id, the per-cell decile is a window
+    over ~cell-size rows (pinned ~constant when k scales with N, see
+    SCALING §SemDeDup). Bit-exact across engines: quantized-integer
+    dots and norms are exact doubles (< 2^53) in ANY order, the final
+    divide is one IEEE op on identical operands, and the per-cell
+    rank breaks ties by vec_id — so the fraction boundary
+    ``rn * 10 > n`` is pure integer arithmetic on identical ranks."""
+    import math as _math
+
+    from ..operators.similarity import (
+        dot_pair,
+        kmeans_cells_exact,
+        quantize_expr,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    assigned, state = kmeans_cells_exact(
+        cat.embeddings,
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=DIM,
+        k=8,
+        iters=2,
+        return_state=True,
+    )
+    cent_rows = []
+    for cell, svec in enumerate(state, start=1):
+        acc = 0.0
+        for s in svec:
+            fs = float(s)
+            acc += fs * fs  # left-deep, matches _sql_dot(c.s, c.s)
+        cent_rows.append((cell, [float(s) for s in svec], _math.sqrt(acc)))
+    cent = spark.createDataFrame(
+        cent_rows, "cell int, __s array<double>, __snorm double"
+    )
+    scored = (
+        assigned.withColumn("__q", quantize_expr("embedding", 1024.0))
+        .withColumn("cell", F.col("__cell").cast("int"))
+        .join(F.broadcast(cent), on="cell")
+        .select(
+            "vec_id",
+            "cell",
+            (
+                dot_pair("__q", "__s", DIM)
+                / (F.sqrt(dot_pair("__q", "__q", DIM)) * F.col("__snorm"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("score"), "vec_id")
+    r = scored.select(
+        "vec_id",
+        "cell",
+        "score",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("cell")).alias("n"),
+    )
+    return (
+        r.filter(F.col("rn") * 10 > F.col("n"))
+        .select(
+            "vec_id",
+            "cell",
+            (F.round("score", 6) + F.lit(0.0)).alias("proto_score"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 # ------------------------------------------------- hard-negative mining
 
 _HARDNEG_SQL = f"""

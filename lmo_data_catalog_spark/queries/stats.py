@@ -535,6 +535,84 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- exact exponential decay
+
+
+@query(
+    "time_decay_user_value",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(value AS DOUBLE) AS value,
+               CAST(epoch_us(ts) // CAST(86400000000 AS BIGINT)
+                    AS BIGINT) AS day
+        FROM events
+    ),
+    m AS (SELECT MAX(day) AS maxd FROM e),
+    d AS (
+        SELECT user_id,
+               value * CAST(
+                   CAST(1 AS BIGINT)
+                   << CAST(30 - LEAST(maxd - day, 30) AS INT)
+                   AS DOUBLE) AS dv
+        FROM e CROSS JOIN m
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(dv AS DECIMAL(38,8))) AS DOUBLE)
+                 / 1073741824.0, 6) + 0.0 AS decayed_value
+    FROM d GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("timeseries", "decay", "analytic"),
+)
+def time_decay_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed per-user value (half-life = 1 day,
+    floor at 30 days): the recency-weighted engagement score behind
+    freshness-aware sampling and user-activity ranking.
+
+    The decay weight is engineered to be EXACT cross-engine: age is
+    integer days, the weight is the integer ``2^(30 - min(age, 30))``
+    (a bit shift, never ``pow`` — libm powers differ between
+    engines), and ``value * 2^k`` is a pure exponent shift, exact in
+    IEEE double. The per-user sum runs as DECIMAL(38,8) (order-free,
+    the money-sum policy), so no float summation order can leak; the
+    single divide by 2^30 and ROUND happen on identical values.
+    Scale shape: one 1-row corpus-max broadcast + one map-side
+    combined hash aggregate — linear, no window, no sort."""
+    cat = Catalog(spark, sf_dir)
+    e = cat.events.select(
+        "user_id", F.col("value").cast("double").alias("value"),
+        epoch_us("ts").alias("t"),
+    ).select(
+        "user_id", "value",
+        F.expr("t div 86400000000").cast("bigint").alias("day"),
+    )
+    m = e.agg(F.max("day").alias("maxd"))
+    d = e.crossJoin(F.broadcast(m)).select(
+        "user_id",
+        (
+            F.col("value")
+            * F.expr(
+                "cast(shiftleft(cast(1 as bigint),"
+                " cast(30 - least(maxd - day, 30) as int)) as double)"
+            )
+        ).alias("dv"),
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.round(
+                    F.sum(F.col("dv").cast("decimal(38,8)")).cast("double")
+                    / F.lit(1073741824.0),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("decayed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ------------------------------------------------ interval sweep-line stats
 
 

@@ -43,6 +43,8 @@ ALLOWED_BNLJ = {
     "bigram_pmi_topk",  # 1-row corpus totals (n_uni, n_bg)
     "bm25_topk_docs",  # 1-row corpus stats (N, Σdl, per-term df)
     "corpus_mixture_sample",  # 1-row grand token total
+    "dsir_importance_weights",  # 1-row corpus totals (Nt, Ns, V)
+    "time_decay_user_value",  # 1-row corpus-max-day attach
     "customer_rfm_segments",  # 1-row corpus-max-date + total attach
     "dormant_rich_customers",  # scalar-subquery broadcast
     "histogram_order_prices",  # 1-row [min,max] bounds attach
