@@ -5,14 +5,19 @@ Reference status: extension surface (the reference script,
 documented boundary of the multimodal pillar — PNG pixels and WAV PCM
 decoded in r7/r8, JPEG was header-only until now.
 
-Scope — the honest-boundary contract of decode_png_pixels:
+Scope — the honest-boundary contract of decode_jpeg_pixels:
 
 - SOF0 baseline sequential DCT, Huffman entropy coding, 8-bit
-  precision, grayscale or 3-component YCbCr, any sampling factors
-  (4:4:4 / 4:2:2 / 4:2:0 / ...), restart intervals (DRI + RSTn).
+  precision, grayscale or 3-component YCbCr, integer-ratio sampling
+  factors (4:4:4 / 4:2:2 / 4:2:0 / ...), restart intervals
+  (DRI + RSTn), single interleaved scan covering every component.
 - Progressive (SOF2), arithmetic coding (SOF9+), 12-bit precision,
-  hierarchical, and CMYK/4-component scans raise
-  ``NotImplementedError`` — a loud boundary, never a wrong decode.
+  hierarchical, CMYK/4-component scans, non-interleaved multi-scan
+  baseline files (SOS listing fewer components than SOF), and
+  non-integer chroma sampling ratios raise ``NotImplementedError``
+  — a loud boundary, never a wrong decode. Grayscale files decode
+  with MCU = one block regardless of SOF sampling factors, per
+  T.81 A.2 (a single-component scan is never interleaved).
 
 Everything below is from the public spec: marker walk (B.2), canonical
 Huffman decode (F.2.2), EXTEND sign extension (F.2.2.1), zigzag +
@@ -242,8 +247,31 @@ def decode_jpeg_pixels(payload: bytes):
     if sof is None or scan is None:
         raise NotImplementedError("JPEG without SOF0 + SOS")
     h, w, comps = sof
+    if len(scan_comps) != len(comps):
+        # A baseline file may legally spread components over several
+        # non-interleaved scans (T.81 B.2.3); decoding only the first
+        # as if it were a full interleaved scan would produce wrong
+        # pixels silently. Loud boundary instead.
+        raise NotImplementedError(
+            f"non-interleaved JPEG scan ({len(scan_comps)} of "
+            f"{len(comps)} components) unsupported"
+        )
+    if len(comps) == 1:
+        # A single-component scan is never interleaved: MCU = one
+        # data unit (T.81 A.2), so the SOF sampling factors do not
+        # participate in MCU geometry. Normalize them to 1x1.
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    for cid, hs, vs, _ in comps:
+        if hmax % hs or vmax % vs:
+            # np.repeat upsampling below is integer-ratio only; a
+            # 3:2 ratio would build an undersized plane and crash
+            # (or misalign) instead of raising.
+            raise NotImplementedError(
+                f"non-integer chroma sampling ratio for component "
+                f"{cid}: {hs}x{vs} vs max {hmax}x{vmax}"
+            )
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     # per-component plane in MCU-padded geometry

@@ -6,8 +6,9 @@ Header-level image decode is REAL: :func:`parse_image_dims` reads
 PNG IHDR / GIF logical-screen / JPEG SOF dimensions from raw bytes
 with the stdlib only, and every kernel consults it first. PNG PIXEL
 decode is also real (:func:`decode_png_pixels`: zlib inflate + all
-five scanline filters, 8-bit gray/RGB/gray-alpha/RGBA, fuzz-tested
-against a forward-filtering encoder in tests/test_png_decode.py),
+five scanline filters, 8-bit gray/RGB/gray-alpha/RGBA plus
+1/2/4/8-bit palette with tRNS alpha, fuzz-tested against a
+forward-filtering encoder in tests/test_png_decode.py),
 surfaced as :func:`png_pixel_stats`. WAV/PCM AUDIO decode is real
 too (:func:`decode_wav_pcm`: manual RIFF chunk walk, integer PCM
 8/16/24/32-bit + IEEE float 32/64, WAVE_FORMAT_EXTENSIBLE resolve;
@@ -21,7 +22,7 @@ tests/test_jpeg_decode.py), surfaced as :func:`jpeg_pixel_stats`.
 Payloads that are not a recognized container (e.g. the text-derived
 fixture payloads) fall back to a deterministic fake keyed on byte
 length in the meta kernels, and pixel decode of the REMAINING shapes
-(progressive/arithmetic JPEG, palette/16-bit/interlaced PNG) stays
+(progressive/arithmetic JPEG, 16-bit/interlaced PNG) stays
 gated on a codec library that is not in this container — strict
 kernels raise rather than fake.
 What is also real and tested: the binary column representation, the
@@ -236,12 +237,17 @@ def decode_png_pixels(payload: bytes):
     Paeth, spec §9). Returns an ``(h, w, channels)`` uint8 array.
 
     Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 4
-    (gray+alpha), 6 (RGBA), non-interlaced — the shapes a training
-    corpus normalizes to anyway. Palette (type 3), 16-bit, and Adam7
+    (gray+alpha), 6 (RGBA), plus palette (type 3) at bit depths
+    1/2/4/8 with optional tRNS alpha — palette rows reconstruct with
+    filter distance 1 byte (spec §9: filtering works on bytes, and a
+    packed-index pixel is under one byte), indices unpack MSB-first
+    (§7.2) and map through PLTE (→ RGB) or PLTE+tRNS (→ RGBA, alpha
+    defaulting to 255 past the tRNS table, §11.3.2). 16-bit and Adam7
     interlace raise ``NotImplementedError`` (strict contract, like
     :func:`decode_image_real`): the point is an honest boundary, not
-    a silent wrong decode. Sub reconstruction is a mod-256 prefix sum
-    per channel lane (vectorized); Average/Paeth are inherently
+    a silent wrong decode — an out-of-range palette index also raises
+    rather than clamping. Sub reconstruction is a mod-256 prefix sum
+    per filter-unit lane (vectorized); Average/Paeth are inherently
     sequential per byte and run as Python loops — acceptable in an
     Arrow-batched worker for the thumbnail-scale images of a metadata
     pipeline, and swappable for a codec library at full scale without
@@ -257,6 +263,8 @@ def decode_png_pixels(payload: bytes):
     i = 8
     idat = bytearray()
     ihdr = None
+    plte = None
+    trns = None
     while i + 8 <= len(payload):
         (ln,) = struct.unpack(">I", payload[i : i + 4])
         typ = payload[i + 4 : i + 8]
@@ -265,6 +273,10 @@ def decode_png_pixels(payload: bytes):
             ihdr = struct.unpack(">IIBBBBB", data)
         elif typ == b"IDAT":
             idat += data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"tRNS":
+            trns = data
         elif typ == b"IEND":
             break
         i += 12 + ln
@@ -272,15 +284,30 @@ def decode_png_pixels(payload: bytes):
         raise NotImplementedError("PNG without IHDR")
     w, h, depth, ctype, comp, filt, interlace = ihdr
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-    if depth != 8 or channels is None or comp != 0 or filt != 0:
+    paletted = ctype == 3
+    if paletted:
+        if depth not in (1, 2, 4, 8) or comp != 0 or filt != 0:
+            raise NotImplementedError(
+                f"unsupported palette PNG (depth={depth}): "
+                "1/2/4/8-bit indices only"
+            )
+        if plte is None or len(plte) % 3 or not plte:
+            raise NotImplementedError("palette PNG without a valid PLTE")
+        # filtering works on BYTES (spec §9); packed indices make the
+        # filter distance 1 byte regardless of depth
+        bpp = 1
+        stride = (w * depth + 7) // 8
+    elif depth != 8 or channels is None or comp != 0 or filt != 0:
         raise NotImplementedError(
             f"unsupported PNG (depth={depth}, color_type={ctype}): "
-            "only 8-bit gray/RGB/gray-alpha/RGBA supported"
+            "only 8-bit gray/RGB/gray-alpha/RGBA and palette supported"
         )
+    else:
+        bpp = channels
+        stride = w * channels
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG not supported")
     raw = zlib.decompress(bytes(idat))
-    stride = w * channels
     if len(raw) != h * (stride + 1):
         raise NotImplementedError(
             f"IDAT stream length {len(raw)} != expected {h * (stride + 1)}"
@@ -293,9 +320,9 @@ def decode_png_pixels(payload: bytes):
         row = np.frombuffer(raw, np.uint8, stride, pos + 1)
         if f == 0:  # None
             rec = row.copy()
-        elif f == 1:  # Sub: mod-256 prefix sum per channel lane
+        elif f == 1:  # Sub: mod-256 prefix sum per filter-unit lane
             rec = (
-                row.reshape(w, channels)
+                row.reshape(stride // bpp, bpp)
                 .astype(np.uint32)
                 .cumsum(axis=0)
                 .astype(np.uint8)
@@ -306,14 +333,14 @@ def decode_png_pixels(payload: bytes):
         elif f == 3:  # Average — sequential in x
             rec = np.empty(stride, np.uint8)
             for x in range(stride):
-                a = int(rec[x - channels]) if x >= channels else 0
+                a = int(rec[x - bpp]) if x >= bpp else 0
                 rec[x] = (int(row[x]) + ((a + int(prior[x])) >> 1)) & 0xFF
         elif f == 4:  # Paeth — sequential in x
             rec = np.empty(stride, np.uint8)
             for x in range(stride):
-                a = int(rec[x - channels]) if x >= channels else 0
+                a = int(rec[x - bpp]) if x >= bpp else 0
                 b = int(prior[x])
-                c = int(prior[x - channels]) if x >= channels else 0
+                c = int(prior[x - bpp]) if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -322,7 +349,32 @@ def decode_png_pixels(payload: bytes):
             raise NotImplementedError(f"unknown PNG filter type {f}")
         out[y] = rec
         prior = rec
-    return out.reshape(h, w, channels)
+    if not paletted:
+        return out.reshape(h, w, channels)
+    if depth == 8:
+        idx = out
+    else:
+        # MSB-first packed indices (spec §7.2): unpack each row's bits,
+        # regroup into depth-sized fields, keep the first w pixels
+        bits = np.unpackbits(out, axis=1)
+        idx = bits.reshape(h, -1, depth) @ (
+            1 << np.arange(depth - 1, -1, -1)
+        )
+    idx = idx[:, :w].astype(np.int64)
+    pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+    if idx.max() >= pal.shape[0]:
+        raise NotImplementedError(
+            f"palette index {int(idx.max())} out of range "
+            f"({pal.shape[0]} PLTE entries)"
+        )
+    rgb = pal[idx]
+    if trns is None:
+        return rgb
+    if len(trns) > pal.shape[0]:
+        raise NotImplementedError("tRNS longer than PLTE")
+    alpha = np.full(pal.shape[0], 255, dtype=np.uint8)
+    alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
+    return np.concatenate([rgb, alpha[idx][..., None]], axis=-1)
 
 
 PNG_STATS_SCHEMA = (

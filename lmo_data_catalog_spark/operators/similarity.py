@@ -312,7 +312,7 @@ def kmeans_cells_exact(
     iters: int = 3,
     scale: float = 1024.0,
     return_state: bool = False,
-) -> DataFrame:
+) -> "DataFrame | tuple[DataFrame, list[list[int]]]":
     """Deterministic Lloyd cell assignment with CROSS-ENGINE EXACT
     arithmetic — the trainer behind the value-exact
     ``ann_ivf_kmeans_topk`` differential.
@@ -341,7 +341,11 @@ def kmeans_cells_exact(
     (map-side partials, k rows out, no explode) + a k×(dim+1) driver
     collect — the same bounded-driver contract as quantile cut points.
     Returns ``df``'s rows with an added ``__cell`` column (1-based),
-    persisted via cache.track since callers fan out from it.
+    persisted via cache.track since callers fan out from it. With
+    ``return_state=True``, returns ``(frame, sums)`` where ``sums`` is
+    the final per-cell integer-sum state (k lists of ``dim`` ints,
+    1-based cell-id order) — the unnormalized centroid each row was
+    assigned to, which consumers like prototype pruning score against.
     """
     import math
 

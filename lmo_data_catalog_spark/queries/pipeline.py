@@ -2189,7 +2189,7 @@ _DSIR_SQL = r"""
     )
     SELECT doc_id, lang, ROUND(wgt, 6) + 0.0 AS dsir_weight
     FROM weights
-    ORDER BY wgt DESC, doc_id
+    ORDER BY dsir_weight DESC, doc_id
     LIMIT 100
 """
 
@@ -2214,7 +2214,15 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus totals are a 1-row broadcast, and the global top-100
     compiles to TakeOrderedAndProject (per-partition heads, no global
     sort). The add-one smoothing keeps every count integer until the
-    final LN, which both engines evaluate on identical rationals."""
+    LN, so both engines evaluate LN on identical rationals — but the
+    LN *outputs* are libm doubles (JVM Math.log vs DuckDB may differ
+    by ULPs) and the per-doc SUM is order-dependent float addition, so
+    the raw ``wgt`` is NOT cross-engine exact. The top-100 cut is
+    therefore taken on the deterministic surrogate
+    ``(ROUND(wgt, 6) DESC, doc_id)`` in BOTH engines: a ULP drift in
+    wgt cannot reorder the cut unless it lands exactly on a 1e-6
+    rounding boundary, the repo-wide accepted tolerance for every
+    ROUND(_, 6) output column."""
     cat = Catalog(spark, sf_dir)
     toks = cat.documents.select(
         "doc_id", "lang", F.explode(T.tokens("text")).alias("w")
@@ -2256,13 +2264,13 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("c").cast("double") * F.col("llr")).alias("wgt"))
     )
     return (
-        weights.orderBy(F.desc("wgt"), "doc_id")
-        .limit(100)
-        .select(
+        weights.select(
             "doc_id",
             "lang",
             (F.round("wgt", 6) + F.lit(0.0)).alias("dsir_weight"),
         )
+        .orderBy(F.desc("dsir_weight"), "doc_id")
+        .limit(100)
     )
 
 

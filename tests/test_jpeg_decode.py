@@ -289,6 +289,48 @@ def test_progressive_raises():
         decode_jpeg_pixels(payload)
 
 
+def test_non_interleaved_multiscan_raises():
+    """A baseline file may legally spread components over several
+    non-interleaved scans (T.81 B.2.3). Decoding only the first scan
+    as if it were interleaved would produce silently wrong pixels, so
+    the decoder must refuse when SOS lists fewer components than SOF."""
+    data = encode_jpeg(_gradient_rgb(16, 16))
+    i = data.find(b"\xff\xda")
+    assert i > 0 and data[i + 2 : i + 4] == b"\x00\x0c"  # ns=3 SOS
+    one_comp_sos = bytes([0xFF, 0xDA, 0, 8, 1, 1, 0x00, 0, 63, 0])
+    patched = data[:i] + one_comp_sos + data[i + 14 :]
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg_pixels(patched)
+
+
+def test_grayscale_sof_sampling_factors_do_not_change_geometry():
+    """T.81 A.2: a single-component scan is never interleaved — MCU is
+    one data unit regardless of the SOF sampling factors. A grayscale
+    file declaring 2x2 sampling must decode identically to the same
+    stream declaring 1x1."""
+    img = (_gradient_rgb(17, 23)[..., 0]).copy()
+    data = encode_jpeg(img)
+    base = decode_jpeg_pixels(data)
+    i = data.find(b"\xff\xc0")
+    assert data[i + 11] == 0x11  # the single component's samp byte
+    patched = data[: i + 11] + bytes([0x22]) + data[i + 12 :]
+    assert (decode_jpeg_pixels(patched) == base).all()
+
+
+def test_non_integer_chroma_ratio_raises():
+    """np.repeat upsampling is integer-ratio only; a 3:2 ratio must
+    raise the documented boundary instead of building an undersized
+    plane and crashing downstream."""
+    data = encode_jpeg(_gradient_rgb(16, 16))
+    i = data.find(b"\xff\xc0")
+    assert data[i + 11] == 0x11 and data[i + 14] == 0x11
+    patched = bytearray(data)
+    patched[i + 11] = 0x33  # Y 3x3
+    patched[i + 14] = 0x22  # Cb 2x2 -> 3 % 2 != 0
+    with pytest.raises(NotImplementedError, match="chroma sampling"):
+        decode_jpeg_pixels(bytes(patched))
+
+
 def test_truncated_stream_raises():
     img = _gradient_rgb(16, 16)
     data = encode_jpeg(img)

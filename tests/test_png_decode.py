@@ -81,6 +81,44 @@ def encode_png(pixels: np.ndarray, filters=None, *, interlace=0, depth=8):
     )
 
 
+def encode_palette_png(
+    idx: np.ndarray,
+    pal: np.ndarray,
+    *,
+    depth: int = 8,
+    trns: bytes | None = None,
+    filters=None,
+):
+    """Test-local palette (color type 3) encoder: (h, w) index array +
+    (n, 3) palette → PNG bytes. Indices pack MSB-first at ``depth``
+    bits (PNG spec §7.2) and rows forward-filter with bpp=1 (§9)."""
+    h, w = idx.shape
+    if filters is None:
+        filters = [y % 5 for y in range(h)]
+    raw = bytearray()
+    stride = (w * depth + 7) // 8
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        if depth == 8:
+            row = idx[y].astype(np.uint8)
+        else:
+            bits = (
+                (idx[y][:, None] >> np.arange(depth - 1, -1, -1)) & 1
+            ).astype(np.uint8).reshape(-1)
+            row = np.packbits(bits)
+        f = filters[y]
+        raw.append(f)
+        raw += _filter_row(row, prior, f, 1)
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    out += _chunk(b"PLTE", pal.astype(np.uint8).tobytes())
+    if trns is not None:
+        out += _chunk(b"tRNS", trns)
+    out += _chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + _chunk(b"IEND", b"")
+
+
 def rng_pixels(seed, h, w, c):
     return np.random.default_rng(seed).integers(
         0, 256, size=(h, w, c), dtype=np.uint8
@@ -121,6 +159,57 @@ def test_fuzz_round_trip(seed, h, w, c, data):
     np.testing.assert_array_equal(got, px)
 
 
+def test_palette_roundtrip_all_depths_and_filters():
+    """Palette indices at every legal sub-16 depth, through every
+    filter type, must come back as the exact PLTE RGB triples."""
+    rng = np.random.default_rng(7)
+    for depth in (1, 2, 4, 8):
+        n = 2**depth
+        pal = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, size=(11, 6))
+        for f in range(5):
+            png = encode_palette_png(idx, pal, depth=depth,
+                                     filters=[f] * 11)
+            got = decode_png_pixels(png)
+            np.testing.assert_array_equal(
+                got, pal[idx], err_msg=f"depth {depth} filter {f}"
+            )
+        # mixed filters + header path
+        png = encode_palette_png(idx, pal, depth=depth)
+        np.testing.assert_array_equal(decode_png_pixels(png), pal[idx])
+        assert parse_image_dims(png) == ("png", 6, 11)
+
+
+def test_palette_trns_alpha():
+    """tRNS promotes the output to RGBA; entries past the tRNS table
+    default to opaque 255 (spec §11.3.2)."""
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], np.uint8
+    )
+    idx = np.array([[0, 1], [2, 3]])
+    png = encode_palette_png(idx, pal, depth=2, trns=bytes([10, 200]))
+    got = decode_png_pixels(png)
+    assert got.shape == (2, 2, 4)
+    np.testing.assert_array_equal(got[..., :3], pal[idx])
+    np.testing.assert_array_equal(
+        got[..., 3], np.array([[10, 200], [255, 255]], np.uint8)
+    )
+
+
+def test_palette_strict_raises():
+    pal = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    # out-of-range index: 2-entry palette, index 3 at depth 2
+    bad_idx = np.array([[0, 3]])
+    with pytest.raises(NotImplementedError, match="out of range"):
+        decode_png_pixels(encode_palette_png(bad_idx, pal, depth=2))
+    # tRNS longer than PLTE
+    ok_idx = np.array([[0, 1]])
+    with pytest.raises(NotImplementedError, match="tRNS longer"):
+        decode_png_pixels(
+            encode_palette_png(ok_idx, pal, depth=2, trns=b"\x01" * 3)
+        )
+
+
 def test_strict_raises_on_unsupported():
     px = rng_pixels(3, 4, 4, 3)
     with pytest.raises(NotImplementedError, match="not a PNG"):
@@ -129,7 +218,7 @@ def test_strict_raises_on_unsupported():
         decode_png_pixels(encode_png(px, interlace=1))
     with pytest.raises(NotImplementedError, match="depth=16"):
         decode_png_pixels(encode_png(px, depth=16))
-    # palette PNG (color type 3): hand-build the IHDR
+    # palette PNG (color type 3) with NO PLTE chunk is invalid
     ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
     pal = (
         b"\x89PNG\r\n\x1a\n"
@@ -137,7 +226,7 @@ def test_strict_raises_on_unsupported():
         + _chunk(b"IDAT", zlib.compress(b"\x00" * 20))
         + _chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="color_type=3"):
+    with pytest.raises(NotImplementedError, match="without a valid PLTE"):
         decode_png_pixels(pal)
     # truncated IDAT stream
     bad = encode_png(px)

@@ -7,14 +7,22 @@ tool closes the isolation gap: each round it draws a seeded random
 sample of registry queries and re-runs each one in its OWN subprocess
 (fresh JVM, fresh SparkSession, nothing warmed) through
 ``tools/verify_local.py``, recording PASS/FAIL to VERIFY_SAMPLE.md.
-Seed = round number, so over ~ceil(N/15) rounds every query gets an
-isolated-run green row without repeats being likely.
+
+Selection (r9 verdict ask #7): the draw is BIASED toward queries the
+driver has NEVER sampled — the union of CORRECTNESS_r*.json keys is
+the driver-green set, and whatever differs between verify_local and
+the driver's actual hash (the gap that hid fk_integrity_audit for a
+round) can only surface on the complement. Never-driver-sampled
+queries are exhausted first (seeded sample), then the remainder tops
+up from the driver-seen set. Seed = round number for determinism.
 
 Usage: python tools/verify_sample.py ROUND [n_sample] [sf_dir]
 """
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import random
 import subprocess
@@ -31,14 +39,30 @@ def main() -> int:
         print(__doc__)
         return 2
     round_no = int(sys.argv[1])
-    n_sample = int(sys.argv[2]) if len(sys.argv) > 2 else 15
+    n_sample = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
 
     import __spark_entry__ as entry
 
     names = sorted(entry.queries())
+    driver_seen = set()
+    for path in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
+        try:
+            driver_seen.update(json.load(open(path)))
+        except Exception:
+            pass
+    never = sorted(n for n in names if n not in driver_seen)
+    seen = sorted(n for n in names if n in driver_seen)
     rng = random.Random(round_no)
-    sample = sorted(rng.sample(names, min(n_sample, len(names))))
+    take = min(n_sample, len(names))
+    from_never = rng.sample(never, min(take, len(never)))
+    from_seen = rng.sample(seen, min(take - len(from_never), len(seen)))
+    sample = sorted(from_never + from_seen)
+    print(
+        f"sampling {len(sample)} queries: {len(from_never)} "
+        f"never-driver-sampled (of {len(never)}), {len(from_seen)} "
+        f"driver-seen top-up"
+    )
 
     results = []
     for name in sample:
@@ -76,9 +100,12 @@ def main() -> int:
     lines = [
         "# VERIFY_SAMPLE — isolated-run audit",
         "",
-        f"Round {round_no}: {n_sample} registry queries drawn with",
-        f"`random.Random({round_no}).sample(sorted(queries), {n_sample})`"
-        f" (seed = round number), each re-run in its OWN subprocess",
+        f"Round {round_no}: {len(results)} registry queries drawn with",
+        f"seed = round number ({round_no}), biased toward",
+        f"never-driver-sampled queries ({len(from_never)} of the",
+        f"{len(never)} absent from every CORRECTNESS_r*.json, plus",
+        f"{len(from_seen)} driver-seen top-up),",
+        "each re-run in its OWN subprocess",
         "(fresh JVM + SparkSession, no warmed caches) against the DuckDB",
         f"oracle at `{sf_dir}` via `tools/verify_local.py`.",
         "",
