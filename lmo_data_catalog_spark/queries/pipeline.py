@@ -530,6 +530,158 @@ def span_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------- exact substring dedup (suffix-array mode)
+
+#: minimum duplicated-run length in tokens. Lee et al. use 50 BPE
+#: tokens on web crawl; the synthetic docs average ~54 whitespace
+#: tokens, so 10 keeps the query non-degenerate at every sf.
+_SUBSTR_L = 10
+
+_SUBSTR_SQL = rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i AS pos, len(w) AS n_toks,
+               array_to_string(w[i:i+{_SUBSTR_L - 1}], ' ') AS g
+        FROM toks, unnest(generate_series(1, len(w) - {_SUBSTR_L - 1}))
+             AS t(i)
+        WHERE len(w) >= {_SUBSTR_L}
+    ),
+    dup AS (
+        SELECT doc_id, pos, n_toks
+        FROM (SELECT doc_id, pos, n_toks,
+                     COUNT(*) OVER (PARTITION BY g) AS cnt
+              FROM grams)
+        WHERE cnt >= 2
+    ),
+    isl AS (
+        SELECT doc_id, pos, n_toks,
+               SUM(CASE WHEN prev IS NULL
+                             OR pos > prev + {_SUBSTR_L}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM (SELECT doc_id, pos, n_toks,
+                     LAG(pos) OVER (
+                         PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM dup)
+    ),
+    spans AS (
+        SELECT doc_id, island,
+               MAX(pos) + {_SUBSTR_L} - MIN(pos) AS run_len,
+               ANY_VALUE(n_toks) AS n_toks
+        FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_runs,
+           CAST(SUM(run_len) AS BIGINT) AS dup_tokens,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run,
+           ROUND(CAST(SUM(run_len) AS DOUBLE) / ANY_VALUE(n_toks), 6)
+               + 0.0 AS dup_frac
+    FROM spans GROUP BY doc_id
+"""
+
+
+@query(
+    "dup_substring_runs",
+    oracle=_SUBSTR_SQL,
+    tags=("text", "dedup", "substring"),
+)
+def dup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup, suffix-array mode (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better"
+    — public): find every maximal run of >= L tokens that occurs more
+    than once in the corpus (100+-token boilerplate/license repeats
+    that 5-gram C4 spans only nibble at), reported as a per-doc
+    removal profile (run count, duplicated tokens, longest run,
+    duplicated fraction).
+
+    Reformulation instead of a literal suffix array: a substring of
+    length >= L is duplicated iff every one of its L-grams is
+    duplicated, and conversely each duplicated L-gram occurrence
+    covers the token interval [pos, pos+L). The union of those
+    intervals — merged per doc by gaps-and-islands — IS the set of
+    maximal duplicated runs >= L, exactly what the suffix-array scan
+    emits, with no shared mutable structure to distribute.
+
+    Plan: gram enumeration is the expression-shingling idiom (no
+    UDF); duplicate marking is ONE count-over-window keyed by the
+    gram string (hash-partitioned, no global sort — same shape as
+    span_dedup_keep_first's keep-first window); then a doc-keyed
+    LAG -> running-SUM window chain where the second window reuses
+    the first's partitioning+sort (one Exchange total, the kcore
+    alternating-window argument), and the final per-doc aggregate
+    reuses the doc hash partitioning. At 100 TB the gram shuffle is
+    O(corpus tokens) — inherent to exact substring dedup (Lee et
+    al.'s suffix array is the same bytes through one machine); the
+    production variant keys the window on a 128-bit gram fingerprint
+    instead of the string, and everything downstream of the gram
+    window is per-doc local. All island/length arithmetic is integer,
+    so every output but the final ROUND division is exact."""
+    L = _SUBSTR_L
+    docs = Catalog(spark, sf_dir).documents
+    grams = docs.select(
+        "doc_id", T.tokens("text").alias("__toks")
+    ).select(
+        "doc_id",
+        F.size("__toks").alias("n_toks"),
+        F.when(
+            F.size("__toks") >= L,
+            F.expr(
+                f"transform(sequence(1, size(__toks) - {L - 1}),"
+                f" i -> concat_ws(' ', slice(__toks, i, {L})))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__grams"),
+    )
+    pos_grams = grams.select(
+        "doc_id",
+        "n_toks",
+        F.posexplode_outer("__grams").alias("pos0", "g"),
+    ).where(F.col("g").isNotNull())
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("g"))
+    dup = (
+        pos_grams.withColumn("__cnt", cnt)
+        .where(F.col("__cnt") >= 2)
+        .select(
+            "doc_id", "n_toks", (F.col("pos0") + 1).alias("pos")
+        )
+    )
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(by_doc)
+    brk = F.when(
+        prev.isNull() | (F.col("pos") > prev + L), F.lit(1)
+    ).otherwise(F.lit(0))
+    runs = (
+        dup.withColumn("__brk", brk)
+        .withColumn(
+            "island",
+            F.sum("__brk").over(
+                by_doc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "island")
+        .agg(
+            (F.max("pos") + L - F.min("pos")).alias("run_len"),
+            F.first("n_toks").alias("n_toks"),
+        )
+    )
+    return runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_runs"),
+        F.sum("run_len").alias("dup_tokens"),
+        F.max("run_len").alias("longest_run"),
+        (
+            F.round(
+                F.sum("run_len").cast("double") / F.first("n_toks"), 6
+            )
+            + F.lit(0.0)
+        ).alias("dup_frac"),
+    )
+
+
 # ---------------------------------------------------------- contamination screen
 
 #: fixed probe phrases (shared literal list → both engines test the
