@@ -535,12 +535,143 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish token counting (regex pre-tokenizer) —
-    the size accounting pass of an LLM data pipeline."""
+    the size accounting pass of an LLM data pipeline. This is the
+    cheap expression-level approximation; ``bpe_token_counts`` below
+    is the merges-table-EXACT variant (real BPE encoder, the counts
+    budget decisions should be made in)."""
     cat = Catalog(spark, sf_dir)
     return cat.documents.select(
         "doc_id",
         T.token_count("text").cast("int").alias("ws_tokens"),
         T.bpe_token_count("text").cast("int").alias("bpe_tokens"),
+    )
+
+
+# -------------------------------------------------- merges-table-exact BPE
+
+
+def _bpe_sql() -> str:
+    """DuckDB oracle for ``bpe_token_counts``: an INDEPENDENT second
+    implementation of the merges-table BPE encoder as a recursive CTE
+    — per distinct word, each recursion step merges the LEFTMOST
+    occurrence of the lowest-rank applicable pair (provably the same
+    fixpoint as the textbook loop; operators/bpe.py docstring has the
+    rank-monotonicity argument). Words render as '|'-separated symbol
+    strings ('|'-free by the trainer's [a-z0-9] charset assertion),
+    so a pair applies iff strpos finds '|lhs|rhs|', and splicing in
+    '|lhs·rhs|' at that position is the merge."""
+    from ..functions.bpe_merges import MERGES
+
+    values = ", ".join(
+        f"('{l}', '{r}', {i + 1})" for i, (l, r) in enumerate(MERGES)
+    )
+    return rf"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+'))
+                       AS w
+            FROM documents
+        ) WHERE w <> ''
+    ),
+    vocab AS (SELECT DISTINCT w FROM toks),
+    pats AS (
+        SELECT '|' || lhs || '|' || rhs || '|' AS pat,
+               '|' || lhs || rhs || '|' AS rep,
+               rank
+        FROM (VALUES {values}) AS m(lhs, rhs, rank)
+    ),
+    steps AS (
+        SELECT w, '|' || regexp_replace(w, '(.)', '\1|', 'g') AS st
+        FROM vocab
+        UNION ALL
+        SELECT w, substr(st, 1, p - 1) || rep || substr(st, p + len(pat))
+        FROM (
+            SELECT w, st, pat, rep, strpos(st, pat) AS p,
+                   ROW_NUMBER() OVER (PARTITION BY w ORDER BY rank)
+                       AS rn
+            FROM steps JOIN pats ON strpos(st, pat) > 0
+        ) WHERE rn = 1
+    ),
+    final AS (
+        SELECT w, st FROM steps s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pats p WHERE strpos(s.st, p.pat) > 0
+        )
+    ),
+    wlen AS (
+        SELECT w,
+               CAST(len(st) - len(replace(st, '|', '')) - 1 AS BIGINT)
+                   AS n_bpe
+        FROM final
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(l.n_bpe) AS BIGINT) AS n_bpe_tokens,
+           ROUND(CAST(SUM(l.n_bpe) AS DOUBLE) / COUNT(*), 6) + 0.0
+               AS bpe_per_ws
+    FROM toks t JOIN wlen l ON t.w = l.w
+    GROUP BY t.doc_id
+    """
+
+
+@query(
+    "bpe_token_counts",
+    oracle=_bpe_sql(),
+    tags=("text", "tokens", "bpe"),
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merges-table-EXACT BPE token accounting (r9 verdict ask #5):
+    per-doc token counts under a real BPE encoder (operators/bpe.py)
+    driving a committed rank-ordered merges table — the counts that
+    budget decisions (token_budget_head etc.) should be made in; the
+    regex pre-tokenizer of ``token_counts`` diverges 30-50% on real
+    non-English text.
+
+    Plan — the standard shape for exact tokenization at scale: the
+    Python encoder runs per DISTINCT word (one Arrow mapInPandas
+    kernel over the deduplicated vocabulary — corpus size never
+    reaches Python), and the per-doc counts come from an equi-join of
+    token instances against the tiny (word, n_bpe) frame plus one
+    hash aggregate. At 100 TB the vocabulary is millions of rows
+    where the corpus is trillions — the kernel stays negligible and
+    AQE broadcasts the join side when it fits. The DuckDB oracle
+    re-implements the encoder as a recursive CTE (see ``_bpe_sql``),
+    so the differential pins BOTH the kernel arithmetic and the Spark
+    plumbing against an independent implementation; every output is
+    integer except the final ROUND ratio."""
+    from ..operators.bpe import bpe_len
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "n_bpe": [bpe_len(w) for w in pdf["w"]],
+                }
+            )
+
+    cat = Catalog(spark, sf_dir)
+    toks = cat.documents.select(
+        "doc_id", F.explode(T.tokens("text")).alias("w")
+    ).where(F.col("w") != "")
+    vocab = toks.select("w").distinct()
+    wlen = vocab.mapInPandas(kernel, schema="w string, n_bpe long")
+    return (
+        toks.join(wlen, on="w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ws_tokens"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+            (
+                F.round(
+                    F.sum("n_bpe").cast("double") / F.count(F.lit(1)), 6
+                )
+                + F.lit(0.0)
+            ).alias("bpe_per_ws"),
+        )
     )
 
 

@@ -24,6 +24,7 @@ ALLOWED_ARROW = {
     "embedding_neardup_pairs",
     "pack_documents_greedy",  # grouped-map greedy fold (per-shard scan)
     "semantic_dedup_keep",  # cell-blocked GEMM kernel (same_col mask)
+    "bpe_token_counts",  # BPE encoder kernel over DISTINCT words only
 }
 
 #: queries whose plans legitimately contain BroadcastNestedLoopJoin —
