@@ -138,6 +138,18 @@ def main() -> None:
         "count-over-window inside the self-join's own Exchange.",
         "Isolated warm best-of-3 after the fix: **1.45 s**.",
         "",
+        "## salted-cooccurrence / RFM driver-drift re-measure (round 10)",
+        "",
+        "The two r9 driver-bench outliers were re-measured with the",
+        "winnow protocol (isolated warm best-of-3, noop sink,",
+        "2026-08-15): `cooccurrence_part_pairs_salted` **2.80 s** (driver",
+        "5.15, canonical 2.82) and `customer_rfm_segments` **2.08 s**",
+        "(driver 2.86, canonical 1.88). Both isolated numbers match the",
+        "canonical snapshot, so the driver rows were host noise, not",
+        "regressions — consistent with the variance band above (the",
+        "salted query's own 3 isolated runs spread 2.8/5.1/4.1 s under",
+        "a neighbor burst; the BEST is the engine number).",
+        "",
     ]
     with open(os.path.join(ROOT, "BENCH.md"), "w") as fh:
         fh.write("\n".join(lines))
