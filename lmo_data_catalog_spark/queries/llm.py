@@ -16,7 +16,7 @@ Cross-engine determinism rules used here (beyond queries.core's):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import cache
@@ -550,25 +550,26 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------- merges-table-exact BPE
 
 
-def _bpe_sql() -> str:
-    """DuckDB oracle for ``bpe_token_counts``: an INDEPENDENT second
-    implementation of the merges-table BPE encoder as a recursive CTE
-    — per distinct word, each recursion step merges the LEFTMOST
-    occurrence of the lowest-rank applicable pair (provably the same
-    fixpoint as the textbook loop; operators/bpe.py docstring has the
+def _bpe_ctes() -> str:
+    """Shared CTE chain: an INDEPENDENT second implementation of the
+    merges-table BPE encoder as a recursive CTE — per distinct word,
+    each recursion step merges the LEFTMOST occurrence of the
+    lowest-rank applicable pair (provably the same fixpoint as the
+    textbook loop; operators/bpe.py docstring has the
     rank-monotonicity argument). Words render as '|'-separated symbol
     strings ('|'-free by the trainer's [a-z0-9] charset assertion),
     so a pair applies iff strpos finds '|lhs|rhs|', and splicing in
-    '|lhs·rhs|' at that position is the merge."""
+    '|lhs+rhs|' at that position is the merge. Yields ``toks``
+    (doc_id, lang, w) and ``wlen`` (w, n_bpe); callers must open with
+    WITH RECURSIVE."""
     from ..functions.bpe_merges import MERGES
 
     values = ", ".join(
         f"('{l}', '{r}', {i + 1})" for i, (l, r) in enumerate(MERGES)
     )
-    return rf"""
-    WITH RECURSIVE toks AS (
-        SELECT doc_id, w FROM (
-            SELECT doc_id,
+    return rf"""toks AS (
+        SELECT doc_id, lang, w FROM (
+            SELECT doc_id, lang,
                    unnest(string_split_regex(lower(trim(text)), '\s+'))
                        AS w
             FROM documents
@@ -604,7 +605,12 @@ def _bpe_sql() -> str:
                CAST(len(st) - len(replace(st, '|', '')) - 1 AS BIGINT)
                    AS n_bpe
         FROM final
-    )
+    )"""
+
+
+def _bpe_sql() -> str:
+    return rf"""
+    WITH RECURSIVE {_bpe_ctes()}
     SELECT t.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
            CAST(SUM(l.n_bpe) AS BIGINT) AS n_bpe_tokens,
@@ -640,6 +646,27 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the differential pins BOTH the kernel arithmetic and the Spark
     plumbing against an independent implementation; every output is
     integer except the final ROUND ratio."""
+    toks, wlen = _bpe_token_frames(spark, sf_dir)
+    return (
+        toks.join(wlen, on="w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ws_tokens"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+            (
+                F.round(
+                    F.sum("n_bpe").cast("double") / F.count(F.lit(1)), 6
+                )
+                + F.lit(0.0)
+            ).alias("bpe_per_ws"),
+        )
+    )
+
+
+def _bpe_token_frames(spark: SparkSession, sf_dir: str):
+    """(token instances with lang, distinct-word BPE lengths) — the
+    shared front end of the BPE queries: the encoder kernel runs per
+    DISTINCT word, never per instance."""
     from ..operators.bpe import bpe_len
 
     def kernel(batches):
@@ -655,22 +682,81 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = Catalog(spark, sf_dir)
     toks = cat.documents.select(
-        "doc_id", F.explode(T.tokens("text")).alias("w")
+        "doc_id", "lang", F.explode(T.tokens("text")).alias("w")
     ).where(F.col("w") != "")
-    vocab = toks.select("w").distinct()
-    wlen = vocab.mapInPandas(kernel, schema="w string, n_bpe long")
-    return (
+    wlen = toks.select("w").distinct().mapInPandas(
+        kernel, schema="w string, n_bpe long"
+    )
+    return toks, wlen
+
+
+#: exact per-language BPE-token budget for the bpe-mode head cutoff —
+#: sized above TOKEN_BUDGET-style whitespace budgets because this
+#: merges table leaves rare words multi-token (~1.3-2x inflation)
+BPE_BUDGET_PER_LANG = 3000
+
+
+def _bpe_budget_sql() -> str:
+    return rf"""
+    WITH RECURSIVE {_bpe_ctes()},
+    d AS (
+        SELECT t.doc_id, t.lang,
+               CAST(SUM(l.n_bpe) AS BIGINT) AS n_bpe_tokens
+        FROM toks t JOIN wlen l ON t.w = l.w
+        GROUP BY t.doc_id, t.lang
+    ),
+    c AS (
+        SELECT doc_id, lang, n_bpe_tokens,
+               SUM(n_bpe_tokens) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM d
+    )
+    SELECT doc_id, lang, n_bpe_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= {BPE_BUDGET_PER_LANG}
+    """
+
+
+@query(
+    "token_budget_head_bpe",
+    oracle=_bpe_budget_sql(),
+    tags=("sampling", "budget", "tokens", "bpe", "llm"),
+)
+def token_budget_head_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``token_budget_head``'s documented bpe-mode (r9 verdict ask
+    #5): the same per-language deterministic-hash-order head cutoff,
+    but budgeted in merges-table-EXACT BPE tokens — the unit training
+    recipes are actually written in — instead of whitespace tokens.
+
+    Plan: the per-doc BPE totals reuse the distinct-word Arrow kernel
+    (``_bpe_token_frames``) plus one hash aggregate, then the cutoff
+    is the token_budget_head shape unchanged: one shuffle on lang +
+    a per-key sorted integer running sum (cross-engine exact, cutoff
+    cannot drift). The few-language single-task-sort caveat and its
+    sharded scale path documented on token_budget_head apply
+    identically here."""
+    toks, wlen = _bpe_token_frames(spark, sf_dir)
+    d = (
         toks.join(wlen, on="w")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_ws_tokens"),
-            F.sum("n_bpe").alias("n_bpe_tokens"),
-            (
-                F.round(
-                    F.sum("n_bpe").cast("double") / F.count(F.lit(1)), 6
-                )
-                + F.lit(0.0)
-            ).alias("bpe_per_ws"),
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("n_bpe").alias("n_bpe_tokens"))
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_bpe_tokens").over(w))
+        .filter(F.col("cum_tokens") <= BPE_BUDGET_PER_LANG)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
         )
     )
 

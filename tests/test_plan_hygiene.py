@@ -25,6 +25,7 @@ ALLOWED_ARROW = {
     "pack_documents_greedy",  # grouped-map greedy fold (per-shard scan)
     "semantic_dedup_keep",  # cell-blocked GEMM kernel (same_col mask)
     "bpe_token_counts",  # BPE encoder kernel over DISTINCT words only
+    "token_budget_head_bpe",  # same distinct-word BPE kernel front end
 }
 
 #: queries whose plans legitimately contain BroadcastNestedLoopJoin —
