@@ -682,6 +682,167 @@ def dup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBSTR_RM_SQL = rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, i AS pos, w[i] AS tk, len(w) AS n_toks
+        FROM toks, unnest(generate_series(1, len(w))) AS t(i)
+    ),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(w[i:i+{_SUBSTR_L - 1}], ' ') AS g
+        FROM toks, unnest(generate_series(1, len(w) - {_SUBSTR_L - 1}))
+             AS t(i)
+        WHERE len(w) >= {_SUBSTR_L}
+    ),
+    dup AS (
+        SELECT doc_id, pos
+        FROM (SELECT doc_id, pos,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY g ORDER BY doc_id, pos) AS rn
+              FROM grams)
+        WHERE rn >= 2
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               SUM(CASE WHEN prev IS NULL
+                             OR pos > prev + {_SUBSTR_L}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM (SELECT doc_id, pos,
+                     LAG(pos) OVER (
+                         PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM dup)
+    ),
+    spans AS (
+        SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_SUBSTR_L} AS e
+        FROM isl GROUP BY doc_id, island
+    ),
+    covered AS (
+        SELECT doc_id, unnest(generate_series(s, e - 1)) AS pos
+        FROM spans
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tk, t.n_toks
+        FROM tok t LEFT JOIN covered c
+          ON t.doc_id = c.doc_id AND t.pos = c.pos
+        WHERE c.pos IS NULL
+    )
+    SELECT doc_id,
+           CAST(ANY_VALUE(n_toks) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+           CAST(ANY_VALUE(n_toks) - COUNT(*) AS BIGINT)
+               AS removed_tokens,
+           md5(string_agg(tk, ' ' ORDER BY pos)) AS cleaned_md5
+    FROM kept GROUP BY doc_id
+"""
+
+
+@query(
+    "dup_substring_removal",
+    oracle=_SUBSTR_RM_SQL,
+    tags=("text", "dedup", "substring"),
+)
+def dup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of exact substring dedup (Lee et al. 2021):
+    keep the FIRST occurrence of every duplicated >= L-token run
+    (global order by (doc_id, pos)), excise every later copy, and
+    emit the cleaned per-doc profile with an md5 of the cleaned text
+    — so the differential pins the actual reconstructed content, not
+    just counts. ``dup_substring_runs`` marks ALL copies (the audit
+    view); this one applies the edit.
+
+    Semantics: an occurrence position is removable iff its L-gram has
+    ROW_NUMBER >= 2 in the gram's global (doc_id, pos) order; the
+    per-doc interval union of removable extents [pos, pos+L) is cut,
+    and surviving tokens re-concatenate in position order.
+
+    Plan: one row_number window keyed by the gram string, the
+    doc-keyed gaps-and-islands chain (windows reuse one Exchange),
+    covered positions exploded from spans (bounded by corpus tokens,
+    spans are disjoint by construction), one anti join on
+    (doc_id, pos), and a per-doc aggregate whose order-sensitive
+    piece — the cleaned text — is rebuilt engine-deterministically
+    via array_sort(collect_list(struct(pos, token))) vs
+    string_agg(... ORDER BY pos). Everything is integer or exact
+    string work; no floats anywhere."""
+    L = _SUBSTR_L
+    docs = Catalog(spark, sf_dir).documents
+    base = docs.select("doc_id", T.tokens("text").alias("__toks"))
+    tok = base.select(
+        "doc_id",
+        F.size("__toks").alias("n_toks"),
+        F.posexplode("__toks").alias("pos0", "tk"),
+    ).select(
+        "doc_id", "n_toks", (F.col("pos0") + 1).alias("pos"), "tk"
+    )
+    grams = base.select(
+        "doc_id",
+        F.when(
+            F.size("__toks") >= L,
+            F.expr(
+                f"transform(sequence(1, size(__toks) - {L - 1}),"
+                f" i -> concat_ws(' ', slice(__toks, i, {L})))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__grams"),
+    ).select(
+        "doc_id", F.posexplode_outer("__grams").alias("pos0", "g")
+    ).where(F.col("g").isNotNull())
+    rn = F.row_number().over(
+        Window.partitionBy("g").orderBy("doc_id", "pos0")
+    )
+    dup = (
+        grams.withColumn("__rn", rn)
+        .where(F.col("__rn") >= 2)
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"))
+    )
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(by_doc)
+    brk = F.when(
+        prev.isNull() | (F.col("pos") > prev + L), F.lit(1)
+    ).otherwise(F.lit(0))
+    spans = (
+        dup.withColumn("__brk", brk)
+        .withColumn(
+            "island",
+            F.sum("__brk").over(
+                by_doc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + L).alias("e"))
+    )
+    covered = spans.select(
+        "doc_id",
+        F.explode(F.sequence("s", F.col("e") - 1)).alias("pos"),
+    )
+    kept = tok.join(covered, on=["doc_id", "pos"], how="left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.first("n_toks").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("kept_tokens"),
+        (F.first("n_toks") - F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("removed_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tk"))
+                    ),
+                    lambda x: x["tk"],
+                ),
+            )
+        ).alias("cleaned_md5"),
+    )
+
+
 # ---------------------------------------------------------- contamination screen
 
 #: fixed probe phrases (shared literal list → both engines test the
