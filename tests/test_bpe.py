@@ -159,3 +159,16 @@ def test_all_words_reach_singletons_or_chars():
     # every segmentation concatenates back to the word
     for w in ("spark", "sparkle", "windows", "tab", "q"):
         assert "".join(bpe_segments(w)) == w
+
+
+@settings(max_examples=150, deadline=None)
+@given(word=st.text(alphabet="abcdefghijklmnopqrstuvwxyz",
+                    min_size=1, max_size=14))
+def test_committed_table_matches_all_at_once(word):
+    """The shipped encoder against the COMMITTED merges table must
+    match the textbook all-at-once loop for arbitrary lowercase words
+    (the committed table is valid-by-training, so the equivalence
+    argument applies to it directly)."""
+    got = bpe_segments(word)
+    assert got == all_at_once_encode(word, RANKS)
+    assert "".join(got) == word
