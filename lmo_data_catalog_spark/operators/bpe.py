@@ -28,9 +28,15 @@ the two engines' tokenizations identical by construction, not by
 floating-point luck.
 
 The merges table (functions/bpe_merges.py) is a GENERATED, committed
-artifact — tools/train_bpe.py trains it deterministically from the
-sf0.1 corpus; in deployment the same rank-ordered pair-list format
-accepts the published GPT-2 merges file verbatim.
+artifact — tools/train_bpe.py trains it deterministically (1200
+merges over the sf0.1 corpus vocabulary unioned with an 8000-word
+seeded synthetic lexicon; r10 verdict ask #1); in deployment the
+same rank-ordered pair-list format accepts the published GPT-2
+merges file verbatim — ``load_merges_file`` parses that format, and
+the BYTE-LEVEL mode below (``pre_tokenize_bytelevel`` +
+``encode_bytelevel``) implements GPT-2's byte-to-unicode alphabet
+and pre-tokenizer semantics so a real 50k byte-level table plugs in
+without code changes.
 """
 
 from __future__ import annotations
@@ -43,14 +49,18 @@ RANKS: dict[tuple[str, str], int] = {
 }
 
 
-def bpe_segments(word: str) -> list[str]:
-    """Segment one pre-tokenized word into BPE symbols."""
+def bpe_segments_ranked(
+    word: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """Segment one pre-tokenized word into BPE symbols under an
+    arbitrary valid ranks table (symbols = characters of ``word``;
+    for byte-level mode pass the byte-mapped unicode string)."""
     syms = list(word)
     while len(syms) > 1:
         best_rank = None
         best_i = -1
         for i in range(len(syms) - 1):
-            r = RANKS.get((syms[i], syms[i + 1]))
+            r = ranks.get((syms[i], syms[i + 1]))
             if r is not None and (best_rank is None or r < best_rank):
                 best_rank, best_i = r, i
         if best_rank is None:
@@ -59,8 +69,166 @@ def bpe_segments(word: str) -> list[str]:
     return syms
 
 
+def bpe_segments(word: str) -> list[str]:
+    """Segment one pre-tokenized word under the COMMITTED table."""
+    return bpe_segments_ranked(word, RANKS)
+
+
 def bpe_len(word: str) -> int:
     """Number of BPE tokens in one word (0 for the empty string)."""
     if not word:
         return 0
     return len(bpe_segments(word))
+
+
+# ------------------------------------------------------ byte-level mode
+#
+# GPT-2's tokenizer (public: openai/gpt-2 encoder.py; Radford et al.
+# 2019) operates on BYTES, not characters: text is pre-tokenized with
+# a regex, each pre-token is UTF-8 encoded, each byte is mapped
+# through a fixed 256-entry byte->unicode bijection (so merges files
+# are printable), and the merge loop runs over those mapped symbols.
+# This section reimplements that contract from the published
+# algorithm so the published merges.txt format works verbatim.
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte->unicode bijection (public algorithm): printable
+    latin bytes map to themselves; the remaining 68 bytes map to
+    codepoints 256+n in first-gap order. Deterministic, dependency-
+    free, and identical to the reference implementation's table."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+BYTE_ENCODER: dict[int, str] = bytes_to_unicode()
+BYTE_DECODER: dict[str, int] = {v: k for k, v in BYTE_ENCODER.items()}
+
+_CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+
+
+def pre_tokenize_bytelevel(text: str) -> list[str]:
+    """GPT-2 pre-tokenizer semantics, implemented as a scanner.
+
+    The published pattern is
+    ``'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+``;
+    stdlib ``re`` lacks ``\\p{L}``/``\\p{N}``, so this scanner walks
+    the alternation's semantics directly using ``str.isalpha`` /
+    ``str.isnumeric`` (Unicode-aware, matching \\p{L} / \\p{N} on the
+    categories that occur in text). Joining the returned tokens
+    always reproduces ``text`` exactly (tested by property)."""
+    toks: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        hit = next(
+            (c for c in _CONTRACTIONS if text.startswith(c, i)), None
+        )
+        if hit is not None:
+            toks.append(hit)
+            i += len(hit)
+            continue
+        c0 = text[i]
+        lead, j = "", i
+        if c0 == " " and i + 1 < n and not text[i + 1].isspace():
+            # the ' ?' prefix of the letter/number/other alternatives
+            lead, j = " ", i + 1
+            c0 = text[j]
+        if c0.isalpha():
+            k = j
+            while k < n and text[k].isalpha():
+                k += 1
+            toks.append(lead + text[j:k])
+            i = k
+        elif c0.isnumeric():
+            k = j
+            while k < n and text[k].isnumeric():
+                k += 1
+            toks.append(lead + text[j:k])
+            i = k
+        elif not c0.isspace():
+            k = j
+            while (
+                k < n
+                and not text[k].isspace()
+                and not text[k].isalpha()
+                and not text[k].isnumeric()
+            ):
+                k += 1
+            toks.append(lead + text[j:k])
+            i = k
+        else:
+            # maximal whitespace run [i, k)
+            k = i
+            while k < n and text[k].isspace():
+                k += 1
+            if k == n:
+                # \s+(?!\S) — trailing run, lookahead at EOS holds
+                toks.append(text[i:k])
+                i = k
+            elif k - i > 1:
+                # \s+(?!\S) backtracks to all-but-last; the last ws
+                # char re-enters the scan (as ' ?' lead or \s+ alone)
+                toks.append(text[i : k - 1])
+                i = k - 1
+            else:
+                # single non-' ' whitespace before a non-space: the
+                # lookahead fails and plain \s+ takes the one char
+                # (a single ' ' never reaches here — the lead branch
+                # above consumed it)
+                toks.append(text[i:k])
+                i = k
+    return toks
+
+
+def encode_bytelevel(
+    text: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """Full byte-level BPE encode: pre-tokenize, UTF-8 encode each
+    pre-token, map bytes through BYTE_ENCODER, run the merge loop.
+    Returns the flat symbol sequence (byte-mapped unicode strings);
+    ``decode`` below inverts it exactly."""
+    out: list[str] = []
+    for tok in pre_tokenize_bytelevel(text):
+        mapped = "".join(BYTE_ENCODER[b] for b in tok.encode("utf-8"))
+        out.extend(bpe_segments_ranked(mapped, ranks))
+    return out
+
+
+def decode_bytelevel(symbols: list[str]) -> str:
+    """Invert encode_bytelevel: map each symbol char back to its byte
+    and UTF-8 decode the concatenation."""
+    data = bytes(BYTE_DECODER[ch] for sym in symbols for ch in sym)
+    return data.decode("utf-8")
+
+
+def bpe_len_bytelevel(
+    text: str, ranks: dict[tuple[str, str], int]
+) -> int:
+    """Byte-level BPE token count for a text span."""
+    return len(encode_bytelevel(text, ranks))
+
+
+def load_merges_file(path: str) -> dict[tuple[str, str], int]:
+    """Parse the published GPT-2 ``merges.txt`` format: optional
+    ``#version`` header, then one space-separated (lhs, rhs) pair per
+    line in rank order. Returns the ranks dict the encoders accept."""
+    ranks: dict[tuple[str, str], int] = {}
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            lhs, rhs = line.split(" ")
+            ranks[(lhs, rhs)] = len(ranks)
+    return ranks

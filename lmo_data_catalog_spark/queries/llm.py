@@ -550,22 +550,43 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------- merges-table-exact BPE
 
 
-def _bpe_ctes() -> str:
+#: the single reserved codepoint of the BPE oracle — symbols render
+#: as chr(31)-separated strings, and words containing it are excluded
+#: IDENTICALLY in both engines (see the guard notes in _bpe_ctes).
+BPE_SEP = "\x1f"
+
+
+def _bpe_ctes(merges: list[tuple[str, str]] | None = None) -> str:
     """Shared CTE chain: an INDEPENDENT second implementation of the
     merges-table BPE encoder as a recursive CTE — per distinct word,
     each recursion step merges the LEFTMOST occurrence of the
     lowest-rank applicable pair (provably the same fixpoint as the
     textbook loop; operators/bpe.py docstring has the
-    rank-monotonicity argument). Words render as '|'-separated symbol
-    strings ('|'-free by the trainer's [a-z0-9] charset assertion),
-    so a pair applies iff strpos finds '|lhs|rhs|', and splicing in
-    '|lhs+rhs|' at that position is the merge. Yields ``toks``
-    (doc_id, lang, w) and ``wlen`` (w, n_bpe); callers must open with
-    WITH RECURSIVE."""
-    from ..functions.bpe_merges import MERGES
+    rank-monotonicity argument). Words render as chr(31)-separated
+    symbol strings, so a pair applies iff strpos finds
+    SEP+lhs+SEP+rhs+SEP, and splicing in SEP+lhs+rhs+SEP at that
+    position is the merge.
+
+    Safety past [a-z0-9] (r10 verdict ask #1 / ADVICE guard): merge
+    symbols are quote-escaped into the VALUES literal, the separator
+    is chr(31) — outside every plausible text charset — and BOTH
+    engines exclude the residual hazard (a corpus word containing
+    chr(31)) at query time with the same predicate, so a poisoned
+    word can never silently diverge the SQL-side tokenization from
+    the Python kernel (_bpe_token_frames applies the mirror filter).
+    Yields ``toks`` (doc_id, lang, w) and ``wlen`` (w, n_bpe);
+    callers must open with WITH RECURSIVE. ``merges`` overrides the
+    committed table (tools/bpe_cost_probe.py sizes the oracle's cost
+    envelope against table-size slices)."""
+    if merges is None:
+        from ..functions.bpe_merges import MERGES as merges
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
 
     values = ", ".join(
-        f"('{l}', '{r}', {i + 1})" for i, (l, r) in enumerate(MERGES)
+        f"('{q(l)}', '{q(r)}', {i + 1})"
+        for i, (l, r) in enumerate(merges)
     )
     return rf"""toks AS (
         SELECT doc_id, lang, w FROM (
@@ -573,17 +594,18 @@ def _bpe_ctes() -> str:
                    unnest(string_split_regex(lower(trim(text)), '\s+'))
                        AS w
             FROM documents
-        ) WHERE w <> ''
+        ) WHERE w <> '' AND strpos(w, chr(31)) = 0
     ),
     vocab AS (SELECT DISTINCT w FROM toks),
     pats AS (
-        SELECT '|' || lhs || '|' || rhs || '|' AS pat,
-               '|' || lhs || rhs || '|' AS rep,
+        SELECT chr(31) || lhs || chr(31) || rhs || chr(31) AS pat,
+               chr(31) || lhs || rhs || chr(31) AS rep,
                rank
         FROM (VALUES {values}) AS m(lhs, rhs, rank)
     ),
     steps AS (
-        SELECT w, '|' || regexp_replace(w, '(.)', '\1|', 'g') AS st
+        SELECT w, chr(31) || regexp_replace(w, '(.)', '\1' || chr(31), 'g')
+                   AS st
         FROM vocab
         UNION ALL
         SELECT w, substr(st, 1, p - 1) || rep || substr(st, p + len(pat))
@@ -602,8 +624,8 @@ def _bpe_ctes() -> str:
     ),
     wlen AS (
         SELECT w,
-               CAST(len(st) - len(replace(st, '|', '')) - 1 AS BIGINT)
-                   AS n_bpe
+               CAST(len(st) - len(replace(st, chr(31), '')) - 1
+                    AS BIGINT) AS n_bpe
         FROM final
     )"""
 
@@ -681,9 +703,11 @@ def _bpe_token_frames(spark: SparkSession, sf_dir: str):
             )
 
     cat = Catalog(spark, sf_dir)
+    # mirror of the oracle's chr(31) guard (see _bpe_ctes): words
+    # containing the reserved separator are excluded in BOTH engines
     toks = cat.documents.select(
         "doc_id", "lang", F.explode(T.tokens("text")).alias("w")
-    ).where(F.col("w") != "")
+    ).where((F.col("w") != "") & (~F.col("w").contains(BPE_SEP)))
     wlen = toks.select("w").distinct().mapInPandas(
         kernel, schema="w string, n_bpe long"
     )

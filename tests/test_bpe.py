@@ -7,6 +7,10 @@ committed merges table.
 
 from __future__ import annotations
 
+import os
+import re
+import sys
+
 import duckdb
 import pytest
 from hypothesis import given, settings
@@ -14,10 +18,19 @@ from hypothesis import strategies as st
 
 from lmo_data_catalog_spark.functions.bpe_merges import MERGES
 from lmo_data_catalog_spark.operators.bpe import (
+    BYTE_DECODER,
+    BYTE_ENCODER,
     RANKS,
     bpe_len,
     bpe_segments,
+    bpe_segments_ranked,
+    decode_bytelevel,
+    encode_bytelevel,
+    load_merges_file,
+    pre_tokenize_bytelevel,
 )
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def all_at_once_encode(word, ranks):
@@ -49,25 +62,32 @@ def all_at_once_encode(word, ranks):
 
 
 def test_hand_pinned_segmentations():
-    # from the committed merges: 'spark' = s+park via (par,k),(s,park)
-    assert bpe_segments("spark") == ["spark"]
-    assert bpe_segments("window") == ["window"]
-    assert bpe_len("window") == 1
-    # unseen word falls back toward characters, known pieces merge
+    # against the committed 1200-merge table: high-frequency words
+    # merge fully, corpus words segment into a few subwords — the
+    # realistic shape (the 24-merge toy table merged everything)
+    assert bpe_segments("table") == ["table"]
+    assert bpe_segments("the") == ["the"]
+    assert bpe_segments("spark") == ["sp", "ar", "k"]
+    assert bpe_segments("window") == ["wind", "ow"]
+    assert bpe_len("window") == 2
+    # unseen pair falls back to characters ((z,z) is never trained:
+    # the synthetic lexicon puts z only at onsets, always vowel-next)
     assert bpe_segments("zzz") == ["z", "z", "z"]
     assert bpe_len("") == 0
-    # rank order matters: 'er' (rank 1) fires before later rules
-    assert "er" in {
-        s for w in ("merge", "era") for s in bpe_segments(w)
-    } or bpe_segments("merge") == ["merge"]
+    # rank 0 fires first
+    assert MERGES[0] == ("e", "e")
+    assert bpe_segments("ee") == ["ee"]
 
 
 def test_committed_merges_are_valid_ranks():
     assert len(set(MERGES)) == len(MERGES)
     assert all(RANKS[p] == i for i, p in enumerate(MERGES))
-    # trainer charset contract that keeps the SQL VALUES literal safe
+    # a realistic-scale table (r10 verdict ask #1), not the 24-merge toy
+    assert len(MERGES) >= 1000
+    # trainer charset contract, mirrored EXACTLY ([a-z0-9], not any
+    # unicode alnum — the committed-artifact convention)
     assert all(
-        c.isalnum() and c.lower() == c
+        re.fullmatch(r"[a-z0-9]", c)
         for l, r in MERGES
         for c in l + r
     )
@@ -128,12 +148,13 @@ def test_encoder_matches_duckdb_recursive_cte():
     sql = rf"""
     WITH RECURSIVE vocab(w) AS (VALUES {wvals}),
     pats AS (
-        SELECT '|' || lhs || '|' || rhs || '|' AS pat,
-               '|' || lhs || rhs || '|' AS rep, rank
+        SELECT chr(31) || lhs || chr(31) || rhs || chr(31) AS pat,
+               chr(31) || lhs || rhs || chr(31) AS rep, rank
         FROM (VALUES {values}) AS m(lhs, rhs, rank)
     ),
     steps AS (
-        SELECT w, '|' || regexp_replace(w, '(.)', '\1|', 'g') AS st
+        SELECT w, chr(31) || regexp_replace(w, '(.)', '\1' || chr(31), 'g')
+                   AS st
         FROM vocab
         UNION ALL
         SELECT w, substr(st, 1, p - 1) || rep || substr(st, p + len(pat))
@@ -148,7 +169,7 @@ def test_encoder_matches_duckdb_recursive_cte():
         WHERE NOT EXISTS (
             SELECT 1 FROM pats p WHERE strpos(s.st, p.pat) > 0)
     )
-    SELECT w, len(st) - len(replace(st, '|', '')) - 1 AS n FROM final
+    SELECT w, len(st) - len(replace(st, chr(31), '')) - 1 AS n FROM final
     """
     con = duckdb.connect()
     got = dict(con.sql(sql).fetchall())
@@ -159,6 +180,93 @@ def test_all_words_reach_singletons_or_chars():
     # every segmentation concatenates back to the word
     for w in ("spark", "sparkle", "windows", "tab", "q"):
         assert "".join(bpe_segments(w)) == w
+
+
+# ------------------------------------------------------ byte-level mode
+
+
+def test_byte_unicode_bijection():
+    assert len(BYTE_ENCODER) == 256
+    assert sorted(BYTE_ENCODER) == list(range(256))
+    assert len(set(BYTE_ENCODER.values())) == 256
+    # printable latin bytes map to themselves (GPT-2 contract)
+    assert BYTE_ENCODER[ord("a")] == "a"
+    assert BYTE_ENCODER[ord("!")] == "!"
+    # space is remapped out of the printable range
+    assert BYTE_ENCODER[ord(" ")] == chr(256 + ord(" "))
+    assert all(BYTE_DECODER[v] == k for k, v in BYTE_ENCODER.items())
+
+
+def test_pre_tokenize_hand_pinned():
+    """Cases traced against the published GPT-2 pattern
+    ('s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+
+    |\\s+(?!\\S)|\\s+) alternative by alternative."""
+    assert pre_tokenize_bytelevel("hello world") == ["hello", " world"]
+    assert pre_tokenize_bytelevel("it's fine") == ["it", "'s", " fine"]
+    # k-space run before a word: (k-1)-space token, then " word"
+    assert pre_tokenize_bytelevel("a  b") == ["a", " ", " b"]
+    assert pre_tokenize_bytelevel("a   b") == ["a", "  ", " b"]
+    # tab runs: backtrack leaves the last tab to plain \s+
+    assert pre_tokenize_bytelevel("\t\tabc") == ["\t", "\t", "abc"]
+    # trailing whitespace is one token (lookahead holds at EOS)
+    assert pre_tokenize_bytelevel("ab  ") == ["ab", "  "]
+    # numbers and punctuation split off, ' ?' attaches one space
+    assert pre_tokenize_bytelevel("v2 x86!") == ["v", "2", " x", "86", "!"]
+    # space before apostrophe: the punctuation class takes " '"
+    assert pre_tokenize_bytelevel("x 's") == ["x", " '", "s"]
+    assert pre_tokenize_bytelevel("") == []
+
+
+@settings(max_examples=300, deadline=None)
+@given(text=st.text(max_size=40))
+def test_pre_tokenize_partitions_text(text):
+    toks = pre_tokenize_bytelevel(text)
+    assert "".join(toks) == text
+    assert all(t for t in toks)
+
+
+@settings(max_examples=200, deadline=None)
+@given(text=st.text(max_size=30))
+def test_bytelevel_roundtrip_empty_ranks(text):
+    # with no merges, symbols are exactly the mapped bytes; decode
+    # must reproduce the original text for ANY unicode input
+    syms = encode_bytelevel(text, {})
+    assert decode_bytelevel(syms) == text
+
+
+def test_bytelevel_encode_with_trained_ranks():
+    """Train a tiny BYTE-LEVEL table in-test (the trainer algorithm
+    over byte-mapped words) and check merges apply through the full
+    encode path, including the remapped space byte."""
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from train_bpe import train
+
+    corpus = {"hello world": 50, "hello there": 30, "world war": 20}
+    sp = BYTE_ENCODER[ord(" ")]
+    freqs = {}
+    for phrase, f in corpus.items():
+        for tok in pre_tokenize_bytelevel(phrase):
+            mapped = "".join(BYTE_ENCODER[b] for b in tok.encode())
+            freqs[mapped] = freqs.get(mapped, 0) + f
+    ranks = {p: i for i, p in enumerate(train(freqs, 30))}
+    syms = encode_bytelevel("hello world", ranks)
+    assert decode_bytelevel(syms) == "hello world"
+    assert len(syms) <= 3  # 'hello' and (space-led) 'world' merged up
+    assert any(s.startswith(sp) for s in syms)  # ' world' kept its space
+    # unseen text still round-trips and falls back toward bytes
+    syms2 = encode_bytelevel("warp", ranks)
+    assert decode_bytelevel(syms2) == "warp"
+
+
+def test_load_merges_file(tmp_path):
+    p = tmp_path / "merges.txt"
+    p.write_text(
+        "#version: 0.2\ne r\nin dow\nĠ w\n", encoding="utf-8"
+    )
+    ranks = load_merges_file(str(p))
+    assert ranks == {("e", "r"): 0, ("in", "dow"): 1, ("Ġ", "w"): 2}
+    # the parsed table drives the generalized encoder directly
+    assert bpe_segments_ranked("er", ranks) == ["er"]
 
 
 @settings(max_examples=150, deadline=None)
