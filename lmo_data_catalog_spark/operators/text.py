@@ -226,6 +226,75 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
 
 
+# --------------------------------------------------- HTML -> text extraction
+#
+# The first stage of every crawl pipeline (r10 verdict ask #6):
+# boilerplate-aware markup-to-text, kept strictly expression-level so
+# it is whole-stage-codegen'd AND oracle-expressible — every regex
+# below is written to the Java-regex ∩ RE2 common subset (inline
+# (?is) flags, lazy quantifiers, NO backreferences — RE2 lacks them,
+# which is why script and style blocks are stripped by two separate
+# patterns instead of one <(script|style)>…</\1>).
+
+#: minimal HTML entity map, decoded after tag stripping; '&amp;' must
+#: decode LAST so '&amp;lt;' yields the literal '&lt;' (standard
+#: single-pass entity semantics)
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+_RE_SCRIPT = r"(?is)<script[^>]*>.*?</script>"
+_RE_STYLE = r"(?is)<style[^>]*>.*?</style>"
+_RE_COMMENT = r"(?s)<!--.*?-->"
+_RE_TAG = r"<[^>]*>"
+_RE_ANCHOR = r"(?is)<a[^>]*>(.*?)</a>"
+
+
+def _decode_entities(c: Column) -> Column:
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def _strip_markup(c: Column) -> Column:
+    """script/style/comment blocks -> ' ', then every tag -> ' ',
+    entity decode, whitespace normalize + trim."""
+    c = F.regexp_replace(c, _RE_SCRIPT, " ")
+    c = F.regexp_replace(c, _RE_STYLE, " ")
+    c = F.regexp_replace(c, _RE_COMMENT, " ")
+    c = F.regexp_replace(c, _RE_TAG, " ")
+    c = _decode_entities(c)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_text(col: Column | str) -> Column:
+    """Visible text of an HTML document: script/style/comments
+    removed, tags stripped, entities decoded, whitespace normalized."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _strip_markup(c)
+
+
+def html_link_density(col: Column | str) -> Column:
+    """Fraction of visible characters that live inside <a> anchors —
+    the classic boilerplate signal (nav bars / ad blocks / footers
+    are link-dense; body prose is not). Definition: stripped anchor
+    inner text length / stripped full text length, both under the
+    same normalization, 0.0 for empty documents."""
+    c = F.col(col) if isinstance(col, str) else col
+    body = _strip_markup(c)
+    anchors = _strip_markup(
+        F.concat_ws(" ", F.regexp_extract_all(c, F.lit(_RE_ANCHOR), F.lit(1)))
+    )
+    return F.when(F.length(body) == 0, F.lit(0.0)).otherwise(
+        F.length(anchors) / F.length(body)
+    )
+
+
 def heavy_hitters_cms(
     df,
     *,
