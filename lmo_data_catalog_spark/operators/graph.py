@@ -360,6 +360,8 @@ def kcore(
     src: str = "src",
     dst: str = "dst",
     canonicalize: bool = False,
+    hub_safe: bool = False,
+    broadcast_drop_limit: int = 5_000_000,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling: repeatedly drop
     nodes whose degree in the SURVIVING subgraph is < k until a
@@ -391,6 +393,21 @@ def kcore(
     typically O(log n) for co-occurrence graphs; at 100 TB the known
     alternative to fewer-round convergence is distributed bin peeling
     — same join shape, coarser rounds.
+
+    ``hub_safe=True`` (r10 verdict ask #5; SCALING §kcore-skew
+    designed it, this ships it) selects the formulation with NO
+    node-keyed exchange of the edge list, for power-law graphs whose
+    hub would otherwise ride one task per level in both the window
+    and the semi-join peel (both measured linear in hub degree —
+    tools/kcore_skew_probe.py): degrees come from a hash aggregate
+    whose map-side partial combine splits the hub count across input
+    partitions, and survivors are filtered by anti-joining the edge
+    list against the per-level DROPPED-node set — broadcast while it
+    has <= ``broadcast_drop_limit`` rows (peeling monotonicity makes
+    it small after level 1), shuffled-anti-join fallback above. Cost:
+    one count action per level (the window peel batches 3), so the
+    default stays the window peel; semantics are identical
+    (exceptAll-proven both ways in tests/test_graph.py).
     """
     if canonicalize:
         edges = (
@@ -412,6 +429,11 @@ def kcore(
             )
         ).alias("__e")
     ).select("__e.u", "__e.v")
+    if hub_safe:
+        return _kcore_hub_safe(
+            und, k=k, max_rounds=max_rounds,
+            broadcast_drop_limit=broadcast_drop_limit,
+        )
     cur = cache.track(und)
     n_edges = cur.count()
 
@@ -491,3 +513,67 @@ def kcore(
         f"kcore did not converge in {max_rounds} rounds "
         f"(still peeling at {n_edges} directed edges)"
     )
+
+
+def _kcore_hub_safe(
+    und: DataFrame, *, k: int, max_rounds: int, broadcast_drop_limit: int
+) -> DataFrame:
+    """kcore peel with no node-keyed edge-list exchange (see the
+    ``hub_safe`` paragraph on :func:`kcore` for the design and the
+    measured motivation). ``und`` is the both-directions frame.
+
+    Per level: (1) degrees via ``groupBy(u)`` — HashAggregate's
+    map-side partials split a hub's count across whatever partitions
+    the edges already sit in, and only (node, partial) rows reach the
+    merge exchange; (2) ``dropped`` = nodes with degree < k,
+    materialized (its count IS the convergence check — 0 dropped
+    means every surviving node has degree >= k, the fixpoint, so no
+    separate edge count or post-loop probe is needed); (3) survivors
+    by anti-joining u then v against ``dropped`` — broadcast when it
+    fits (<= broadcast_drop_limit rows), a shuffled anti join
+    otherwise (level 1 on a sparse graph can drop a large fraction
+    of all nodes; later levels are small by monotonicity). The edge
+    frame itself is never hash-partitioned by node in any stage."""
+    cur = cache.track(und)
+    prev_dropped = None
+    rounds = 0
+    while True:
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("__d"))
+        dropped = cache.register(
+            deg.filter(F.col("__d") < k)
+            .select(F.col("u").alias("__dropped"))
+            .localCheckpoint(eager=False)
+        )
+        # this count ALSO materializes cur's pending localCheckpoint
+        # (first action over it), after which the previous level's
+        # dropped set is no longer referenced by anything lazy
+        n_drop = dropped.count()
+        if prev_dropped is not None:
+            prev_dropped.unpersist()
+        if n_drop == 0:
+            dropped.unpersist()
+            return cur.groupBy(F.col("u").alias("node")).agg(
+                F.count(F.lit(1)).alias("core_degree")
+            )
+        if rounds >= max_rounds:
+            dropped.unpersist()
+            raise RuntimeError(
+                f"kcore did not converge in {max_rounds} rounds "
+                f"(hub_safe; still dropping {n_drop} nodes)"
+            )
+        right = (
+            F.broadcast(dropped)
+            if n_drop <= broadcast_drop_limit
+            else dropped
+        )
+        nxt = (
+            cur.join(right, F.col("u") == F.col("__dropped"), "left_anti")
+            .join(right, F.col("v") == F.col("__dropped"), "left_anti")
+        )
+        # each level references cur twice (the anti-join pair), so
+        # truncate lineage per level like the window peel does
+        nxt = cache.register(nxt.localCheckpoint(eager=False))
+        rounds += 1
+        cur.unpersist()
+        cur = nxt
+        prev_dropped = dropped

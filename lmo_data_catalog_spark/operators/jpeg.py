@@ -11,9 +11,17 @@ Scope — the honest-boundary contract of decode_jpeg_pixels:
   precision, grayscale or 3-component YCbCr, integer-ratio sampling
   factors (4:4:4 / 4:2:2 / 4:2:0 / ...), restart intervals
   (DRI + RSTn), single interleaved scan covering every component.
-- Progressive (SOF2), arithmetic coding (SOF9+), 12-bit precision,
-  hierarchical, CMYK/4-component scans, non-interleaved multi-scan
-  baseline files (SOS listing fewer components than SOF), and
+- SOF2 PROGRESSIVE Huffman (r10 verdict ask #4; T.81 §G.2): spectral
+  selection (per-band AC scans, interleaved or single-component DC
+  scans), successive approximation (DC point transform + bit-plane
+  refinement, AC first + refinement scans with EOB-run coding),
+  table redefinition between scans, restart intervals per scan.
+  Coefficients accumulate per component across scans; dequant +
+  IDCT + assembly run once at the end, through the same tail as
+  baseline.
+- Arithmetic coding (SOF9+), 12-bit precision, hierarchical,
+  CMYK/4-component scans, non-interleaved multi-scan BASELINE files
+  (SOS listing fewer components than SOF in a sequential file), and
   non-integer chroma sampling ratios raise ``NotImplementedError``
   — a loud boundary, never a wrong decode. Grayscale files decode
   with MCU = one block regardless of SOF sampling factors, per
@@ -223,15 +231,17 @@ def decode_jpeg_pixels(payload: bytes):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0xF, tq))
             sof = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC2:  # SOF2 progressive Huffman
+            return _decode_progressive(payload)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             kind = {
-                0xC2: "progressive",
                 0xC9: "arithmetic-coded",
                 0xCA: "progressive arithmetic",
             }.get(marker, f"SOF{marker - 0xC0}")
             raise NotImplementedError(
-                f"{kind} JPEG unsupported (baseline SOF0 only)"
+                f"{kind} JPEG unsupported (baseline SOF0 / "
+                "progressive SOF2 only)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -339,7 +349,12 @@ def decode_jpeg_pixels(payload: bytes):
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
             mcu_count += 1
 
-    # upsample to full geometry, crop padding, level-shift
+    return _planes_to_pixels(planes, comps, hmax, vmax, h, w)
+
+
+def _planes_to_pixels(planes, comps, hmax, vmax, h, w):
+    """Shared decode tail: upsample each component plane to full
+    geometry, crop MCU padding, level-shift, JFIF YCbCr->RGB."""
     full = []
     for cid, hs, vs, _ in comps:
         p = planes[cid]
@@ -355,3 +370,365 @@ def decode_jpeg_pixels(payload: bytes):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(rgb, 0, 255).round().astype(np.uint8)
+
+
+# ------------------------------------------------- progressive (T.81 §G.2)
+
+
+def _find_scan_end(payload: bytes, start: int) -> int:
+    """Index of the first real marker (not stuffing 0xFF00, not
+    RST0-7, not a 0xFF fill byte) after ``start`` — the end of an
+    entropy-coded scan body."""
+    i = start
+    n = len(payload)
+    while i + 1 < n:
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        m = payload[i + 1]
+        if m == 0x00:
+            i += 2
+        elif m == 0xFF:  # fill byte
+            i += 1
+        elif 0xD0 <= m <= 0xD7:
+            i += 2
+        else:
+            return i
+    return n
+
+
+def _refine_nonzero(reader: _BitReader, coefs, ks, ke, bit: int) -> None:
+    """Correction-bit pass over zigzag positions ks..ke: every
+    already-nonzero coefficient reads one bit; a 1-bit adds
+    ±bit toward larger magnitude unless that bit is already set
+    (G.2.2 / F.2.4.3 correction semantics)."""
+    for k in range(ks, ke + 1):
+        c = int(coefs[k])
+        if c != 0 and reader.read_bit() and not (c & bit):
+            coefs[k] = c + (bit if c > 0 else -bit)
+
+
+def _decode_progressive(payload: bytes):
+    """Progressive-Huffman JPEG decode: accumulate per-component
+    zigzag coefficient arrays across every scan (DC/AC, first/
+    refinement, spectral bands), then dequantize + IDCT once.
+
+    Scan semantics implemented from the public spec text:
+
+    - DC first (Ss=0, Ah=0): baseline DIFF coding of DC >> Al
+      (encoder's arithmetic shift), stored << Al; interleaved MCU
+      order when ns > 1, component block order otherwise.
+    - DC refinement (Ah>0): one bit per block, OR'd in at Al
+      (two's-complement OR reconstructs negatives exactly).
+    - AC first (Ss>=1, Ah=0, ns must be 1 per G.1.1.1.1): baseline
+      run/size within [Ss, Se] at scale Al, plus EOBn symbols
+      (s=0, r<15): EOBRUN = 2^r - 1 + next r bits of blocks whose
+      band is entirely zero at this scale.
+    - AC refinement (Ah>0): newly significant coefficients arrive as
+      s=1 symbols (±1 << Al after a run of r zero-HISTORY positions);
+      every already-nonzero coefficient crossed contributes one
+      correction bit; EOB runs carry correction bits for the
+      remaining nonzero coefficients of each covered block.
+    - DQT/DHT/DRI may be redefined between scans; restart markers
+      reset DC predictors and the EOB run per segment.
+    """
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
+    restart_interval = 0
+    coefs = None  # cid -> (BY, BX, 64) int64, zigzag order
+    geom = None
+    n_scans = 0
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise NotImplementedError(f"bad marker alignment at {i}")
+        while payload[i + 1] == 0xFF and i + 2 < n:
+            i += 1
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        body = payload[i + 4 : i + 2 + ln]
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0xF
+                if pq == 0:
+                    qt[tq] = np.frombuffer(
+                        body[j + 1 : j + 65], np.uint8
+                    ).astype(np.int32)
+                    j += 65
+                else:
+                    qt[tq] = np.frombuffer(
+                        body[j + 1 : j + 129], ">u2"
+                    ).astype(np.int32)
+                    j += 129
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0xF
+                counts = list(body[j + 1 : j + 17])
+                nsym = sum(counts)
+                huff[(tc, th)] = _HuffTable(
+                    counts, list(body[j + 17 : j + 17 + nsym])
+                )
+                j += 17 + nsym
+        elif marker == 0xC2:
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(
+                    f"JPEG precision {prec} unsupported (8 only)"
+                )
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"{nc}-component JPEG unsupported (gray/YCbCr only)"
+                )
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
+            if nc == 1:
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for cid, hs, vs, _ in comps:
+                if hmax % hs or vmax % vs:
+                    raise NotImplementedError(
+                        f"non-integer chroma sampling ratio for "
+                        f"component {cid}: {hs}x{vs} vs {hmax}x{vmax}"
+                    )
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            coefs = {
+                cid: np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
+                for cid, hs, vs, _ in comps
+            }
+            geom = (h, w, comps, hmax, vmax, mcux, mcuy)
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            if geom is None:
+                raise NotImplementedError("JPEG SOS before SOF2")
+            h, w, comps, hmax, vmax, mcux, mcuy = geom
+            ns = body[0]
+            scan_comps = [
+                (body[1 + 2 * c], body[2 + 2 * c] >> 4,
+                 body[2 + 2 * c] & 0xF)
+                for c in range(ns)
+            ]
+            ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            scan_end = _find_scan_end(payload, i + 2 + ln)
+            _progressive_scan(
+                payload[i + 2 + ln : scan_end], scan_comps,
+                ss, se, ah, al, comps, coefs, huff,
+                restart_interval, hmax, vmax, mcux, mcuy, h, w,
+            )
+            i = scan_end
+            continue
+        i += 2 + ln
+    if geom is None or coefs is None:
+        raise NotImplementedError("progressive JPEG without SOF2 scans")
+    h, w, comps, hmax, vmax, mcux, mcuy = geom
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        zz = coefs[cid] * qt[tq][None, None, :]
+        blocks = np.zeros_like(zz, dtype=np.float64)
+        blocks[..., ZIGZAG] = zz
+        by, bx = blocks.shape[:2]
+        spatial = np.einsum(
+            "ui,abuv,vj->abij", _C, blocks.reshape(by, bx, 8, 8), _C
+        )
+        planes[cid] = (
+            spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+    return _planes_to_pixels(planes, comps, hmax, vmax, h, w)
+
+
+def _progressive_scan(
+    scan, scan_comps, ss, se, ah, al, comps, coefs, huff,
+    restart_interval, hmax, vmax, mcux, mcuy, h, w,
+):
+    """Apply ONE progressive scan to the coefficient store."""
+    by_id = {c[0]: c for c in comps}
+    segs = _destuff(scan)
+    seg_idx = 0
+    reader = _BitReader(segs[0])
+    if ss == 0:
+        # ---------------- DC scan (first or refinement) --------------
+        if se != 0:
+            raise NotImplementedError(
+                "progressive scan mixes DC and AC (Ss=0, Se>0)"
+            )
+        order = [c[0] for c in scan_comps]
+        pred = dict.fromkeys(order, 0)
+        dc_tbl = {
+            cid: (huff[(0, td)] if ah == 0 else None)
+            for cid, td, _ in scan_comps
+        }
+        interleaved = len(scan_comps) > 1
+        if interleaved:
+            units = [
+                (cid, by_id[cid][1], by_id[cid][2]) for cid in order
+            ]
+            mcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if (
+                        restart_interval
+                        and mcu
+                        and mcu % restart_interval == 0
+                    ):
+                        seg_idx += 1
+                        if seg_idx >= len(segs):
+                            raise NotImplementedError(
+                                "missing JPEG restart segment"
+                            )
+                        reader = _BitReader(segs[seg_idx])
+                        pred = dict.fromkeys(order, 0)
+                    for cid, hs, vs in units:
+                        for byy in range(vs):
+                            for bxx in range(hs):
+                                blk = coefs[cid][my * vs + byy,
+                                                 mx * hs + bxx]
+                                _dc_unit(
+                                    reader, blk, dc_tbl[cid],
+                                    pred, cid, ah, al,
+                                )
+                    mcu += 1
+        else:
+            cid, hs, vs, _tq = by_id[scan_comps[0][0]]
+            comp_w = -(-(w * hs) // hmax)
+            comp_h = -(-(h * vs) // vmax)
+            cw = -(-comp_w // 8)
+            ch = -(-comp_h // 8)
+            unit = 0
+            for byy in range(ch):
+                for bxx in range(cw):
+                    if (
+                        restart_interval
+                        and unit
+                        and unit % restart_interval == 0
+                    ):
+                        seg_idx += 1
+                        if seg_idx >= len(segs):
+                            raise NotImplementedError(
+                                "missing JPEG restart segment"
+                            )
+                        reader = _BitReader(segs[seg_idx])
+                        pred = dict.fromkeys(order, 0)
+                    _dc_unit(
+                        reader, coefs[cid][byy, bxx],
+                        dc_tbl[cid], pred, cid, ah, al,
+                    )
+                    unit += 1
+        return
+    # ------------------- AC scan (first or refinement) ---------------
+    if len(scan_comps) != 1:
+        raise NotImplementedError(
+            "progressive AC scan must be single-component (G.1.1.1.1)"
+        )
+    cid, _td, ta = scan_comps[0]
+    _cid, hs, vs, _tq = by_id[cid]
+    ac = huff[(1, ta)]
+    comp_w = -(-(w * hs) // hmax)
+    comp_h = -(-(h * vs) // vmax)
+    cw = -(-comp_w // 8)
+    ch = -(-comp_h // 8)
+    eobrun = 0
+    bit = 1 << al
+    unit = 0
+    for byy in range(ch):
+        for bxx in range(cw):
+            if (
+                restart_interval
+                and unit
+                and unit % restart_interval == 0
+            ):
+                seg_idx += 1
+                if seg_idx >= len(segs):
+                    raise NotImplementedError(
+                        "missing JPEG restart segment"
+                    )
+                reader = _BitReader(segs[seg_idx])
+                eobrun = 0
+            blk = coefs[cid][byy, bxx]
+            if ah == 0:
+                if eobrun > 0:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        rs = reader.decode_symbol(ac)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise NotImplementedError(
+                                "JPEG AC run past band end"
+                            )
+                        blk[k] = _extend(reader.read_bits(s), s) << al
+                        k += 1
+            else:
+                if eobrun > 0:
+                    eobrun -= 1
+                    _refine_nonzero(reader, blk, ss, se, bit)
+                else:
+                    k = ss
+                    while k <= se:
+                        rs = reader.decode_symbol(ac)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r < 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                _refine_nonzero(reader, blk, k, se, bit)
+                                k = se + 1
+                                break
+                            newval = 0  # ZRL: 16 zero-history skips
+                        elif s == 1:
+                            newval = bit if reader.read_bit() else -bit
+                        else:
+                            raise NotImplementedError(
+                                "invalid JPEG AC refinement size"
+                            )
+                        while k <= se:
+                            c = int(blk[k])
+                            if c != 0:
+                                if reader.read_bit() and not (c & bit):
+                                    blk[k] = c + (
+                                        bit if c > 0 else -bit
+                                    )
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if s and k <= se:
+                            blk[k] = newval
+                        k += 1
+            unit += 1
+
+
+def _dc_unit(reader, blk, dc_table, pred, cid, ah, al):
+    """One DC data unit: first-scan DIFF decode at scale Al, or a
+    single refinement bit OR'd in (two's-complement correct for
+    negative coefficients)."""
+    if ah == 0:
+        t = reader.decode_symbol(dc_table)
+        if t > 15:
+            raise NotImplementedError(f"invalid JPEG DC category {t}")
+        pred[cid] += _extend(reader.read_bits(t), t)
+        blk[0] = pred[cid] << al
+    else:
+        if reader.read_bit():
+            blk[0] = int(blk[0]) | (1 << al)

@@ -283,3 +283,64 @@ def test_kcore_canonicalize_handles_dirty_edges(spark):
     # sanity: the raw dirty frame would inflate degrees past 4
     raw = {r.core_degree for r in kcore(df, k=4).collect()}
     assert max(raw) > 4
+
+
+def test_kcore_hub_safe_matches_window_peel(spark):
+    """hub_safe=True (no node-keyed edge exchange) must be
+    semantically IDENTICAL to the default window peel — exceptAll
+    zero both ways on: the K5+tail graph, a hubbed star+clique graph
+    (the regime the option exists for), and an everything-peels
+    graph; plus the shuffled-anti-join fallback path forced via
+    broadcast_drop_limit=0."""
+    from lmo_data_catalog_spark.operators.graph import kcore
+
+    k5_tail = [
+        (1, 2), (1, 3), (1, 4), (1, 5), (2, 3), (2, 4), (2, 5),
+        (3, 4), (3, 5), (4, 5), (5, 6), (6, 7), (7, 8), (7, 9), (8, 9),
+    ]
+    # hub 0 spokes to 20 leaves (hub degree 20, leaves degree 1) plus
+    # a K4 core at 30-33: at k=3 the spokes cascade and take the hub
+    # with them, leaving only the K4
+    hubbed = [(0, i) for i in range(1, 21)] + [
+        (30, 31), (30, 32), (30, 33), (31, 32), (31, 33), (32, 33)
+    ]
+    path = [(i, i + 1) for i in range(1, 8)]
+
+    for edges in (k5_tail, hubbed, path):
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        base = kcore(df, k=3, max_rounds=12)
+        for kwargs in (
+            {"hub_safe": True},
+            {"hub_safe": True, "broadcast_drop_limit": 0},
+        ):
+            got = kcore(df, k=3, max_rounds=12, **kwargs)
+            assert got.exceptAll(base).count() == 0
+            assert base.exceptAll(got).count() == 0
+
+    # hubbed graph: pin the actual core too, not just equivalence
+    df = spark.createDataFrame(hubbed, ["src", "dst"])
+    got = {
+        (r.node, r.core_degree)
+        for r in kcore(df, k=3, hub_safe=True).collect()
+    }
+    assert got == {(30, 3), (31, 3), (32, 3), (33, 3)}
+
+
+def test_kcore_hub_safe_budget_semantics(spark):
+    """hub_safe honors max_rounds the same way the window peel does:
+    a graph converging exactly at the budget returns; a cascade that
+    needs more levels raises."""
+    import pytest as _pytest
+
+    from lmo_data_catalog_spark.operators.graph import kcore
+
+    edges = [(i, j) for i in range(1, 6) for j in range(i + 1, 6)]
+    edges += [(5, 6), (6, 7), (7, 8), (7, 9), (8, 9)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    assert kcore(df, k=3, max_rounds=1, hub_safe=True).count() == 5
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["src", "dst"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        kcore(path, k=2, max_rounds=1, hub_safe=True).count()

@@ -194,12 +194,26 @@ def main() -> None:
     print(f"agg-join kcore:    {wall_j:.2f}s, core nodes {n_core_j}")
     print("  heaviest join stage:  ", stats_j)
 
+    # --- hub-safe peel (r11: shipped kcore(hub_safe=True)) ------------
+    before = _stage_ids(spark)
+    t0 = time.time()
+    core_h = kcore(edges, k=3, max_rounds=30, hub_safe=True)
+    n_core_h = core_h.count()
+    wall_h = time.time() - t0
+    stats_h = heaviest_new_stage_stats(spark, before)
+    print(f"hub-safe kcore:    {wall_h:.2f}s, core nodes {n_core_h}")
+    print("  heaviest shuffle stage:", stats_h)
+
     # semantics must agree
     diff = (
         core_w.exceptAll(core_j).count()
         + core_j.exceptAll(core_w).count()
     )
-    print("semantic diff rows:", diff)
+    diff_h = (
+        core_w.exceptAll(core_h).count()
+        + core_h.exceptAll(core_w).count()
+    )
+    print("semantic diff rows (join):", diff, " (hub_safe):", diff_h)
     spark.stop()
 
 
