@@ -525,10 +525,11 @@ def _decode_progressive(payload: bytes):
                 ss, se, ah, al, comps, coefs, huff,
                 restart_interval, hmax, vmax, mcux, mcuy, h, w,
             )
+            n_scans += 1
             i = scan_end
             continue
         i += 2 + ln
-    if geom is None or coefs is None:
+    if geom is None or coefs is None or n_scans == 0:
         raise NotImplementedError("progressive JPEG without SOF2 scans")
     h, w, comps, hmax, vmax, mcux, mcuy = geom
     planes = {}

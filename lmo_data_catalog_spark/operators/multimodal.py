@@ -15,16 +15,18 @@ too (:func:`decode_wav_pcm`: manual RIFF chunk walk, integer PCM
 compressed formats raise), surfaced as :func:`wav_audio_stats`
 (per-channel RMS/peak — tests/test_wav_decode.py pins sine-wave
 RMS = A/√2 analytically). JPEG PIXEL decode is real as well
-(operators/jpeg.py::decode_jpeg_pixels: baseline SOF0 Huffman +
-dequant + IDCT + chroma upsampling + YCbCr→RGB, restart intervals,
-round-tripped against an independent encoder in
-tests/test_jpeg_decode.py), surfaced as :func:`jpeg_pixel_stats`.
+(operators/jpeg.py::decode_jpeg_pixels: baseline SOF0 AND
+progressive SOF2 Huffman — spectral selection + successive
+approximation per T.81 §G.2 — dequant + IDCT + chroma upsampling +
+YCbCr→RGB, restart intervals, round-tripped against independent
+encoders in tests/test_jpeg_decode.py / test_jpeg_progressive.py),
+surfaced as :func:`jpeg_pixel_stats`.
 Payloads that are not a recognized container (e.g. the text-derived
 fixture payloads) fall back to a deterministic fake keyed on byte
 length in the meta kernels, and pixel decode of the REMAINING shapes
-(progressive/arithmetic JPEG, 16-bit/interlaced PNG) stays
-gated on a codec library that is not in this container — strict
-kernels raise rather than fake.
+(arithmetic-coded JPEG, 12-bit/hierarchical JPEG, 16-bit/interlaced
+PNG) stays gated on a codec library that is not in this container —
+strict kernels raise rather than fake.
 What is also real and tested: the binary column representation, the
 mapInPandas signature, Arrow batch shapes, output schema, and
 partition behavior — the parts that matter for Spark at scale.
@@ -425,12 +427,13 @@ def png_pixel_stats(
 def jpeg_pixel_stats(
     df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """Per-image pixel statistics from REAL baseline-JPEG decode
-    (:func:`..jpeg.decode_jpeg_pixels` — Huffman + dequant + IDCT +
-    chroma upsampling + YCbCr->RGB) via mapInPandas; the JPEG
-    counterpart of :func:`png_pixel_stats` and the same strict
-    contract: progressive/arithmetic/non-JPEG payloads raise rather
-    than faking (a wrong IDCT or upsample shifts every mean)."""
+    """Per-image pixel statistics from REAL JPEG decode — baseline
+    SOF0 or progressive SOF2 (:func:`..jpeg.decode_jpeg_pixels` —
+    Huffman + dequant + IDCT + chroma upsampling + YCbCr->RGB) via
+    mapInPandas; the JPEG counterpart of :func:`png_pixel_stats` and
+    the same strict contract: arithmetic-coded/12-bit/non-JPEG
+    payloads raise rather than faking (a wrong IDCT or upsample
+    shifts every mean)."""
     import pandas as pd
 
     from .jpeg import decode_jpeg_pixels

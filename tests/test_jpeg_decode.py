@@ -132,11 +132,10 @@ def _pad_to(img: np.ndarray, my: int, mx: int) -> np.ndarray:
     return np.pad(img, ((0, my - h), (0, mx - w)), mode="edge")
 
 
-def encode_jpeg(
-    rgb: np.ndarray, *, subsample: bool = False, restart: int = 0
-) -> bytes:
-    """Minimal baseline JFIF encoder: grayscale (h, w) or RGB
-    (h, w, 3), 4:4:4 or (``subsample``) 4:2:0, optional DRI/RSTn."""
+def _prep_planes(rgb: np.ndarray, subsample: bool):
+    """Shared encoder front end: level-shifted (and for color,
+    YCbCr-converted, optionally 4:2:0-subsampled) planes padded to
+    the MCU grid, plus sampling/table/geometry metadata."""
     gray = rgb.ndim == 2
     h, w = rgb.shape[:2]
     if gray:
@@ -167,6 +166,17 @@ def encode_jpeg(
         _pad_to(p, mcuy * 8 * vs, mcux * 8 * hs)
         for p, (hs, vs) in zip(planes, samp)
     ]
+    return padded, samp, qts, hmax, vmax, mcux, mcuy, h, w, gray
+
+
+def encode_jpeg(
+    rgb: np.ndarray, *, subsample: bool = False, restart: int = 0
+) -> bytes:
+    """Minimal baseline JFIF encoder: grayscale (h, w) or RGB
+    (h, w, 3), 4:4:4 or (``subsample``) 4:2:0, optional DRI/RSTn."""
+    (padded, samp, qts, hmax, vmax, mcux, mcuy, h, w, gray) = _prep_planes(
+        rgb, subsample
+    )
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _dqt(0, QL)
@@ -278,14 +288,28 @@ def test_restart_intervals_match_unrestarted_decode():
     assert (plain == restarted).all()
 
 
-def test_progressive_raises():
+def test_scanless_progressive_raises():
+    """SOF2 now routes to the progressive decoder
+    (test_jpeg_progressive.py); a progressive stream with no scan
+    data must still raise loudly, not return zeros."""
     body = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
     payload = (
         b"\xff\xd8"
         + struct.pack(">BBH", 0xFF, 0xC2, len(body) + 2)
         + body
     )
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(NotImplementedError, match="without SOF2 scans"):
+        decode_jpeg_pixels(payload)
+
+
+def test_progressive_arithmetic_raises():
+    body = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    payload = (
+        b"\xff\xd8"
+        + struct.pack(">BBH", 0xFF, 0xCA, len(body) + 2)
+        + body
+    )
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg_pixels(payload)
 
 
