@@ -1,63 +1,65 @@
 """Pin tools/verify_sample.py's selection contract (r9 verdict ask
-#7): the seeded draw must exhaust NEVER-driver-sampled queries (those
-absent from every CORRECTNESS_r*.json) before topping up from the
-driver-seen set, deterministically per round number.
+#7, tightened r11): the seeded draw must exhaust queries that are
+BOTH never-driver-sampled (absent from every CORRECTNESS_r*.json)
+AND never locally audited (absent from tools/sample_audit_log.json)
+first, then re-audit the remaining never-driver-sampled, then top up
+from the driver-seen set — deterministically per round number. The
+test imports the ACTUAL selection function (r10 ADVICE: a pinned
+re-implementation would not catch a regression in the tool).
 """
 
 from __future__ import annotations
 
-import glob
-import json
-import random
+import os
+import sys
 
 from lmo_data_catalog_spark.registry import REGISTRY
 
-ROOT = "/root/repo"
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(ROOT, "tools"))
+
+from verify_sample import (  # noqa: E402
+    audited_names,
+    driver_seen_names,
+    select_sample,
+)
 
 
-def select(round_no: int, n_sample: int, names, driver_seen):
-    """The exact selection arithmetic of tools/verify_sample.py."""
-    never = sorted(n for n in names if n not in driver_seen)
-    seen = sorted(n for n in names if n in driver_seen)
-    rng = random.Random(round_no)
-    take = min(n_sample, len(names))
-    from_never = rng.sample(never, min(take, len(never)))
-    from_seen = rng.sample(seen, min(take - len(from_never), len(seen)))
-    return from_never, from_seen
-
-
-def _driver_seen():
-    seen = set()
-    for path in glob.glob(f"{ROOT}/CORRECTNESS_r*.json"):
-        seen.update(json.load(open(path)))
-    return seen
-
-
-def test_bias_exhausts_never_sampled_first():
+def test_bias_exhausts_fresh_blind_spot_first():
     names = sorted(REGISTRY)
-    seen = _driver_seen()
-    never = [n for n in names if n not in seen]
-    from_never, from_seen = select(10, 30, names, seen)
-    # while the never-sampled pool exceeds the draw, the draw is
-    # 100% never-sampled
-    assert len(never) > 30
-    assert len(from_never) == 30 and not from_seen
-    assert all(n not in seen for n in from_never)
+    seen = driver_seen_names()
+    audited = audited_names()
+    fresh_pool = [n for n in names if n not in seen and n not in audited]
+    fresh, stale, topup = select_sample(11, 30, names, seen, audited)
+    # while the fresh pool exceeds the draw, the draw is 100% fresh
+    assert len(fresh_pool) > 30
+    assert len(fresh) == 30 and not stale and not topup
+    assert all(n not in seen and n not in audited for n in fresh)
 
 
-def test_top_up_from_seen_when_never_pool_small():
+def test_tier_order_fresh_then_stale_then_seen():
     names = [f"q{i}" for i in range(10)]
-    seen = set(names[:7])  # only 3 never-sampled
-    from_never, from_seen = select(5, 5, names, seen)
-    assert sorted(from_never) == ["q7", "q8", "q9"]
-    assert len(from_seen) == 2 and all(n in seen for n in from_seen)
+    seen = set(names[:5])          # q0-q4 driver-seen
+    audited = {"q5", "q6"}         # q5,q6 audited before
+    fresh, stale, topup = select_sample(3, 6, names, seen, audited)
+    assert sorted(fresh) == ["q7", "q8", "q9"]   # all 3 fresh first
+    assert sorted(stale) == ["q5", "q6"]          # then both stale
+    assert len(topup) == 1 and topup[0] in seen   # then seen filler
 
 
 def test_selection_is_deterministic_per_round():
     names = sorted(REGISTRY)
-    seen = _driver_seen()
-    a = select(11, 30, names, seen)
-    b = select(11, 30, names, seen)
+    seen = driver_seen_names()
+    audited = audited_names()
+    a = select_sample(11, 30, names, seen, audited)
+    b = select_sample(11, 30, names, seen, audited)
     assert a == b
-    c = select(12, 30, names, seen)
+    c = select_sample(12, 30, names, seen, audited)
     assert a != c  # different round, different draw
+
+
+def test_audit_log_names_are_registry_names():
+    """The committed log must not drift from the registry (renamed or
+    deleted queries would silently shrink the stale tier)."""
+    unknown = audited_names() - set(REGISTRY)
+    assert not unknown, f"audit log references unknown queries: {unknown}"

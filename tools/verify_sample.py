@@ -8,13 +8,16 @@ sample of registry queries and re-runs each one in its OWN subprocess
 (fresh JVM, fresh SparkSession, nothing warmed) through
 ``tools/verify_local.py``, recording PASS/FAIL to VERIFY_SAMPLE.md.
 
-Selection (r9 verdict ask #7): the draw is BIASED toward queries the
-driver has NEVER sampled — the union of CORRECTNESS_r*.json keys is
-the driver-green set, and whatever differs between verify_local and
-the driver's actual hash (the gap that hid fk_integrity_audit for a
-round) can only surface on the complement. Never-driver-sampled
-queries are exhausted first (seeded sample), then the remainder tops
-up from the driver-seen set. Seed = round number for determinism.
+Selection (r9 verdict ask #7, tightened r11): priority order is
+(1) never driver-sampled AND never locally audited — the true blind
+spot shrinks every round; (2) never driver-sampled but audited in an
+earlier round (re-audit); (3) driver-seen top-up. Driver-seen = the
+union of CORRECTNESS_r*.json keys; locally-audited = the union of
+``tools/sample_audit_log.json`` (this tool appends its own draw per
+round, so exhaustion is cumulative across rounds, not per-round
+luck). Seed = round number for determinism. The selection lives in
+:func:`select_sample` so tests/test_verify_sample_selection.py pins
+the ACTUAL arithmetic, not a copy (r10 ADVICE).
 
 Usage: python tools/verify_sample.py ROUND [n_sample] [sf_dir]
 """
@@ -32,6 +35,64 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+AUDIT_LOG = os.path.join(ROOT, "tools", "sample_audit_log.json")
+
+
+def driver_seen_names() -> set[str]:
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
+        try:
+            seen.update(json.load(open(path)))
+        except Exception:
+            pass
+    return seen
+
+
+def audited_names() -> set[str]:
+    try:
+        log = json.load(open(AUDIT_LOG))
+    except Exception:
+        return set()
+    return {n for names in log.values() for n in names}
+
+
+def record_audit(round_no: int, names: list[str]) -> None:
+    try:
+        log = json.load(open(AUDIT_LOG))
+    except Exception:
+        log = {}
+    log[str(round_no)] = sorted(names)
+    with open(AUDIT_LOG, "w") as fh:
+        json.dump(log, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+
+def select_sample(
+    round_no: int,
+    n_sample: int,
+    names,
+    driver_seen,
+    audited=frozenset(),
+) -> tuple[list[str], list[str], list[str]]:
+    """The selection arithmetic (imported by the pinning test):
+    returns (fresh, stale, seen_topup) where fresh = never driver-
+    sampled AND never locally audited, stale = never driver-sampled
+    but audited before, seen_topup = driver-seen filler. Each tier is
+    a seeded sample of its sorted pool; seed = round number."""
+    never = sorted(n for n in names if n not in driver_seen)
+    fresh_pool = [n for n in never if n not in audited]
+    stale_pool = [n for n in never if n in audited]
+    seen_pool = sorted(n for n in names if n in driver_seen)
+    rng = random.Random(round_no)
+    take = min(n_sample, len(names))
+    fresh = rng.sample(fresh_pool, min(take, len(fresh_pool)))
+    stale = rng.sample(
+        stale_pool, min(take - len(fresh), len(stale_pool))
+    )
+    seen = rng.sample(
+        seen_pool, min(take - len(fresh) - len(stale), len(seen_pool))
+    )
+    return fresh, stale, seen
 
 
 def main() -> int:
@@ -45,23 +106,18 @@ def main() -> int:
     import __spark_entry__ as entry
 
     names = sorted(entry.queries())
-    driver_seen = set()
-    for path in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
-        try:
-            driver_seen.update(json.load(open(path)))
-        except Exception:
-            pass
-    never = sorted(n for n in names if n not in driver_seen)
-    seen = sorted(n for n in names if n in driver_seen)
-    rng = random.Random(round_no)
-    take = min(n_sample, len(names))
-    from_never = rng.sample(never, min(take, len(never)))
-    from_seen = rng.sample(seen, min(take - len(from_never), len(seen)))
-    sample = sorted(from_never + from_seen)
+    driver_seen = driver_seen_names()
+    audited = audited_names()
+    n_never = sum(1 for n in names if n not in driver_seen)
+    fresh, stale, seen = select_sample(
+        round_no, n_sample, names, driver_seen, audited
+    )
+    sample = sorted(fresh + stale + seen)
     print(
-        f"sampling {len(sample)} queries: {len(from_never)} "
-        f"never-driver-sampled (of {len(never)}), {len(from_seen)} "
-        f"driver-seen top-up"
+        f"sampling {len(sample)} queries: {len(fresh)} never-driver-"
+        f"sampled AND never-audited (of {n_never} never-driver-sampled,"
+        f" {len(audited)} audited in past rounds), {len(stale)} "
+        f"re-audits, {len(seen)} driver-seen top-up"
     )
 
     results = []
@@ -97,14 +153,16 @@ def main() -> int:
             print(proc.stderr[-2000:])
 
     n_ok = sum(1 for _, ok, _, _ in results if ok)
+    record_audit(round_no, sample)
     lines = [
         "# VERIFY_SAMPLE — isolated-run audit",
         "",
         f"Round {round_no}: {len(results)} registry queries drawn with",
-        f"seed = round number ({round_no}), biased toward",
-        f"never-driver-sampled queries ({len(from_never)} of the",
-        f"{len(never)} absent from every CORRECTNESS_r*.json, plus",
-        f"{len(from_seen)} driver-seen top-up),",
+        f"seed = round number ({round_no}), tiered toward the blind",
+        f"spot: {len(fresh)} never-driver-sampled AND never locally",
+        f"audited (cumulative audit log: tools/sample_audit_log.json,",
+        f"{len(audited)} names before this round), {len(stale)}",
+        f"re-audits, {len(seen)} driver-seen top-up;",
         "each re-run in its OWN subprocess",
         "(fresh JVM + SparkSession, no warmed caches) against the DuckDB",
         f"oracle at `{sf_dir}` via `tools/verify_local.py`.",
