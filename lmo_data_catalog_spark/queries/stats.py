@@ -1083,6 +1083,47 @@ def kcore_parts_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(edges, k=18, max_rounds=12).orderBy("node")
 
 
+@query(
+    "kcore_parts_graph_hubsafe",
+    oracle=_kcore_oracle_sql(k=18, rounds=12),
+    tags=("graph", "kcore", "iterative", "skew"),
+)
+def kcore_parts_graph_hubsafe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``kcore_parts_graph`` through the hub-safe peel
+    (operators/graph.py::kcore ``hub_safe=True``, r10 verdict ask #5)
+    — identical output by the same unrolled oracle, different
+    physical shape: degrees via map-side-partial hash aggregate and
+    survivor filtering via anti-join against the broadcast per-level
+    DROPPED set, so NO stage hash-partitions the edge list by node.
+    The formulation for power-law hubs: measured flat (~10 s) from 4M
+    to 16M hub edges while the default window peel grows linearly
+    (SCALING §kcore hub-safe, tools/kcore_skew_probe.py). On this
+    unskewed co-purchase graph it pays one count action per level vs
+    the window peel's one per three — both registered so the
+    differential pins BOTH formulations against the same oracle."""
+    from ..operators.graph import kcore
+
+    li = (
+        Catalog(spark, sf_dir)
+        .lineitem.filter(F.col("l_quantity") >= 25)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.toDF("l_orderkey", "u")
+    b = li.toDF("l_orderkey", "v")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .distinct()
+    )
+    return kcore(
+        edges, k=18, max_rounds=12, hub_safe=True
+    ).orderBy("node")
+
+
 def _pr_dangling_round(i: int) -> str:
     """One unrolled round of dangling-aware PageRank as CTE text —
     float order pinned to operators/graph.py::_pr_round: divide per
