@@ -150,6 +150,19 @@ def main() -> None:
         "salted query's own 3 isolated runs spread 2.8/5.1/4.1 s under",
         "a neighbor burst; the BEST is the engine number).",
         "",
+        "## Round-11 additions: what the 3 new suite rows cost",
+        "",
+        "The registry grew 193 → 196: `dup_substring_runs_fp` (md5",
+        "gram-fingerprint substring dedup — 1.72x narrower gram shuffle",
+        "than the exact-string sibling, measured via REST stage metrics",
+        "in tools/substr_fp_probe.py), `html_text_extract` (map-only",
+        "0-exchange HTML→text + link-density gate), and",
+        "`kcore_parts_graph_hubsafe` (the hub-safe peel: one count",
+        "action per level by design — expected several seconds slower",
+        "than `kcore_parts_graph` HERE, on an unskewed graph; its win",
+        "is flat wall under power-law hubs where the window peel grows",
+        "linearly — SCALING §kcore hub-safe, 4M→16M-hub probe).",
+        "",
     ]
     with open(os.path.join(ROOT, "BENCH.md"), "w") as fh:
         fh.write("\n".join(lines))
