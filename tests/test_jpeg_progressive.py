@@ -73,12 +73,46 @@ def _sos_header(comps: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
     return _seg(0xDA, body)
 
 
-def _dc_first_scan(coeffs, order, samp, mcux, mcuy, al) -> bytes:
-    """Interleaved DC first scan: DIFF coding of coef0 >> al."""
-    bw = _BitWriter()
+class _ScanWriter:
+    """Bit writer with RSTn segmentation: ``start_unit`` mirrors the
+    decoder's restart check (BEFORE unit ``i`` when i > 0 and
+    i % restart == 0), so no trailing marker is ever emitted; returns
+    True when a restart fired so DC predictors can reset."""
+
+    def __init__(self, restart: int = 0):
+        self.restart = restart
+        self.bw = _BitWriter()
+        self.buf = bytearray()
+        self.unit = 0
+        self.rst = 0
+
+    def start_unit(self) -> bool:
+        fired = False
+        if self.restart and self.unit and self.unit % self.restart == 0:
+            self.bw.flush()
+            self.buf += self.bw.out
+            self.buf += bytes([0xFF, 0xD0 + self.rst])
+            self.rst = (self.rst + 1) % 8
+            self.bw = _BitWriter()
+            fired = True
+        self.unit += 1
+        return fired
+
+    def finish(self) -> bytes:
+        self.bw.flush()
+        self.buf += self.bw.out
+        return bytes(self.buf)
+
+
+def _dc_first_scan(coeffs, order, samp, mcux, mcuy, al, restart=0) -> bytes:
+    """Interleaved DC first scan: DIFF coding of coef0 >> al
+    (restart granularity = MCU)."""
+    sw = _ScanWriter(restart)
     pred = dict.fromkeys(order, 0)
     for my in range(mcuy):
         for mx in range(mcux):
+            if sw.start_unit():
+                pred = dict.fromkeys(order, 0)
             for ci, cid in enumerate(order):
                 hs, vs = samp[ci]
                 for by in range(vs):
@@ -88,34 +122,36 @@ def _dc_first_scan(coeffs, order, samp, mcux, mcuy, al) -> bytes:
                         diff = sv - pred[cid]
                         pred[cid] = sv
                         s, bits = _mag(diff)
-                        _wsym(bw, DC_CODES, s)
+                        _wsym(sw.bw, DC_CODES, s)
                         if s:
-                            bw.write(bits, s)
-    bw.flush()
-    return bytes(bw.out)
+                            sw.bw.write(bits, s)
+    return sw.finish()
 
 
-def _dc_refine_scan(coeffs, order, samp, mcux, mcuy, al) -> bytes:
+def _dc_refine_scan(coeffs, order, samp, mcux, mcuy, al, restart=0) -> bytes:
     """DC refinement: one bit per block — bit al of the two's
     complement coefficient (matches the decoder's OR-in)."""
-    bw = _BitWriter()
+    sw = _ScanWriter(restart)
     for my in range(mcuy):
         for mx in range(mcux):
+            sw.start_unit()
             for ci, cid in enumerate(order):
                 hs, vs = samp[ci]
                 for by in range(vs):
                     for bx in range(hs):
                         v = int(coeffs[cid][my * vs + by, mx * hs + bx, 0])
-                        bw.write((v >> al) & 1, 1)
-    bw.flush()
-    return bytes(bw.out)
+                        sw.bw.write((v >> al) & 1, 1)
+    return sw.finish()
 
 
-def _ac_first_scan(blocks, ss, se, al) -> bytes:
+def _ac_first_scan(blocks, ss, se, al, restart=0) -> bytes:
     """Single-component AC first scan over band [ss, se] at scale al
-    (per-block EOB — symbol 0x00 — no cross-block EOB runs)."""
-    bw = _BitWriter()
+    (per-block EOB — symbol 0x00 — no cross-block EOB runs; restart
+    granularity = data unit per T.81 non-interleaved scans)."""
+    sw = _ScanWriter(restart)
     for zz in blocks:
+        sw.start_unit()
+        bw = sw.bw
         run = 0
         for k in range(ss, se + 1):
             v = int(zz[k])
@@ -132,19 +168,20 @@ def _ac_first_scan(blocks, ss, se, al) -> bytes:
             run = 0
         if run:
             _wsym(bw, AC_CODES, 0x00)
-    bw.flush()
-    return bytes(bw.out)
+    return sw.finish()
 
 
-def _ac_refine_scan(blocks, ss, se, al) -> bytes:
+def _ac_refine_scan(blocks, ss, se, al, restart=0) -> bytes:
     """Single-component AC refinement scan (G.1.2.3): newly
     significant coefficients as (zero-history-run << 4) | 1 symbols
     with a sign bit; one correction bit per already-nonzero
     coefficient, emitted in the decoder's crossing order — with each
     ZRL, only the bits for history positions up to its 16th
     zero-history skip; the rest ride with the next symbol."""
-    bw = _BitWriter()
+    sw = _ScanWriter(restart)
     for zz in blocks:
+        sw.start_unit()
+        bw = sw.bw
         hist = [abs(int(zz[k])) >> (al + 1) for k in range(64)]
         cur = [abs(int(zz[k])) >> al for k in range(64)]
         k = ss
@@ -189,8 +226,7 @@ def _ac_refine_scan(blocks, ss, se, al) -> bytes:
                 if hist[j]:
                     bw.write(cur[j] & 1, 1)
             k = nxt + 1
-    bw.flush()
-    return bytes(bw.out)
+    return sw.finish()
 
 
 def _comp_grid(coeffs_c, hs, vs, hmax, vmax, h, w):
@@ -209,6 +245,7 @@ def encode_jpeg_progressive(
     al_dc: int = 1,
     al_ac: int = 1,
     bands: tuple = ((1, 5), (6, 63)),
+    restart: int = 0,
 ) -> bytes:
     """Minimal progressive JFIF encoder (see module docstring)."""
     (padded, samp, qts, hmax, vmax, mcux, mcuy, h, w, gray) = _prep_planes(
@@ -231,17 +268,19 @@ def encode_jpeg_progressive(
         sof += bytes([c + 1, samp[c][0] << 4 | samp[c][1], qts[c]])
     out += _seg(0xC2, sof)
     out += _dht(0, 0, DC_SYMS, 4) + _dht(1, 0, AC_SYMS, 8)
+    if restart:
+        out += _seg(0xDD, struct.pack(">H", restart))
 
     # DC first (interleaved) + bit-plane refinements down to Al=0
     out += _sos_header(
         [(cid, 0, 0) for cid in order], 0, 0, 0, al_dc
     )
-    out += _dc_first_scan(coeffs, order, samp, mcux, mcuy, al_dc)
+    out += _dc_first_scan(coeffs, order, samp, mcux, mcuy, al_dc, restart)
     for al in range(al_dc - 1, -1, -1):
         out += _sos_header(
             [(cid, 0, 0) for cid in order], 0, 0, al + 1, al
         )
-        out += _dc_refine_scan(coeffs, order, samp, mcux, mcuy, al)
+        out += _dc_refine_scan(coeffs, order, samp, mcux, mcuy, al, restart)
 
     # AC: per component, per spectral band — first scan at al_ac,
     # then refinements down to Al=0
@@ -250,14 +289,14 @@ def encode_jpeg_progressive(
         blocks = _comp_grid(coeffs[cid], hs, vs, hmax, vmax, h, w)
         for ss, se in bands:
             out += _sos_header([(cid, 0, 0)], ss, se, 0, al_ac)
-            out += _ac_first_scan(blocks, ss, se, al_ac)
+            out += _ac_first_scan(blocks, ss, se, al_ac, restart)
     for ci, cid in enumerate(order):
         hs, vs = samp[ci]
         blocks = _comp_grid(coeffs[cid], hs, vs, hmax, vmax, h, w)
         for ss, se in bands:
             for al in range(al_ac - 1, -1, -1):
                 out += _sos_header([(cid, 0, 0)], ss, se, al + 1, al)
-                out += _ac_refine_scan(blocks, ss, se, al)
+                out += _ac_refine_scan(blocks, ss, se, al, restart)
 
     out += b"\xff\xd9"
     return bytes(out)
@@ -375,6 +414,24 @@ def test_ac_refinement_zrl_history_corner():
         _C.T @ blk.reshape(8, 8) @ _C + 128.0, 0, 255
     ).round().astype(np.uint8)
     assert (px[..., 0] == want).all()
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+def test_progressive_restart_intervals_match_unrestarted(subsample):
+    """DRI + RSTn inside EVERY progressive scan type (interleaved DC
+    first, DC refinement, AC first, AC refinement) must not change a
+    pixel: the decoder advances its restart segment and resets DC
+    predictors / EOB runs exactly where the encoder did — restart
+    granularity is MCUs for the interleaved DC scan and data units
+    for the non-interleaved AC scans."""
+    img = _gradient_rgb(35, 21)
+    plain = decode_jpeg_pixels(
+        encode_jpeg_progressive(img, subsample=subsample)
+    )
+    restarted = decode_jpeg_pixels(
+        encode_jpeg_progressive(img, subsample=subsample, restart=2)
+    )
+    assert (plain == restarted).all()
 
 
 def test_progressive_fuzz_never_hangs_or_crashes():
