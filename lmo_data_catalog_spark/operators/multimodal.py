@@ -24,9 +24,9 @@ surfaced as :func:`jpeg_pixel_stats`.
 Payloads that are not a recognized container (e.g. the text-derived
 fixture payloads) fall back to a deterministic fake keyed on byte
 length in the meta kernels, and pixel decode of the REMAINING shapes
-(arithmetic-coded JPEG, 12-bit/hierarchical JPEG, 16-bit/interlaced
-PNG) stays gated on a codec library that is not in this container —
-strict kernels raise rather than fake.
+(arithmetic-coded JPEG, 12-bit/hierarchical JPEG, 16-bit PNG — Adam7
+interlace decodes as of r11) stays gated on a codec library that is
+not in this container — strict kernels raise rather than fake.
 What is also real and tested: the binary column representation, the
 mapInPandas signature, Arrow batch shapes, output schema, and
 partition behavior — the parts that matter for Spark at scale.
@@ -232,6 +232,109 @@ def sample_frames(
     )
 
 
+#: Adam7 pass origins and strides (PNG spec §8.2): (x0, y0, dx, dy)
+ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw, offset: int, h: int, stride: int, bpp: int):
+    """Reconstruct ``h`` scanlines of ``stride`` bytes starting at
+    ``raw[offset]`` (each prefixed by its filter byte), applying the
+    five PNG filters (spec §9). The shared core of the sequential and
+    Adam7 paths — each Adam7 pass is filtered as an independent
+    sub-image, so ``prior`` starts at zero per call."""
+    import numpy as np
+
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        pos = offset + y * (stride + 1)
+        f = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1)
+        if f == 0:  # None
+            rec = row.copy()
+        elif f == 1:  # Sub: mod-256 prefix sum per filter-unit lane
+            rec = (
+                row.reshape(stride // bpp, bpp)
+                .astype(np.uint32)
+                .cumsum(axis=0)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif f == 2:  # Up (uint8 addition wraps mod 256)
+            rec = row + prior
+        elif f == 3:  # Average — sequential in x
+            rec = np.empty(stride, np.uint8)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(row[x]) + ((a + int(prior[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth — sequential in x
+            rec = np.empty(stride, np.uint8)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                c = int(prior[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"unknown PNG filter type {f}")
+        out[y] = rec
+        prior = rec
+    return out
+
+
+def _png_adam7(raw, w, h, bpp, depth, units, paletted):
+    """Adam7 deinterlace (spec §8.2): seven independently-filtered
+    sub-images scattered onto the full canvas at the pass offsets.
+    Returns pixel-unit rows — an (h, w) palette-index plane when
+    ``paletted`` (indices unpacked MSB-first per pass, since packing
+    is per REDUCED image scanline) or an (h, w*units) byte canvas
+    otherwise. Empty passes (zero width or height) contribute no
+    bytes, not even filter bytes (spec §8.2 note)."""
+    import numpy as np
+
+    passes = []
+    expected = 0
+    for x0, y0, dx, dy in ADAM7_PASSES:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * depth + 7) // 8 if paletted else pw * units
+        passes.append((x0, y0, dx, dy, pw, ph, stride, expected))
+        expected += ph * (stride + 1)
+    if expected != len(raw):
+        raise NotImplementedError(
+            f"Adam7 IDAT stream length {len(raw)} != expected {expected}"
+        )
+    canvas = np.zeros((h, w * (1 if paletted else units)), dtype=np.uint8)
+    for x0, y0, dx, dy, pw, ph, stride, offset in passes:
+        sub = _png_unfilter(raw, offset, ph, stride, bpp)
+        if paletted:
+            if depth == 8:
+                idx = sub
+            else:
+                bits = np.unpackbits(sub, axis=1)
+                idx = bits.reshape(ph, -1, depth) @ (
+                    1 << np.arange(depth - 1, -1, -1)
+                )
+            canvas[y0::dy, x0::dx] = idx[:, :pw].astype(np.uint8)
+        else:
+            px = sub.reshape(ph, pw, units)
+            view = canvas.reshape(h, w, units)
+            view[y0::dy, x0::dx] = px
+    return canvas
+
+
 def decode_png_pixels(payload: bytes):
     """Full PNG pixel decode with the stdlib + numpy only: zlib
     inflate of the concatenated IDAT stream, then per-scanline
@@ -244,8 +347,11 @@ def decode_png_pixels(payload: bytes):
     filter distance 1 byte (spec §9: filtering works on bytes, and a
     packed-index pixel is under one byte), indices unpack MSB-first
     (§7.2) and map through PLTE (→ RGB) or PLTE+tRNS (→ RGBA, alpha
-    defaulting to 255 past the tRNS table, §11.3.2). 16-bit and Adam7
-    interlace raise ``NotImplementedError`` (strict contract, like
+    defaulting to 255 past the tRNS table, §11.3.2), and Adam7
+    INTERLACE (method 1, spec §8.2: seven independently-filtered
+    sub-images deinterlaced onto the canvas — r11, closing that
+    boundary; empty passes contribute no bytes). 16-bit depth still
+    raises ``NotImplementedError`` (strict contract, like
     :func:`decode_image_real`): the point is an honest boundary, not
     a silent wrong decode — an out-of-range palette index also raises
     rather than clamping. Sub reconstruction is a mod-256 prefix sum
@@ -307,50 +413,43 @@ def decode_png_pixels(payload: bytes):
     else:
         bpp = channels
         stride = w * channels
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
-        raise NotImplementedError(
-            f"IDAT stream length {len(raw)} != expected {h * (stride + 1)}"
-        )
-    out = np.empty((h, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        pos = y * (stride + 1)
-        f = raw[pos]
-        row = np.frombuffer(raw, np.uint8, stride, pos + 1)
-        if f == 0:  # None
-            rec = row.copy()
-        elif f == 1:  # Sub: mod-256 prefix sum per filter-unit lane
-            rec = (
-                row.reshape(stride // bpp, bpp)
-                .astype(np.uint32)
-                .cumsum(axis=0)
-                .astype(np.uint8)
-                .reshape(stride)
+    if interlace == 0:
+        if len(raw) != h * (stride + 1):
+            raise NotImplementedError(
+                f"IDAT stream length {len(raw)} != expected "
+                f"{h * (stride + 1)}"
             )
-        elif f == 2:  # Up (uint8 addition wraps mod 256)
-            rec = row + prior
-        elif f == 3:  # Average — sequential in x
-            rec = np.empty(stride, np.uint8)
-            for x in range(stride):
-                a = int(rec[x - bpp]) if x >= bpp else 0
-                rec[x] = (int(row[x]) + ((a + int(prior[x])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth — sequential in x
-            rec = np.empty(stride, np.uint8)
-            for x in range(stride):
-                a = int(rec[x - bpp]) if x >= bpp else 0
-                b = int(prior[x])
-                c = int(prior[x - bpp]) if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (int(row[x]) + pred) & 0xFF
-        else:
-            raise NotImplementedError(f"unknown PNG filter type {f}")
-        out[y] = rec
-        prior = rec
+        out = _png_unfilter(raw, 0, h, stride, bpp)
+    elif interlace == 1:
+        out = _png_adam7(
+            raw, w, h, bpp, depth if paletted else 8,
+            1 if paletted else channels, paletted,
+        )
+        # _png_adam7 returns pixel-unit rows: (h, w) index plane for
+        # palette images, (h, w*channels) bytes otherwise — exactly
+        # the post-unpack shape of the sequential path below
+        if not paletted:
+            return out.reshape(h, w, channels)
+        idx = out.astype(np.int64)
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        if idx.max() >= pal.shape[0]:
+            raise NotImplementedError(
+                f"palette index {int(idx.max())} out of range "
+                f"({pal.shape[0]} PLTE entries)"
+            )
+        rgb = pal[idx]
+        if trns is None:
+            return rgb
+        if len(trns) > pal.shape[0]:
+            raise NotImplementedError("tRNS longer than PLTE")
+        alpha = np.full(pal.shape[0], 255, dtype=np.uint8)
+        alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
+        return np.concatenate([rgb, alpha[idx][..., None]], axis=-1)
+    else:
+        raise NotImplementedError(
+            f"unknown PNG interlace method {interlace}"
+        )
     if not paletted:
         return out.reshape(h, w, channels)
     if depth == 8:

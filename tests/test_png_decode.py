@@ -119,6 +119,82 @@ def encode_palette_png(
     return out + _chunk(b"IEND", b"")
 
 
+#: Adam7 pass table, re-stated here (spec §8.2) rather than imported —
+#: the encoder must not share the decoder's geometry constants
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def encode_png_adam7(pixels: np.ndarray, filters=None) -> bytes:
+    """Adam7-interlaced encoder: each pass extracted by the §8.2
+    offsets, forward-filtered as an INDEPENDENT sub-image (prior row
+    resets per pass), empty passes contribute nothing."""
+    h, w, c = pixels.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = bytearray()
+    fy = 0
+    for x0, y0, dx, dy in _ADAM7:
+        sub = pixels[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        prior = np.zeros(pw * c, dtype=np.uint8)
+        for y in range(ph):
+            row = sub[y].reshape(-1)
+            f = filters[fy] if filters is not None else fy % 5
+            fy += 1
+            raw.append(f)
+            raw += _filter_row(row, prior, f, c)
+            prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_palette_png_adam7(
+    idx: np.ndarray, pal: np.ndarray, *, depth: int = 8,
+    trns: bytes | None = None,
+) -> bytes:
+    """Adam7 palette encoder: indices pack MSB-first per REDUCED
+    scanline (each pass's own stride), filters cycle, bpp=1."""
+    h, w = idx.shape
+    raw = bytearray()
+    fy = 0
+    for x0, y0, dx, dy in _ADAM7:
+        sub = idx[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        stride = (pw * depth + 7) // 8
+        prior = np.zeros(stride, dtype=np.uint8)
+        for y in range(ph):
+            if depth == 8:
+                row = sub[y].astype(np.uint8)
+            else:
+                bits = (
+                    (sub[y][:, None] >> np.arange(depth - 1, -1, -1)) & 1
+                ).astype(np.uint8).reshape(-1)
+                row = np.packbits(bits)
+            f = fy % 5
+            fy += 1
+            raw.append(f)
+            raw += _filter_row(row, prior, f, 1)
+            prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 1)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    out += _chunk(b"PLTE", pal.astype(np.uint8).tobytes())
+    if trns is not None:
+        out += _chunk(b"tRNS", trns)
+    out += _chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + _chunk(b"IEND", b"")
+
+
 def rng_pixels(seed, h, w, c):
     return np.random.default_rng(seed).integers(
         0, 256, size=(h, w, c), dtype=np.uint8
@@ -210,12 +286,71 @@ def test_palette_strict_raises():
         )
 
 
+def test_adam7_roundtrips_all_channel_counts():
+    """Adam7 deinterlace == the straight pixels, for every channel
+    count, at sizes exercising empty passes (w or h < 5 kills pass 2
+    or 3) and odd geometry; filters cycle across pass scanlines."""
+    for seed, (h, w) in enumerate(
+        [(1, 1), (3, 4), (4, 3), (8, 8), (13, 21), (16, 2)]
+    ):
+        for c in (1, 2, 3, 4):
+            px = rng_pixels(100 + seed * 4 + c, h, w, c)
+            got = decode_png_pixels(encode_png_adam7(px))
+            np.testing.assert_array_equal(
+                got, px, err_msg=f"{h}x{w}x{c}"
+            )
+
+
+def test_adam7_matches_sequential_decode():
+    px = rng_pixels(42, 19, 27, 3)
+    seq = decode_png_pixels(encode_png(px))
+    inter = decode_png_pixels(encode_png_adam7(px))
+    np.testing.assert_array_equal(seq, inter)
+
+
+def test_adam7_palette_roundtrips():
+    rng = np.random.default_rng(7)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    for depth in (1, 2, 4, 8):
+        n = min(16, 1 << depth)
+        idx = rng.integers(0, n, size=(11, 13))
+        got = decode_png_pixels(
+            encode_palette_png_adam7(idx, pal[:n], depth=depth)
+        )
+        np.testing.assert_array_equal(
+            got, pal[:n][idx], err_msg=f"depth {depth}"
+        )
+    # tRNS alpha through the interlaced path
+    idx = rng.integers(0, 4, size=(6, 9))
+    got = decode_png_pixels(
+        encode_palette_png_adam7(idx, pal[:4], depth=2, trns=b"\x00\x80")
+    )
+    assert got.shape == (6, 9, 4)
+    alpha = np.array([0, 0x80, 255, 255], dtype=np.uint8)
+    np.testing.assert_array_equal(got[..., 3], alpha[idx])
+
+
+def test_adam7_truncated_stream_raises():
+    px = rng_pixels(9, 8, 8, 3)
+    data = encode_png_adam7(px)
+    short = zlib.compress(zlib.decompress(_idat_of(data))[:-7])
+    rebuilt = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 1))
+        + _chunk(b"IDAT", short)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="Adam7 IDAT stream"):
+        decode_png_pixels(rebuilt)
+
+
 def test_strict_raises_on_unsupported():
     px = rng_pixels(3, 4, 4, 3)
     with pytest.raises(NotImplementedError, match="not a PNG"):
         decode_png_pixels(b"GIF89a" + b"\x00" * 32)
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_png_pixels(encode_png(px, interlace=1))
+    # unknown interlace METHOD still raises (Adam7 itself decodes now)
+    with pytest.raises(NotImplementedError, match="interlace method"):
+        decode_png_pixels(encode_png(px, interlace=2))
     with pytest.raises(NotImplementedError, match="depth=16"):
         decode_png_pixels(encode_png(px, depth=16))
     # palette PNG (color type 3) with NO PLTE chunk is invalid
