@@ -26,15 +26,28 @@ from verify_sample import (  # noqa: E402
 
 
 def test_bias_exhausts_fresh_blind_spot_first():
+    """The fresh tier (never driver-sampled AND never audited) drains
+    COMPLETELY before any stale or seen name is drawn — checked on
+    the repo's real state, whatever size the fresh pool currently is
+    (round 11 exhausted it to zero: three batches audited all 130
+    never-driver-sampled queries, so the draw is all re-audits until
+    the driver widens its sample)."""
     names = sorted(REGISTRY)
     seen = driver_seen_names()
     audited = audited_names()
     fresh_pool = [n for n in names if n not in seen and n not in audited]
     fresh, stale, topup = select_sample(11, 30, names, seen, audited)
-    # while the fresh pool exceeds the draw, the draw is 100% fresh
-    assert len(fresh_pool) > 30
-    assert len(fresh) == 30 and not stale and not topup
+    # every remaining fresh name is drawn before any other tier
+    assert len(fresh) == min(30, len(fresh_pool))
     assert all(n not in seen and n not in audited for n in fresh)
+    assert all(n not in seen and n in audited for n in stale)
+    if len(fresh_pool) < 30:
+        assert len(fresh) + len(stale) + len(topup) == 30
+        # stale (never-driver-sampled) fills before driver-seen
+        stale_pool = [n for n in names if n not in seen and n in audited]
+        assert topup == [] or len(stale) == min(
+            30 - len(fresh), len(stale_pool)
+        )
 
 
 def test_tier_order_fresh_then_stale_then_seen():
