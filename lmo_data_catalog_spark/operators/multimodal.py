@@ -755,3 +755,73 @@ def wav_audio_stats(
     return df.select(id_col, payload_col).mapInPandas(
         stats, schema=WAV_STATS_SCHEMA
     )
+
+
+GIF_FRAME_STATS_SCHEMA = (
+    "doc_id long, frame_idx int, n_frames int, ts_ms long, "
+    "width int, height int, mean_r double, mean_g double, mean_b double"
+)
+
+
+def gif_frame_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n: int = 1,
+) -> DataFrame:
+    """REAL video-style frame sampling: decode every GIF payload's
+    full frame sequence (:func:`operators.gif.decode_gif_frames` —
+    LZW, interlace, disposal/transparency composition), keep every
+    ``every_n``-th composed frame, and emit its presentation
+    timestamp (cumulative prior-frame delays) plus per-channel pixel
+    means — the verifiable output of a decode+sample stage (a wrong
+    disposal or LZW reset shifts the means of every later frame).
+
+    Scale shape mirrors :func:`sample_frames`: Arrow-batched
+    mapInPandas, 1 input row → ceil(n_frames/every_n) output rows,
+    decode parallelism = input partitioning (payloads are opaque
+    binaries, so there is nothing to push down — size
+    ``spark.sql.files.maxPartitionBytes`` for payload width). Strict
+    contract: non-GIF or malformed payloads raise."""
+    import pandas as pd
+
+    from .gif import decode_gif_frames
+
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "n_frames": [],
+                "ts_ms": [],
+                "width": [],
+                "height": [],
+                "mean_r": [],
+                "mean_g": [],
+                "mean_b": [],
+            }
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                w, h, frames = decode_gif_frames(bytes(b))
+                ts = 0
+                for i, (delay_ms, px) in enumerate(frames):
+                    if i % every_n == 0:
+                        means = px.reshape(-1, 3).mean(0)
+                        rows["doc_id"].append(did)
+                        rows["frame_idx"].append(i)
+                        rows["n_frames"].append(len(frames))
+                        rows["ts_ms"].append(ts)
+                        rows["width"].append(w)
+                        rows["height"].append(h)
+                        rows["mean_r"].append(round(float(means[0]), 6))
+                        rows["mean_g"].append(round(float(means[1]), 6))
+                        rows["mean_b"].append(round(float(means[2]), 6))
+                    ts += delay_ms
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        stats, schema=GIF_FRAME_STATS_SCHEMA
+    )

@@ -1076,3 +1076,99 @@ def sparse_cosine_rare_term_pairs(
         .limit(100)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------- hashed linear classifier
+
+
+@query(
+    "quality_classifier_score",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+    h AS (
+        SELECT doc_id, cnt,
+               list_reduce(
+                   list_prepend(CAST(7 AS BIGINT),
+                       list_transform(string_split(term, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 1073741827) AS hv
+        FROM tf
+    ),
+    w AS (
+        SELECT doc_id, cnt,
+               2 * (((hv % 256) * 2654435761) % 1000003) - 1000003 AS wint
+        FROM h
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               CAST(SUM(cnt * wint) AS BIGINT) AS swint
+        FROM w GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           CAST(swint AS DOUBLE)
+             / (2000006.0 * CAST(n_tokens AS DOUBLE)) AS score,
+           (swint > 0) AS keep
+    FROM agg
+    """,
+    tags=("llm", "quality", "classifier", "hash"),
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier (Joulin et al. 2016 —
+    the architecture behind CCNet / production corpus-quality gates):
+    every token hashes into a fixed 256-bucket feature space and the
+    document score is the token-frequency-weighted mean of the bucket
+    weights, thresholded into a keep flag. The weight table here is a
+    deterministic Knuth-multiplicative expansion of the bucket index
+    (wint(b) = 2*((b*2654435761) mod 1000003) - 1000003, a signed
+    integer in [-1000003, 1000001]) — standing in for trained
+    parameters so the differential pins the full featurize→score→gate
+    path with engine-exact arithmetic: the per-document accumulator
+    is an INTEGER sum (order-free across partitions), and the only
+    float op is one final division both engines evaluate identically.
+
+    Scale shape: tokenize → one (doc_id, term) map-side-combinable
+    aggregate → per-row fold hash + weight lookup as pure codegen
+    expressions → one doc-keyed aggregate. Two shuffles total, no
+    joins, no UDFs, no model-weight broadcast: the 256-entry weight
+    table is an arithmetic expression, which is exactly how a hashed
+    linear model should ship to 1000 executors (weights as literals /
+    closed form, never a table join per token). The hash runs per
+    DISTINCT (doc, term) pair rather than per vocabulary entry —
+    unlike the BPE Arrow kernel there is no per-token kernel cost to
+    amortize, so a vocab-table join would add a term-keyed exchange
+    only to save a cheap whole-stage-codegen fold."""
+    cat = Catalog(spark, sf_dir)
+    toks = cat.documents.select(
+        "doc_id", F.explode_outer(T.tokens("text")).alias("term")
+    ).where(F.col("term").isNotNull())
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    from ..operators.dedup import poly_hash
+
+    idx = F.pmod(poly_hash("term", 31, 1073741827), F.lit(256))
+    wint = (
+        F.lit(2) * F.pmod(idx * F.lit(2654435761), F.lit(1000003))
+        - F.lit(1000003)
+    )
+    agg = (
+        tf.select("doc_id", "cnt", wint.alias("wint"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("wint")).cast("long").alias("swint"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("swint").cast("double")
+            / (F.lit(2000006.0) * F.col("n_tokens").cast("double"))
+        ).alias("score"),
+        (F.col("swint") > 0).alias("keep"),
+    )

@@ -3303,3 +3303,175 @@ def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(sel)
         .select("doc_id", "n_chars", F.col("cum_w").cast("bigint"))
     )
+
+
+# ------------------------------------------------------------------ PQ ANN
+
+#: PQ geometry: DIM=64 → M subspaces of SUB dims, K centroids per
+#: subspace (codebook = subvectors of vec_id 1..K; query = vec_id 0).
+_PQ_M, _PQ_SUB, _PQ_K = 8, 8, 4
+
+
+def _pq_sql_d2(vec: str, cent: str, j: int) -> str:
+    """Left-deep squared-L2 fold over subspace j — identical operand
+    order to the Spark expression in ann_pq_adc_topk."""
+    terms = [
+        f"(CAST({vec}[{i + 1}] AS DOUBLE) - CAST({cent}[{i + 1}] AS DOUBLE))"
+        f" * (CAST({vec}[{i + 1}] AS DOUBLE) - CAST({cent}[{i + 1}] AS DOUBLE))"
+        for i in range(j * _PQ_SUB, (j + 1) * _PQ_SUB)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+def _pq_sql() -> str:
+    cents = ", ".join(
+        f"(SELECT embedding FROM embeddings WHERE vec_id = {c + 1}) AS c{c + 1}"
+        for c in range(_PQ_K)
+    )
+    luts = ", ".join(
+        f"{_pq_sql_d2('q', f'c{c + 1}', j)} AS lut_{j}_{c + 1}"
+        for j in range(_PQ_M)
+        for c in range(_PQ_K)
+    )
+    dists = ", ".join(
+        f"{_pq_sql_d2('e.embedding', f'cfg.c{c + 1}', j)} AS d_{j}_{c + 1}"
+        for j in range(_PQ_M)
+        for c in range(_PQ_K)
+    )
+    # argmin via explicit CASE chain, ties to the lowest centroid id —
+    # the same chain the Spark side builds with F.when.
+    def case_j(j: int) -> str:
+        arms = []
+        for c in range(_PQ_K - 1):
+            cond = " AND ".join(
+                f"d_{j}_{c + 1} <= d_{j}_{k + 1}" for k in range(c + 1, _PQ_K)
+            )
+            arms.append(f"WHEN {cond} THEN lut_{j}_{c + 1}")
+        return "CASE " + " ".join(arms) + f" ELSE lut_{j}_{_PQ_K} END"
+
+    adc = " + ".join(f"({case_j(j)})" for j in range(_PQ_M))
+    return f"""
+    WITH cfg AS (
+        SELECT *, {luts}
+        FROM (SELECT
+                (SELECT embedding FROM embeddings WHERE vec_id = 0) AS q,
+                {cents})
+    ),
+    dists AS (
+        SELECT e.vec_id, {dists},
+               cfg.* EXCLUDE (q, {", ".join(f"c{c + 1}" for c in range(_PQ_K))})
+        FROM embeddings e CROSS JOIN cfg
+    ),
+    scored AS (SELECT vec_id, {adc} AS adc_raw FROM dists)
+    SELECT vec_id, ROUND(adc_raw, 6) AS adc
+    FROM scored
+    ORDER BY adc_raw, vec_id
+    LIMIT 10
+    """
+
+
+@query("ann_pq_adc_topk", oracle=_pq_sql(), tags=("similarity", "ann", "pq"))
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jegou, Douze, Schmid 2011): DIM=64 splits into M=8 subspaces of
+    8 dims; each subvector quantizes to its nearest of K=4 codebook
+    entries (deterministic codebook: the subvectors of vec_id 1..4,
+    mirroring ann_ivf_topk's static seeding), and the query's
+    distance to a database vector is approximated by the sum over
+    subspaces of the PRECOMPUTED query→centroid distance for that
+    vector's code — the ADC lookup table.
+
+    This is the memory-bound scale path the IVF/LSH siblings don't
+    cover: at 100 TB the codes are M bytes per vector (64 B floats →
+    8 B codes, 32× compression), the LUT is an M×K table of doubles
+    computed ONCE from the query, and the scan never touches the
+    original vectors. The plan makes that literal: codebook and LUT
+    are collected to the driver (K+1 = 5 bounded rows, the
+    allow-listed centroid-state pattern) and enter the plan as
+    LITERAL arithmetic — encoding is a per-row CASE chain over
+    left-deep squared-L2 folds, the ADC sum is a CASE lookup of
+    constants, the whole query is one scan in whole-stage codegen
+    ending in TakeOrderedAndProject (per-partition top-10 heap, no
+    shuffle of the data). Ties break to the lowest centroid id in
+    BOTH engines via the identical explicit CASE chain; the final
+    order is by raw (unrounded) ADC then vec_id, so the top-10 cut
+    is engine-exact. Python computes the LUT constants with the same
+    left-deep t*t fold the SQL uses — IEEE doubles, identical
+    operand order, identical bits."""
+    cat = Catalog(spark, sf_dir)
+    e = cat.embeddings
+    rows = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") <= _PQ_K)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    q = rows[0]
+    cents = [rows[c + 1] for c in range(_PQ_K)]
+
+    def d2_row_sql(cent: list[float], j: int) -> str:
+        """(embedding[i] - cent_i)^2 summed left-deep over subspace j,
+        as Spark SQL text (0-based indexing; centroid values as
+        shortest-round-trip double literals — the parse recovers the
+        exact collected bits). Same nesting as the oracle's
+        _pq_sql_d2, so operand order is engine-identical."""
+        terms = [
+            f"(CAST(embedding[{i}] AS DOUBLE) - {cent[i]!r}D)"
+            f" * (CAST(embedding[{i}] AS DOUBLE) - {cent[i]!r}D)"
+            for i in range(j * _PQ_SUB, (j + 1) * _PQ_SUB)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = f"({out} + {t})"
+        return out
+
+    def d2_const(a: list[float], b: list[float], j: int) -> float:
+        out = 0.0
+        for i in range(j * _PQ_SUB, (j + 1) * _PQ_SUB):
+            t = a[i] - b[i]
+            if i == j * _PQ_SUB:
+                out = t * t
+            else:
+                out = out + t * t
+        return out
+
+    # project every subspace distance ONCE (32 columns); the CASE
+    # chains then reference plain columns — each __d_{j}_{c} appears
+    # up to 3 times in the argmin conditions, and CollapseProject
+    # keeps multiply-referenced non-cheap expressions materialized
+    # instead of re-inlining the fold per reference (same discipline
+    # as the gopher tokenize-once note). Both stages are built as SQL
+    # text through selectExpr: the ~1500-node tree costs 2 parser
+    # calls instead of ~1000 per-Column py4j round-trips (measured
+    # ~1.8 s of driver-side build time at any sf — pure overhead).
+    dist = e.selectExpr(
+        "vec_id",
+        *[
+            f"{d2_row_sql(cents[c], j)} AS __d_{j}_{c}"
+            for j in range(_PQ_M)
+            for c in range(_PQ_K)
+        ],
+    )
+
+    def case_j(j: int) -> str:
+        lut = [d2_const(q, cents[c], j) for c in range(_PQ_K)]
+        arms = []
+        for c in range(_PQ_K - 1):
+            cond = " AND ".join(
+                f"__d_{j}_{c} <= __d_{j}_{k}" for k in range(c + 1, _PQ_K)
+            )
+            arms.append(f"WHEN {cond} THEN {lut[c]!r}D")
+        return (
+            "CASE " + " ".join(arms) + f" ELSE {lut[_PQ_K - 1]!r}D END"
+        )
+
+    adc = " + ".join(f"({case_j(j)})" for j in range(_PQ_M))
+    return (
+        dist.selectExpr("vec_id", f"{adc} AS __adc")
+        .orderBy(F.col("__adc").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.round("__adc", 6).alias("adc"))
+    )

@@ -739,3 +739,82 @@ def test_prefix_filter_exact_tau_multiple_boundary(spark):
     }
     assert got == exact
     assert {(1, 2), (3, 4), (5, 6)} <= got
+
+
+def test_pq_adc_matches_numpy_reimplementation(spark):
+    """ann_pq_adc_topk vs an independent numpy PQ/ADC: same codebook
+    convention (vec_id 1..4 subvectors, query vec_id 0, M=8 SUB=8),
+    argmin ties to the lowest centroid id, top-10 by (adc, vec_id).
+    Pins the encode→LUT→sum path against a second implementation
+    that shares no expression-generation code."""
+    import numpy as np
+
+    from lmo_data_catalog_spark.queries.pipeline import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        ann_pq_adc_topk,
+    )
+
+    got = [
+        (r["vec_id"], r["adc"])
+        for r in ann_pq_adc_topk(spark, SF_SMOKE).collect()
+    ]
+
+    emb = (
+        Catalog(spark, SF_SMOKE)
+        .embeddings.select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64) for r in emb}
+    q = vecs[0]
+    cents = np.stack([vecs[c + 1] for c in range(_PQ_K)])  # (K, DIM)
+    scored = []
+    for vid, v in vecs.items():
+        adc = 0.0
+        for j in range(_PQ_M):
+            sl = slice(j * _PQ_SUB, (j + 1) * _PQ_SUB)
+            d2 = ((v[sl] - cents[:, sl]) ** 2).sum(axis=1)
+            code = int(np.argmin(d2))  # np.argmin ties -> first (lowest id)
+            adc += float(((q[sl] - cents[code, sl]) ** 2).sum())
+        scored.append((adc, vid))
+    scored.sort()
+    want = [(vid, round(adc, 6)) for adc, vid in scored[:10]]
+
+    assert [v for v, _ in got] == [v for v, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=1e-6)
+
+
+def test_quality_classifier_exact_python_replica(spark):
+    """quality_classifier_score vs a character-level pure-Python
+    replica of the hash → bucket → weight → mean pipeline. The
+    integer accumulator must match EXACTLY (no float tolerance) and
+    the keep flag must equal score > 0."""
+    from lmo_data_catalog_spark.queries.llm import quality_classifier_score
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score"], r["keep"])
+        for r in quality_classifier_score(spark, SF_SMOKE).collect()
+    }
+
+    docs = Catalog(spark, SF_SMOKE).documents.select("doc_id", "text").collect()
+
+    def poly(tok: str) -> int:
+        acc = 7
+        for ch in tok:
+            acc = (acc * 31 + ord(ch)) % 1073741827
+        return acc
+
+    assert len(got) == len(docs)
+    for r in docs:
+        toks = r["text"].strip().lower().split()
+        swint = 0
+        for t in toks:
+            idx = poly(t) % 256
+            swint += 2 * ((idx * 2654435761) % 1000003) - 1000003
+        n, score, keep = got[r["doc_id"]]
+        assert n == len(toks)
+        assert score == swint / (2000006.0 * len(toks))
+        assert keep == (swint > 0)
+        assert -1.0 < score < 1.0
