@@ -825,3 +825,93 @@ def gif_frame_stats(
     return df.select(id_col, payload_col).mapInPandas(
         stats, schema=GIF_FRAME_STATS_SCHEMA
     )
+
+
+AUDIO_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, n_frames int, t_ms long, "
+    "rms double, zcr double, spectral_centroid_hz double"
+)
+
+
+def audio_frame_features(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_ms: int = 25,
+    hop_ms: int = 10,
+) -> DataFrame:
+    """Frame-level audio features from REAL WAV decode — the standard
+    front end of speech/audio dataset curation (VAD gating, silence
+    trimming, clip quality scoring): downmix to mono, slice into
+    ``frame_ms`` windows every ``hop_ms``, and per frame emit RMS
+    energy, zero-crossing rate (strict sign flips / (L-1)), and the
+    spectral centroid in Hz from an rFFT magnitude spectrum
+    (rectangular window; 0.0 when the frame has no energy).
+
+    1 input row → floor((n-L)/H)+1 output rows via Arrow-batched
+    mapInPandas, the same explode shape as :func:`gif_frame_stats`;
+    numpy does the per-frame math vectorized (one stride-tricks
+    window view + one batched rFFT per clip, no Python loop over
+    frames). Strict contract: non-WAV or compressed payloads raise.
+    Frames are timestamped by start sample (``t_ms = s*1000//rate``),
+    so downstream joins against transcript windows are exact."""
+    import pandas as pd
+
+    if frame_ms <= 0 or hop_ms <= 0:
+        raise ValueError("frame_ms and hop_ms must be positive")
+
+    def feats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "n_frames": [],
+                "t_ms": [],
+                "rms": [],
+                "zcr": [],
+                "spectral_centroid_hz": [],
+            }
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                rate, samples = decode_wav_pcm(bytes(b))
+                mono = samples.mean(axis=1)
+                L = max(1, rate * frame_ms // 1000)
+                H = max(1, rate * hop_ms // 1000)
+                n = len(mono)
+                nf = (n - L) // H + 1 if n >= L else 0
+                if nf <= 0:
+                    continue
+                idx = (
+                    np.arange(nf)[:, None] * H + np.arange(L)[None, :]
+                )
+                frames = mono[idx]  # (nf, L)
+                rms = np.sqrt((frames**2).mean(axis=1))
+                flips = (frames[:, 1:] * frames[:, :-1]) < 0
+                zcr = (
+                    flips.sum(axis=1) / (L - 1) if L > 1
+                    else np.zeros(nf)
+                )
+                mag = np.abs(np.fft.rfft(frames, axis=1))
+                freqs = np.fft.rfftfreq(L, d=1.0 / rate)
+                power = mag.sum(axis=1)
+                cent = np.where(
+                    power > 0, (mag * freqs).sum(axis=1)
+                    / np.where(power > 0, power, 1.0), 0.0
+                )
+                for i in range(nf):
+                    rows["doc_id"].append(did)
+                    rows["frame_idx"].append(i)
+                    rows["n_frames"].append(nf)
+                    rows["t_ms"].append(int(i * H * 1000) // rate)
+                    rows["rms"].append(round(float(rms[i]), 6))
+                    rows["zcr"].append(round(float(zcr[i]), 6))
+                    rows["spectral_centroid_hz"].append(
+                        round(float(cent[i]), 6)
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        feats, schema=AUDIO_FRAME_SCHEMA
+    )

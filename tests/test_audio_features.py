@@ -1,0 +1,134 @@
+"""Frame-level audio features (RMS / ZCR / spectral centroid) against
+closed-form expectations on synthesized signals and an independent
+per-frame numpy replica, reusing test_wav_decode's in-test encoder."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lmo_data_catalog_spark.operators.multimodal import audio_frame_features
+
+from .test_wav_decode import encode_wav
+
+
+def _run(spark, payloads, **kw):
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    return audio_frame_features(df, **kw).collect()
+
+
+def test_pure_tone_closed_form(spark):
+    """A bin-aligned 1 kHz tone at 16 kHz in 25 ms frames: 25 exact
+    cycles per frame, so RMS = amp/sqrt(2) exactly, the centroid sits
+    exactly on 1000 Hz (zero leakage), and ZCR = 2 crossings/cycle."""
+    rate, amp, freq = 16000, 0.5, 1000.0
+    t = np.arange(rate) / rate  # 1 s
+    x = amp * np.sin(2 * np.pi * freq * t + 0.3)  # offset avoids exact 0s
+    wav = encode_wav(x[:, None], rate=rate, bits=32, tag=3)
+    rows = _run(spark, [(1, wav)], frame_ms=25, hop_ms=25)
+
+    L = rate * 25 // 1000  # 400
+    assert len(rows) == len(x) // L
+    for r in rows:
+        assert r["rms"] == pytest.approx(amp / np.sqrt(2), abs=1e-6)
+        assert r["spectral_centroid_hz"] == pytest.approx(freq, abs=1e-3)
+        # 25 cycles -> 50 sign flips, +-1 at the frame edges (zcr is
+        # rounded to 6 dp by the operator, hence the round() back)
+        assert abs(round(r["zcr"] * (L - 1)) - 50) <= 1
+
+
+def test_dc_and_silence(spark):
+    rate = 8000
+    dc = np.full(rate // 2, 0.25)
+    silence = np.zeros(rate // 2)
+    rows = _run(
+        spark,
+        [(1, encode_wav(dc[:, None], rate=rate, bits=32, tag=3)),
+         (2, encode_wav(silence[:, None], rate=rate, bits=32, tag=3))],
+        frame_ms=20,
+        hop_ms=20,
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for r in by_doc[1]:
+        assert r["rms"] == pytest.approx(0.25, abs=1e-6)
+        assert r["zcr"] == 0.0
+        # all energy in bin 0 -> centroid at 0 Hz
+        assert r["spectral_centroid_hz"] == 0.0
+    for r in by_doc[2]:
+        assert r["rms"] == 0.0
+        assert r["zcr"] == 0.0
+        assert r["spectral_centroid_hz"] == 0.0  # defined-zero, not NaN
+
+
+def test_stereo_downmix_cancellation(spark):
+    """L = sine, R = -sine: the mono mix is identically zero, so every
+    feature must read as silence — pins the downmix-before-framing
+    order."""
+    rate = 8000
+    t = np.arange(rate // 4) / rate
+    s = 0.4 * np.sin(2 * np.pi * 440 * t)
+    stereo = np.stack([s, -s], axis=1)
+    wav = encode_wav(stereo, rate=rate, bits=32, tag=3)
+    rows = _run(spark, [(7, wav)], frame_ms=25, hop_ms=10)
+    assert rows
+    for r in rows:
+        assert r["rms"] == 0.0
+        assert r["spectral_centroid_hz"] == 0.0
+
+
+def test_hop_framing_geometry_and_timestamps(spark):
+    rate = 8000
+    x = np.random.RandomState(0).uniform(-1, 1, rate)  # 1 s noise
+    wav = encode_wav(x[:, None], rate=rate, bits=32, tag=3)
+    rows = _run(spark, [(3, wav)], frame_ms=25, hop_ms=10)
+    L, H = rate * 25 // 1000, rate * 10 // 1000
+    nf = (len(x) - L) // H + 1
+    assert len(rows) == nf
+    assert sorted(r["frame_idx"] for r in rows) == list(range(nf))
+    for r in rows:
+        assert r["n_frames"] == nf
+        assert r["t_ms"] == r["frame_idx"] * H * 1000 // rate
+
+
+def test_matches_independent_numpy_replica(spark):
+    """Full-feature cross-check on noise: straightforward per-frame
+    loop (no stride tricks, no batched FFT) must agree within the
+    operator's 6-dp output rounding."""
+    rate = 8000
+    rng = np.random.RandomState(42)
+    x = rng.uniform(-1, 1, 3 * rate // 2)
+    wav = encode_wav(x[:, None], rate=rate, bits=32, tag=3)
+    rows = {r["frame_idx"]: r for r in _run(spark, [(5, wav)],
+                                            frame_ms=20, hop_ms=15)}
+
+    # the encoder quantizes to float32; replicate the decoded signal
+    mono = x.astype(np.float32).astype(np.float64)
+    L, H = rate * 20 // 1000, rate * 15 // 1000
+    nf = (len(mono) - L) // H + 1
+    assert len(rows) == nf
+    for i in range(nf):
+        fr = mono[i * H : i * H + L]
+        rms = float(np.sqrt((fr**2).mean()))
+        zcr = float(((fr[1:] * fr[:-1]) < 0).sum() / (L - 1))
+        mag = np.abs(np.fft.rfft(fr))
+        freqs = np.fft.rfftfreq(L, d=1.0 / rate)
+        cent = float((mag * freqs).sum() / mag.sum()) if mag.sum() else 0.0
+        r = rows[i]
+        assert r["rms"] == pytest.approx(rms, abs=1e-6)
+        assert r["zcr"] == pytest.approx(zcr, abs=1e-6)
+        assert r["spectral_centroid_hz"] == pytest.approx(cent, abs=1e-5)
+
+
+def test_short_clip_yields_no_frames(spark):
+    rate = 8000
+    x = np.zeros(10)
+    wav = encode_wav(x[:, None], rate=rate, bits=32, tag=3)
+    assert _run(spark, [(9, wav)], frame_ms=25, hop_ms=10) == []
+
+
+def test_invalid_args_raise(spark):
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+    with pytest.raises(ValueError):
+        audio_frame_features(df, frame_ms=0)
