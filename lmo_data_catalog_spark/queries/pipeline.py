@@ -3326,7 +3326,11 @@ def _pq_sql_d2(vec: str, cent: str, j: int) -> str:
     return out
 
 
-def _pq_sql() -> str:
+def _pq_sql_ctes() -> str:
+    """The shared cfg → dists → scored CTE body: every embedding's
+    ADC approximate distance to the vec_id=0 query (``scored
+    (vec_id, adc_raw)``) — composed by both the PQ top-k query and
+    the PQ recall query."""
     cents = ", ".join(
         f"(SELECT embedding FROM embeddings WHERE vec_id = {c + 1}) AS c{c + 1}"
         for c in range(_PQ_K)
@@ -3353,8 +3357,7 @@ def _pq_sql() -> str:
         return "CASE " + " ".join(arms) + f" ELSE lut_{j}_{_PQ_K} END"
 
     adc = " + ".join(f"({case_j(j)})" for j in range(_PQ_M))
-    return f"""
-    WITH cfg AS (
+    return f"""cfg AS (
         SELECT *, {luts}
         FROM (SELECT
                 (SELECT embedding FROM embeddings WHERE vec_id = 0) AS q,
@@ -3365,7 +3368,12 @@ def _pq_sql() -> str:
                cfg.* EXCLUDE (q, {", ".join(f"c{c + 1}" for c in range(_PQ_K))})
         FROM embeddings e CROSS JOIN cfg
     ),
-    scored AS (SELECT vec_id, {adc} AS adc_raw FROM dists)
+    scored AS (SELECT vec_id, {adc} AS adc_raw FROM dists)"""
+
+
+def _pq_sql() -> str:
+    return f"""
+    WITH {_pq_sql_ctes()}
     SELECT vec_id, ROUND(adc_raw, 6) AS adc
     FROM scored
     ORDER BY adc_raw, vec_id
@@ -3401,6 +3409,18 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is engine-exact. Python computes the LUT constants with the same
     left-deep t*t fold the SQL uses — IEEE doubles, identical
     operand order, identical bits."""
+    return (
+        _pq_adc_scored(spark, sf_dir)
+        .orderBy(F.col("__adc").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.round("__adc", 6).alias("adc"))
+    )
+
+
+def _pq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, __adc) for every embedding — the Spark mirror of the
+    oracle's ``scored`` CTE; see ann_pq_adc_topk for the determinism
+    and scale argument."""
     cat = Catalog(spark, sf_dir)
     e = cat.embeddings
     rows = {
@@ -3469,9 +3489,70 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     adc = " + ".join(f"({case_j(j)})" for j in range(_PQ_M))
-    return (
-        dist.selectExpr("vec_id", f"{adc} AS __adc")
+    return dist.selectExpr("vec_id", f"{adc} AS __adc")
+
+
+@query(
+    "ann_pq_recall",
+    oracle=f"""
+    WITH {_pq_sql_ctes()},
+    pq AS (
+        SELECT vec_id FROM scored ORDER BY adc_raw, vec_id LIMIT 10
+    ),
+    qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    exact AS (
+        SELECT e.vec_id
+        FROM embeddings e CROSS JOIN qv
+        ORDER BY {_sql_cosine('e.embedding', 'qv.qvec')} DESC, e.vec_id
+        LIMIT 10
+    )
+    SELECT 10 AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           COUNT(*) / 10.0 AS recall
+    FROM exact JOIN pq USING (vec_id)
+    """,
+    tags=("similarity", "ann", "pq", "recall"),
+)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PQ/ADC index against the exact cosine top-10
+    — the honesty metric every approximate index ships with (the
+    ann_int8_recall pattern, applied to the 32x-compressed code
+    path). Both top-10 cuts are engine-exact (raw-double order with
+    vec_id ties, see ann_pq_adc_topk / ann_cosine_topk), so the
+    overlap count is value-exact, not a tolerance match.
+
+    Measured recall is LOW here (0.2 at sf0.01, 0.1 at sf0.1) and
+    that is the point: a K=4 static codebook (first-4-ids, untrained)
+    is a deliberately weak quantizer, and this query is what makes
+    that measurable instead of assumed — production raises K to 256
+    and trains per-subspace centroids (the kmeans_cells_exact
+    machinery), which changes only the codebook literals, not the
+    plan. Same corpus-dependence lesson as SCALING §ANN's
+    kmeans-vs-static probe.
+
+    Plan shape: two independent single-scan TakeOrderedAndProject
+    arms (ADC literal arithmetic; broadcast 1-row query vector) and
+    a 10x10 broadcast join — at 100 TB each arm is one pass over the
+    codes/vectors with a per-partition heap, and the comparison
+    itself is driver-trivial."""
+    cat = Catalog(spark, sf_dir)
+    e = cat.embeddings
+    pq = (
+        _pq_adc_scored(spark, sf_dir)
         .orderBy(F.col("__adc").asc(), F.col("vec_id").asc())
         .limit(10)
-        .select("vec_id", F.round("__adc", 6).alias("adc"))
+        .select("vec_id")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    exact = (
+        e.crossJoin(F.broadcast(q))
+        .select("vec_id", cosine_pair("embedding", "qv", DIM).alias("__cos"))
+        .orderBy(F.col("__cos").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    return exact.join(pq, on="vec_id").agg(
+        F.lit(10).alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        (F.count(F.lit(1)) / F.lit(10.0)).alias("recall"),
     )

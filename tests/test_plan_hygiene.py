@@ -35,6 +35,7 @@ ALLOWED_ARROW = {
 #: construction), never a fact×fact product
 ALLOWED_BNLJ = {
     "ann_cosine_topk",  # broadcast query vector
+    "ann_pq_recall",  # broadcast query vector (exact arm)
     "ann_int8_recall",  # broadcast 1-row anchor (query vector + codes)
     "hard_negative_mining_topk",  # broadcast 5-row query-vector set
     "rrf_fusion_topk",  # broadcast query vector + two 100-row arm frames
