@@ -1172,3 +1172,128 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
         (F.col("swint") > 0).alias("keep"),
     )
+
+
+# ----------------------------------------------------------- bigram LM score
+
+
+@query(
+    "bigram_lm_doc_nll",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, len(w) - 1)) AS i
+              FROM toks)
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w1) AS v FROM c12),
+    model AS (
+        SELECT w1, w2,
+               CAST(FLOOR(-ln((c12 + 1.0) / (c1 + v)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS tmicro
+        FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+    ),
+    scored AS (
+        SELECT bg.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(tmicro) AS BIGINT) AS s
+        FROM bg JOIN model USING (w1, w2)
+        GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams,
+           CAST(s AS DOUBLE)
+             / (CAST(n_bigrams AS DOUBLE) * 1000000.0) AS nll
+    FROM scored
+    """,
+    tags=("llm", "quality", "lm"),
+)
+def bigram_lm_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model fluency score — the
+    CCNet/KenLM-style perplexity filter reduced to its Spark shape:
+    train add-1-smoothed bigram MLE counts on the corpus itself
+    (p(w2|w1) = (C(w1,w2)+1)/(C(w1)+V), V = |observed context
+    vocabulary|), then score every document by its mean bigram
+    negative log-likelihood. High NLL = improbable word transitions
+    (boilerplate, word salad, wrong-language residue).
+
+    Engine-exactness contract: ln() is the one libm call, and its
+    cross-engine ulp wobble is neutralized the way the quantized
+    integer cosine does it — each bigram's -ln p is quantized ONCE
+    (per model row, not per occurrence) to integer micro-nats
+    (floor(x*1e6+0.5))), the per-doc aggregate is then an INTEGER sum
+    (order-free across partitions, no float accumulation), and the
+    final mean is one exact division. A 1-ulp ln difference flips a
+    quantization only within ~1e-10 of a boundary — across the whole
+    model table that is a ~1e-6-probability event, versus the
+    CERTAIN nondeterminism of SUM(double) over an unordered join.
+
+    Scale shape: bigrams by pure expression (transform over the
+    token array — no posexplode self-join), model = one
+    (w1,w2)-keyed aggregate + a map-side c1 rollup + a 1-row V
+    attach, scoring = one equi-join back to the doc bigram stream +
+    a doc-keyed aggregate. The model is vocab²-bounded (shared
+    dimension at 100 TB); the scoring join shuffles on (w1,w2) where
+    AQE may broadcast a small model. The bigram stream is computed
+    once and reused for training and scoring (cache.track)."""
+    cat = Catalog(spark, sf_dir)
+    toks = cat.documents.select(
+        "doc_id", T.tokens("text").alias("__toks")
+    )
+    bg = (
+        toks.select(
+            "doc_id",
+            F.when(
+                F.size("__toks") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(__toks) - 2),"
+                    " i -> struct(__toks[i] AS w1, __toks[i+1] AS w2))"
+                ),
+            )
+            .otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>")
+            )
+            .alias("__bgs"),
+        )
+        .select("doc_id", F.explode_outer("__bgs").alias("__bg"))
+        .where(F.col("__bg").isNotNull())
+        .select("doc_id", "__bg.w1", "__bg.w2")
+    )
+    bg = cache.track(bg)
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = c12.select(F.count_distinct("w1").alias("v"))
+    p = (F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
+    model = (
+        c12.join(c1, on="w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.floor(-F.log(p) * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("tmicro"),
+        )
+    )
+    return (
+        bg.join(model, on=["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("tmicro").alias("__s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.col("__s").cast("double")
+                / (F.col("n_bigrams").cast("double") * F.lit(1000000.0))
+            ).alias("nll"),
+        )
+    )

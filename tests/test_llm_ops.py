@@ -749,16 +749,12 @@ def test_pq_adc_matches_numpy_reimplementation(spark):
     that shares no expression-generation code."""
     import numpy as np
 
-    from lmo_data_catalog_spark.queries.pipeline import (
-        _PQ_K,
-        _PQ_M,
-        _PQ_SUB,
-        ann_pq_adc_topk,
-    )
+    from lmo_data_catalog_spark.queries.pipeline import _PQ_K, _PQ_M, _PQ_SUB
+    from lmo_data_catalog_spark.registry import REGISTRY
 
     got = [
         (r["vec_id"], r["adc"])
-        for r in ann_pq_adc_topk(spark, SF_SMOKE).collect()
+        for r in REGISTRY["ann_pq_adc_topk"].builder(spark, SF_SMOKE).collect()
     ]
 
     emb = (
@@ -791,11 +787,13 @@ def test_quality_classifier_exact_python_replica(spark):
     replica of the hash → bucket → weight → mean pipeline. The
     integer accumulator must match EXACTLY (no float tolerance) and
     the keep flag must equal score > 0."""
-    from lmo_data_catalog_spark.queries.llm import quality_classifier_score
+    from lmo_data_catalog_spark.registry import REGISTRY
 
     got = {
         r["doc_id"]: (r["n_tokens"], r["score"], r["keep"])
-        for r in quality_classifier_score(spark, SF_SMOKE).collect()
+        for r in REGISTRY["quality_classifier_score"]
+        .builder(spark, SF_SMOKE)
+        .collect()
     }
 
     docs = Catalog(spark, SF_SMOKE).documents.select("doc_id", "text").collect()
@@ -818,3 +816,44 @@ def test_quality_classifier_exact_python_replica(spark):
         assert score == swint / (2000006.0 * len(toks))
         assert keep == (swint > 0)
         assert -1.0 < score < 1.0
+
+
+def test_bigram_lm_nll_exact_python_replica(spark):
+    """bigram_lm_doc_nll vs a pure-Python add-1 bigram LM trained on
+    the same fixture: the integer micro-nat accumulator must match
+    EXACTLY (the quantization happens once per model row, so the
+    replica and the engine quantize identical doubles)."""
+    import math
+
+    from lmo_data_catalog_spark.registry import REGISTRY
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll"])
+        for r in REGISTRY["bigram_lm_doc_nll"].builder(spark, SF_SMOKE).collect()
+    }
+
+    docs = Catalog(spark, SF_SMOKE).documents.select("doc_id", "text").collect()
+    c12: dict[tuple, int] = {}
+    for r in docs:
+        ws = r["text"].strip().lower().split()
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+    c1: dict[str, int] = {}
+    for (a, _), c in c12.items():
+        c1[a] = c1.get(a, 0) + c
+    v = len(c1)
+    tmicro = {
+        k: math.floor(-math.log((c + 1.0) / (c1[k[0]] + v)) * 1e6 + 0.5)
+        for k, c in c12.items()
+    }
+    for r in docs:
+        ws = r["text"].strip().lower().split()
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            assert r["doc_id"] not in got
+            continue
+        s = sum(tmicro[p] for p in pairs)
+        n, nll = got[r["doc_id"]]
+        assert n == len(pairs)
+        assert nll == s / (len(pairs) * 1e6)
+        assert nll > 0
