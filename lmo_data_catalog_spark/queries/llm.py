@@ -1297,3 +1297,73 @@ def bigram_lm_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll"),
         )
     )
+
+
+@query(
+    "lang_confusion_matrix",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang AS lang_label,
+               CASE
+                 WHEN list_contains(w,'the') AND list_contains(w,'and') AND list_contains(w,'of') THEN 'en'
+                 WHEN list_contains(w,'el') AND list_contains(w,'la') AND list_contains(w,'de') THEN 'es'
+                 WHEN list_contains(w,'le') AND list_contains(w,'la') AND list_contains(w,'et') THEN 'fr'
+                 WHEN list_contains(w,'der') AND list_contains(w,'die') AND list_contains(w,'und') THEN 'de'
+                 ELSE 'unk'
+               END AS lang_pred
+        FROM t
+    ),
+    totals AS (
+        SELECT lang_label, CAST(COUNT(*) AS BIGINT) AS n_label
+        FROM pred GROUP BY 1
+    )
+    SELECT p.lang_label, p.lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS DOUBLE) / CAST(t.n_label AS DOUBLE) AS share
+    FROM pred p JOIN totals t USING (lang_label)
+    GROUP BY p.lang_label, p.lang_pred, t.n_label
+    """,
+    tags=("text", "langid", "eval"),
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix for the marker-stopword
+    language ID against the fixture label: (label, prediction) doc
+    counts plus the per-label share — the precision/recall raw
+    material every lang-ID gate ships with before it filters a
+    corpus (mis-ID silently drops whole languages, so the matrix is
+    the audit artifact, not the gate itself).
+
+    Plan: one map-only prediction pass (same token-set CASE as
+    lang_id_heuristic — the shared CASE text keeps both oracles in
+    lockstep), a label-keyed count for the denominators, and the
+    matrix aggregate with the 25-language-squared-bounded result.
+    At 100 TB both aggregates are map-side-combinable over a handful
+    of keys; nothing here scales with corpus width."""
+    cat = Catalog(spark, sf_dir)
+    pred = cat.documents.select(
+        F.col("lang").alias("lang_label"),
+        T.lang_id("text").alias("lang_pred"),
+    )
+    pred = cache.track(pred)
+    totals = pred.groupBy("lang_label").agg(
+        F.count(F.lit(1)).alias("n_label")
+    )
+    return (
+        pred.groupBy("lang_label", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(F.broadcast(totals), on="lang_label")
+        .select(
+            "lang_label",
+            "lang_pred",
+            "n_docs",
+            (
+                F.col("n_docs").cast("double")
+                / F.col("n_label").cast("double")
+            ).alias("share"),
+        )
+    )

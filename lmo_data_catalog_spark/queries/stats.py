@@ -2488,3 +2488,109 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rmse"
         ),
     )
+
+
+@query(
+    "zipf_alpha_word_freq",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents
+    ),
+    wf AS (SELECT term, COUNT(*) AS freq FROM toks GROUP BY 1),
+    rk AS (
+        SELECT freq,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS r
+        FROM wf
+    ),
+    q AS (
+        SELECT CAST(FLOOR(ln(r) * 10000.0 + 0.5) AS BIGINT) AS xq,
+               CAST(FLOOR(ln(freq) * 10000.0 + 0.5) AS BIGINT) AS yq
+        FROM rk
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xq) AS BIGINT) AS sx,
+               CAST(SUM(yq) AS BIGINT) AS sy,
+               CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+               CAST(SUM(xq * xq) AS BIGINT) AS sxx
+        FROM q
+    )
+    SELECT n AS n_terms,
+           ROUND(
+             -((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))),
+             6) AS zipf_alpha
+    FROM s
+    """,
+    tags=("stats", "text", "regression"),
+)
+def zipf_alpha_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent of the corpus word-frequency distribution:
+    OLS slope of ln(freq) on ln(rank), negated — the standard
+    corpus-linguistics diagnostic (natural text ≈ 1; a flat synthetic
+    vocabulary reads near 0, which is itself a data-quality signal).
+
+    Engine-exactness: the two libm values per DISTINCT term (ln rank,
+    ln freq) are quantized once to integer ten-thousandths, all five
+    OLS sums are then INTEGER (order-free across partitions), and the
+    closing slope arithmetic runs on exact-int-valued doubles in
+    identical operand order — the same quantize-then-integer-sum
+    contract as bigram_lm_doc_nll and the quantized cosine.
+
+    Scale shape: one vocab-sized count aggregate, EXACT global ranks
+    without a single-task global window via
+    operators/windows.py::global_row_number (bucketed two-phase
+    ranking), then a 1-row aggregate. The 10^4 quantization keeps
+    every sum far inside int64 at any plausible vocabulary (xq ≤
+    ~2.6e5 at a 10^11-type vocab; sxy ≤ n·xq·yq stays under 2^53 for
+    the double-exact closing step up to ~10^9 distinct terms)."""
+    from ..operators import text as T
+    from ..operators.windows import global_row_number
+
+    cat = Catalog(spark, sf_dir)
+    wf = (
+        cat.documents.select(
+            F.explode_outer(T.tokens("text")).alias("term")
+        )
+        .where(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    rk = global_row_number(
+        wf,
+        value_col="freq",
+        ascending=False,
+        tiebreak_cols=["term"],
+        name="r",
+    )
+    q = rk.select(
+        F.floor(F.log("r") * F.lit(10000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("xq"),
+        F.floor(F.log("freq") * F.lit(10000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("yq"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(
+            -(
+                (nd * F.col("sxy").cast("double")
+                 - F.col("sx").cast("double") * F.col("sy").cast("double"))
+                / (nd * F.col("sxx").cast("double")
+                   - F.col("sx").cast("double") * F.col("sx").cast("double"))
+            ),
+            6,
+        ).alias("zipf_alpha"),
+    )
