@@ -3524,11 +3524,13 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured recall is LOW here (0.2 at sf0.01, 0.1 at sf0.1) and
     that is the point: a K=4 static codebook (first-4-ids, untrained)
     is a deliberately weak quantizer, and this query is what makes
-    that measurable instead of assumed — production raises K to 256
-    and trains per-subspace centroids (the kmeans_cells_exact
-    machinery), which changes only the codebook literals, not the
-    plan. Same corpus-dependence lesson as SCALING §ANN's
-    kmeans-vs-static probe.
+    that measurable instead of assumed. tools/pq_probe.py measures
+    the fixes on two corpus geometries (SCALING §PQ-codebook): K
+    dominates (K=16 roughly doubles clustered recall), while
+    per-subspace k-means training is CORPUS-DEPENDENT — +0.14 on the
+    smooth manifold, -0.03 on replica clusters (spherical trainer vs
+    L2 encode objective mismatch). Either fix changes only the
+    codebook/LUT literals, never the plan shape.
 
     Plan shape: two independent single-scan TakeOrderedAndProject
     arms (ADC literal arithmetic; broadcast 1-row query vector) and

@@ -35,6 +35,13 @@ BUDGETS = {
     "token_entropy_per_doc": 3,
     "nation_market_share": 9,
     "sole_late_supplier": 7,
+    # round-11 additions (measured at add time)
+    "ann_pq_adc_topk": 0,  # literal ADC: one scan, zero exchanges
+    "ann_pq_recall": 2,
+    "quality_classifier_score": 2,
+    "bigram_lm_doc_nll": 9,
+    "lang_confusion_matrix": 3,
+    "zipf_alpha_word_freq": 3,
 }
 
 
