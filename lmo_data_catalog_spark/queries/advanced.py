@@ -762,3 +762,115 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(n_g > 0, 1.0 - n_d.cast("double") / n_g).otherwise(0.0), 6
         ).alias("dup_frac"),
     )
+
+
+@query(
+    "association_rules_topk",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM li),
+    item AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS supp FROM li GROUP BY 1
+    ),
+    pair AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               CAST(COUNT(*) AS BIGINT) AS supp_ab
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    rules AS (
+        SELECT pa AS ante, pb AS cons, supp_ab FROM pair
+        UNION ALL
+        SELECT pb AS ante, pa AS cons, supp_ab FROM pair
+    ),
+    scored AS (
+        SELECT r.ante, r.cons, r.supp_ab,
+               CAST(r.supp_ab AS DOUBLE) / CAST(ia.supp AS DOUBLE)
+                 AS confidence,
+               (CAST(n.n AS DOUBLE) * CAST(r.supp_ab AS DOUBLE))
+                 / CAST(ia.supp * ic.supp AS DOUBLE) AS lift
+        FROM rules r
+        JOIN item ia ON r.ante = ia.l_partkey
+        JOIN item ic ON r.cons = ic.l_partkey
+        CROSS JOIN n
+        WHERE r.supp_ab >= 2
+    )
+    SELECT ante, cons, supp_ab, confidence, lift
+    FROM scored
+    ORDER BY lift DESC, confidence DESC, ante, cons
+    LIMIT 20
+    """,
+    tags=("join", "self_join", "basket", "rules"),
+)
+def association_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets (the
+    support/confidence/lift triple of Agrawal-Srikant Apriori at
+    depth 2): every co-occurring part pair yields both directed rules
+    ante→cons, scored by confidence = supp(ab)/supp(ante) and lift =
+    N·supp(ab)/(supp(ante)·supp(cons)), minimum pair support 2,
+    top-20 by (lift, confidence, ante, cons).
+
+    Engine-exactness: supports are integer counts, confidence/lift
+    are single divisions of exact-int-valued doubles (the supp_a·
+    supp_b product stays integer until the one cast) — identical bits
+    both engines, so the ordered top-20 cut is value-exact with the
+    explicit 4-key tie-break.
+
+    Scale shape: the pair generation is cooccurrence_part_pairs'
+    bounded self-join (distinct-per-order first, ≤C(7,2) pairs per
+    TPC-H order, one orderkey-co-partitioned shuffle); item supports
+    are a map-side-combinable aggregate reused for BOTH rule
+    directions via two broadcast-joinable dimension attaches; the
+    1-row basket count is the allow-listed scalar broadcast; top-20
+    is TakeOrdered. Nothing scales worse than the pair count."""
+    from .. import cache
+
+    li = (
+        Catalog(spark, sf_dir)
+        .lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    li = cache.track(li)
+    n = li.select(F.count_distinct("l_orderkey").alias("n"))
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
+    a = li.toDF("l_orderkey", "pa")
+    b = li.toDF("l_orderkey", "pb")
+    pair = (
+        a.join(b, on="l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("supp_ab"))
+        .filter(F.col("supp_ab") >= 2)
+    )
+    rules = pair.select(
+        F.col("pa").alias("ante"), F.col("pb").alias("cons"), "supp_ab"
+    ).unionByName(
+        pair.select(
+            F.col("pb").alias("ante"), F.col("pa").alias("cons"), "supp_ab"
+        )
+    )
+    ia = item.toDF("ante", "supp_a")
+    ic = item.toDF("cons", "supp_c")
+    return (
+        rules.join(F.broadcast(ia), on="ante")
+        .join(F.broadcast(ic), on="cons")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ante",
+            "cons",
+            "supp_ab",
+            (
+                F.col("supp_ab").cast("double")
+                / F.col("supp_a").cast("double")
+            ).alias("confidence"),
+            (
+                (F.col("n").cast("double") * F.col("supp_ab").cast("double"))
+                / (F.col("supp_a") * F.col("supp_c")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.desc("lift"), F.desc("confidence"), F.asc("ante"), F.asc("cons")
+        )
+        .limit(20)
+    )

@@ -60,6 +60,17 @@ SENSITIVE = [
     "lsh_incremental_neardup_pairs",
     "salted_join_skew",
     "pack_documents_greedy",
+    # r11: every new quantize-then-integer-sum contract — the
+    # classifier's signed-weight accumulator, the bigram LM's
+    # micro-nat sum, the Zipf OLS integer sums over bucketed global
+    # ranks — plus the PQ top-10 cut on raw-double ADC ties
+    "quality_classifier_score",
+    "bigram_lm_doc_nll",
+    "zipf_alpha_word_freq",
+    "ann_pq_adc_topk",
+    "ann_pq_recall",
+    # r11: directed-rule top-20 ranks exact-int-valued double ratios
+    "association_rules_topk",
 ]
 
 
