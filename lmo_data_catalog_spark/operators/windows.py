@@ -520,3 +520,59 @@ def exact_percentile_selection(
         )
     finally:
         sdf.unpersist()
+
+
+def global_running_max(
+    df: DataFrame,
+    *,
+    value_col: str,
+    order_col: str,
+    ascending: bool = True,
+    name: str = "running_max",
+    exclusive: bool = False,
+    num_buckets: int = 32,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """EXACT prefix maximum over a GLOBAL ordering without a global
+    window sort — the MAX counterpart to :func:`global_running_sum`
+    (same single-task cliff, same three bounded passes), and simpler:
+    max is order-insensitive for ANY type, so there is no decimal
+    caveat. ``order_col`` must be non-null and is assumed unique per
+    row of ``df`` (callers pass group-level frames); with
+    ``exclusive=True`` the column is the max over STRICTLY-preceding
+    rows (null on the global first row), the shape skyline/frontier
+    scans need."""
+    bounds = df.approxQuantile(
+        order_col,
+        [i / num_buckets for i in range(1, num_buckets)],
+        relative_error,
+    )
+    b = df.withColumn(
+        "__bucket", _bucket_expr(order_col, ascending, bounds, num_buckets)
+    )
+    totals = {
+        r["__bucket"]: r["t"]
+        for r in b.groupBy("__bucket")
+        .agg(F.max(value_col).alias("t"))
+        .collect()
+    }
+    offsets, acc = {}, None
+    for p in sorted(totals):
+        offsets[p] = acc  # max over all PREVIOUS buckets (exclusive)
+        acc = totals[p] if acc is None else max(acc, totals[p])
+    off = F.lit(None)
+    for p, o in offsets.items():
+        off = F.when(F.col("__bucket") == p, F.lit(o)).otherwise(off)
+    direction = F.asc if ascending else F.desc
+    w = Window.partitionBy("__bucket").orderBy(direction(order_col))
+    frame = (
+        w.rowsBetween(Window.unboundedPreceding, -1)
+        if exclusive
+        else w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = F.max(value_col).over(frame)
+    # greatest() skips nulls (returns null only when every input is),
+    # which is exactly the neutral-element semantics both the empty
+    # exclusive frame and the first bucket's missing offset need.
+    running = F.greatest(within, off)
+    return b.withColumn(name, running).drop("__bucket")

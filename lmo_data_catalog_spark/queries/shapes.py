@@ -1409,3 +1409,69 @@ def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(25)
     )
+
+
+@query(
+    "skyline_parts_price_size",
+    oracle="""
+    WITH g AS (
+        SELECT p_retailprice AS pr, MAX(p_size) AS gmax
+        FROM part GROUP BY 1
+    ),
+    r AS (
+        SELECT pr, gmax,
+               MAX(gmax) OVER (
+                   ORDER BY pr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS lt
+        FROM g
+    )
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p JOIN r ON p.p_retailprice = r.pr
+    WHERE NOT (COALESCE(r.lt >= p.p_size, FALSE) OR r.gmax > p.p_size)
+    ORDER BY p.p_retailprice, p.p_size, p.p_partkey
+    """,
+    tags=("analytic", "skyline"),
+)
+def skyline_parts_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (cheaper-or-equal price, larger-or-equal size, one strict) — the
+    Borzsony/Kossmann SKYLINE OF operator, the shape behind
+    "best tradeoff" queries (cheapest-per-capability).
+
+    The definition is quadratic (NOT EXISTS over all pairs); the
+    engine computes it linearithmically from the classic sort-scan
+    identity: a point is dominated iff the max size over STRICTLY
+    cheaper price groups reaches its size, or its own price group
+    holds a strictly larger size. That prefix maximum is a global
+    ordered scan — the single-task window cliff — so it runs through
+    operators/windows.py::global_running_max (quantile buckets →
+    per-bucket window + driver-folded bucket offsets, max needs no
+    decimal caveat), with the price-group frame (|distinct prices|,
+    not |rows|) as input. tests/test_operators.py cross-checks the
+    whole query against the brute-force quadratic definition.
+
+    No dominance comparisons ever pair rows: one group aggregate, one
+    bucketed prefix max, one broadcast-sized join back to parts. The
+    skyline output is bounded by |distinct sizes| price groups.
+    Engine-exactness is comparison-only (raw column values, no
+    arithmetic), so the differential is trivially value-exact."""
+    from ..operators.windows import global_running_max
+
+    part = Catalog(spark, sf_dir).part
+    g = part.groupBy(F.col("p_retailprice").alias("pr")).agg(
+        F.max("p_size").alias("gmax")
+    )
+    r = global_running_max(
+        g, value_col="gmax", order_col="pr", ascending=True,
+        name="lt", exclusive=True,
+    )
+    dominated = F.coalesce(
+        F.col("lt") >= F.col("p_size"), F.lit(False)
+    ) | (F.col("gmax") > F.col("p_size"))
+    return (
+        part.join(r, part.p_retailprice == r.pr)
+        .filter(~dominated)
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_size", "p_partkey")
+    )

@@ -515,3 +515,78 @@ def test_kmeans_kernel_path_matches_expression_path(spark, monkeypatch):
         for r in sim.kmeans_cells_exact(df, **kw).collect()
     }
     assert expr_path == kernel_path and len(expr_path) == 120
+
+
+def test_global_running_max_matches_global_window(spark):
+    """global_running_max (bucketed two-phase) vs the single-task
+    global window, inclusive and exclusive, on keys engineered to
+    straddle bucket boundaries."""
+    from pyspark.sql import Window
+
+    from lmo_data_catalog_spark.operators.windows import global_running_max
+
+    rows = [(i, float(i % 97), (i * 37) % 1000) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, ord double, v int")
+    # make ord unique per row (helper contract: unique order key)
+    df = df.withColumn("ord", F.col("ord") * 10000 + F.col("id"))
+
+    w = Window.orderBy("ord")
+    want_inc = {
+        r["id"]: r["m"]
+        for r in df.withColumn(
+            "m",
+            F.max("v").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        ).collect()
+    }
+    want_exc = {
+        r["id"]: r["m"]
+        for r in df.withColumn(
+            "m",
+            F.max("v").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        ).collect()
+    }
+    got_inc = {
+        r["id"]: r["m"]
+        for r in global_running_max(
+            df, value_col="v", order_col="ord", name="m"
+        ).collect()
+    }
+    got_exc = {
+        r["id"]: r["m"]
+        for r in global_running_max(
+            df, value_col="v", order_col="ord", name="m", exclusive=True
+        ).collect()
+    }
+    assert got_inc == want_inc
+    assert got_exc == want_exc
+
+
+def test_skyline_matches_bruteforce_quadratic(spark):
+    """skyline_parts_price_size (sort-scan identity) vs the literal
+    quadratic dominance definition computed in Python."""
+    from lmo_data_catalog_spark.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["p_partkey"], r["p_retailprice"], r["p_size"])
+        for r in REGISTRY["skyline_parts_price_size"]
+        .builder(spark, sf)
+        .collect()
+    )
+    from lmo_data_catalog_spark.catalog import Catalog
+
+    pts = [
+        (r["p_partkey"], r["p_retailprice"], r["p_size"])
+        for r in Catalog(spark, sf)
+        .part.select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+    want = sorted(
+        (k, pr, sz)
+        for (k, pr, sz) in pts
+        if not any(
+            bpr <= pr and bsz >= sz and (bpr < pr or bsz > sz)
+            for (_, bpr, bsz) in pts
+        )
+    )
+    assert got == want and len(want) > 0

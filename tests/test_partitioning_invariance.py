@@ -71,6 +71,9 @@ SENSITIVE = [
     "ann_pq_recall",
     # r11: directed-rule top-20 ranks exact-int-valued double ratios
     "association_rules_topk",
+    # r11: bucketed global prefix-max — the whole point is layout
+    # independence of the skyline cut
+    "skyline_parts_price_size",
 ]
 
 

@@ -42,6 +42,7 @@ BUDGETS = {
     "bigram_lm_doc_nll": 9,
     "lang_confusion_matrix": 3,
     "zipf_alpha_word_freq": 3,
+    "skyline_parts_price_size": 4,
 }
 
 
