@@ -825,9 +825,43 @@ def dup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     piece — the cleaned text — is rebuilt engine-deterministically
     via array_sort(collect_list(struct(pos, token))) vs
     string_agg(... ORDER BY pos). Everything is integer or exact
-    string work; no floats anywhere."""
-    L = _SUBSTR_L
-    docs = Catalog(spark, sf_dir).documents
+    string work; no floats anywhere.
+
+    The collect_list buffers ONE document per aggregation group —
+    bounded by max doc length, right for this md5 differential pin.
+    A 100 TB corpus-materializing run should not rebuild strings in
+    an aggregate at all: :func:`substring_clean_kept_tokens` +
+    ``write_cleaned_corpus`` below stream the kept tokens out through
+    a doc-keyed sort instead."""
+    kept, tok = _substring_kept_tokens(
+        Catalog(spark, sf_dir).documents, _SUBSTR_L
+    )
+    return kept.groupBy("doc_id").agg(
+        F.first("n_toks").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("kept_tokens"),
+        (F.first("n_toks") - F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("removed_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tk"))
+                    ),
+                    lambda x: x["tk"],
+                ),
+            )
+        ).alias("cleaned_md5"),
+    )
+
+
+def _substring_kept_tokens(docs: DataFrame, L: int):
+    """Shared keep-first substring-dedup core: returns ``(kept,
+    tok)`` where ``tok`` is the positional token table (doc_id,
+    n_toks, pos, tk) and ``kept`` is it minus every position covered
+    by a non-first duplicated L-token run — the exact semantics
+    dup_substring_removal's docstring derives."""
     base = docs.select("doc_id", T.tokens("text").alias("__toks"))
     tok = base.select(
         "doc_id",
@@ -879,23 +913,37 @@ def dup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence("s", F.col("e") - 1)).alias("pos"),
     )
     kept = tok.join(covered, on=["doc_id", "pos"], how="left_anti")
-    return kept.groupBy("doc_id").agg(
-        F.first("n_toks").cast("bigint").alias("n_tokens"),
-        F.count(F.lit(1)).alias("kept_tokens"),
-        (F.first("n_toks") - F.count(F.lit(1)))
-        .cast("bigint")
-        .alias("removed_tokens"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "tk"))
-                    ),
-                    lambda x: x["tk"],
-                ),
-            )
-        ).alias("cleaned_md5"),
+    return kept, tok
+
+
+def substring_clean_kept_tokens(
+    docs: DataFrame, *, L: int = _SUBSTR_L
+) -> DataFrame:
+    """Kept-token table of keep-first exact substring dedup:
+    (doc_id, pos, tk) for every surviving position — the
+    corpus-materializing interface. Unlike the md5 differential
+    query, nothing here ever holds a whole document: the heaviest
+    state anywhere is one gram-window partition."""
+    kept, _ = _substring_kept_tokens(docs, L)
+    return kept.select("doc_id", "pos", "tk")
+
+
+def write_cleaned_corpus(
+    kept: DataFrame, path: str, *, partitions: int = 32
+) -> None:
+    """Materialize a cleaned corpus at scale WITHOUT per-document
+    aggregation buffers (the VERDICT r10 note on the md5 pin's
+    collect_list): repartition by doc_id, sortWithinPartitions
+    (doc_id, pos), write — every document's tokens land contiguous
+    and ordered inside one parquet file, so a reader reassembles text
+    with a streaming scan (or a parquet-aware consumer just reads the
+    token table). Shuffle carries (doc_id, pos, token) rows; the sort
+    is per-partition external sort, never a group buffer."""
+    (
+        kept.repartition(partitions, "doc_id")
+        .sortWithinPartitions("doc_id", "pos")
+        .write.mode("overwrite")
+        .parquet(path)
     )
 
 

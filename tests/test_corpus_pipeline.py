@@ -82,3 +82,41 @@ def test_corpus_build_is_deterministic_across_runs(spark, tmp_path):
         results.append((res["stage_counts"], rows))
     assert results[0][0] == results[1][0]  # identical funnel counts
     assert results[0][1] == results[1][1]  # identical surviving rows
+
+
+def test_write_cleaned_corpus_matches_md5_pin(spark, tmp_path):
+    """The sort-based corpus materialization (no per-doc aggregation
+    buffer) must reconstruct byte-identical cleaned text to the md5
+    the differential query pins."""
+    from lmo_data_catalog_spark.catalog import Catalog
+    from lmo_data_catalog_spark.queries.pipeline import (
+        substring_clean_kept_tokens,
+        write_cleaned_corpus,
+    )
+    from lmo_data_catalog_spark.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    docs = Catalog(spark, sf).documents
+    out = str(tmp_path / "cleaned")
+    write_cleaned_corpus(
+        substring_clean_kept_tokens(docs), out, partitions=4
+    )
+
+    import hashlib
+    from collections import defaultdict
+
+    toks = defaultdict(list)
+    for r in spark.read.parquet(out).collect():
+        toks[r["doc_id"]].append((r["pos"], r["tk"]))
+    rebuilt = {
+        d: hashlib.md5(
+            " ".join(t for _, t in sorted(ps)).encode()
+        ).hexdigest()
+        for d, ps in toks.items()
+    }
+
+    want = {
+        r["doc_id"]: r["cleaned_md5"]
+        for r in REGISTRY["dup_substring_removal"].builder(spark, sf).collect()
+    }
+    assert rebuilt == want and len(want) > 0
