@@ -292,6 +292,17 @@ def _png_unfilter(raw, offset: int, h: int, stride: int, bpp: int):
     return out
 
 
+def _png_samples(out, h: int, w: int, channels: int, depth: int):
+    """Byte canvas → sample array: (h, w, channels) uint8 at depth 8,
+    or uint16 at depth 16 (big-endian sample pairs, spec §7.1)."""
+    import numpy as np
+
+    if depth == 8:
+        return out.reshape(h, w, channels)
+    b = out.reshape(h, w, channels, 2).astype(np.uint16)
+    return (b[..., 0] << 8) | b[..., 1]
+
+
 def _png_adam7(raw, w, h, bpp, depth, units, paletted):
     """Adam7 deinterlace (spec §8.2): seven independently-filtered
     sub-images scattered onto the full canvas at the pass offsets.
@@ -347,11 +358,13 @@ def decode_png_pixels(payload: bytes):
     filter distance 1 byte (spec §9: filtering works on bytes, and a
     packed-index pixel is under one byte), indices unpack MSB-first
     (§7.2) and map through PLTE (→ RGB) or PLTE+tRNS (→ RGBA, alpha
-    defaulting to 255 past the tRNS table, §11.3.2), and Adam7
-    INTERLACE (method 1, spec §8.2: seven independently-filtered
-    sub-images deinterlaced onto the canvas — r11, closing that
-    boundary; empty passes contribute no bytes). 16-bit depth still
-    raises ``NotImplementedError`` (strict contract, like
+    defaulting to 255 past the tRNS table, §11.3.2), Adam7 INTERLACE
+    (method 1, spec §8.2: seven independently-filtered sub-images
+    deinterlaced onto the canvas — r11, closing that boundary; empty
+    passes contribute no bytes), and 16-BIT depth for the non-palette
+    color types (r11: filter unit = channels*2 bytes per §9, samples
+    recombine big-endian per §7.1 → uint16 array). Malformed streams
+    raise ``NotImplementedError`` (strict contract, like
     :func:`decode_image_real`): the point is an honest boundary, not
     a silent wrong decode — an out-of-range palette index also raises
     rather than clamping. Sub reconstruction is a mod-256 prefix sum
@@ -405,14 +418,17 @@ def decode_png_pixels(payload: bytes):
         # filter distance 1 byte regardless of depth
         bpp = 1
         stride = (w * depth + 7) // 8
-    elif depth != 8 or channels is None or comp != 0 or filt != 0:
+    elif depth not in (8, 16) or channels is None or comp != 0 or filt != 0:
         raise NotImplementedError(
             f"unsupported PNG (depth={depth}, color_type={ctype}): "
-            "only 8-bit gray/RGB/gray-alpha/RGBA and palette supported"
+            "only 8/16-bit gray/RGB/gray-alpha/RGBA and palette supported"
         )
     else:
-        bpp = channels
-        stride = w * channels
+        # filtering works on BYTES (spec §9): at 16-bit the filter
+        # unit is channels*2 bytes and samples combine big-endian
+        # (§7.1) after reconstruction
+        bpp = channels * (depth // 8)
+        stride = w * bpp
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
         if len(raw) != h * (stride + 1):
@@ -424,13 +440,13 @@ def decode_png_pixels(payload: bytes):
     elif interlace == 1:
         out = _png_adam7(
             raw, w, h, bpp, depth if paletted else 8,
-            1 if paletted else channels, paletted,
+            1 if paletted else bpp, paletted,
         )
         # _png_adam7 returns pixel-unit rows: (h, w) index plane for
-        # palette images, (h, w*channels) bytes otherwise — exactly
-        # the post-unpack shape of the sequential path below
+        # palette images, (h, w*bpp) bytes otherwise — exactly the
+        # post-unpack shape of the sequential path below
         if not paletted:
-            return out.reshape(h, w, channels)
+            return _png_samples(out, h, w, channels, depth)
         idx = out.astype(np.int64)
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
         if idx.max() >= pal.shape[0]:
@@ -451,7 +467,7 @@ def decode_png_pixels(payload: bytes):
             f"unknown PNG interlace method {interlace}"
         )
     if not paletted:
-        return out.reshape(h, w, channels)
+        return _png_samples(out, h, w, channels, depth)
     if depth == 8:
         idx = out
     else:

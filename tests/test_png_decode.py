@@ -57,20 +57,31 @@ def _filter_row(row, prior, f: int, bpp: int) -> bytes:
     return bytes(out)
 
 
+def _row_bytes(row_pixels: np.ndarray, depth: int) -> np.ndarray:
+    """Scanline pixels → filter-input bytes (16-bit: big-endian pairs,
+    spec §7.1)."""
+    if depth == 8:
+        return row_pixels.reshape(-1).astype(np.uint8)
+    return np.frombuffer(
+        row_pixels.reshape(-1).astype(">u2").tobytes(), np.uint8
+    )
+
+
 def encode_png(pixels: np.ndarray, filters=None, *, interlace=0, depth=8):
-    """Minimal stdlib PNG encoder: (h, w, c) uint8 → PNG bytes, with a
-    chosen filter type per scanline (default: cycle through 0..4)."""
+    """Minimal stdlib PNG encoder: (h, w, c) uint8/uint16 → PNG bytes,
+    with a chosen filter type per scanline (default: cycle 0..4)."""
     h, w, c = pixels.shape
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    bpp = c * (depth // 8) if depth in (8, 16) else c
     if filters is None:
         filters = [y % 5 for y in range(h)]
     raw = bytearray()
-    prior = np.zeros(w * c, dtype=np.uint8)
+    prior = np.zeros(w * bpp, dtype=np.uint8)
     for y in range(h):
-        row = pixels[y].reshape(-1)
+        row = _row_bytes(pixels[y], depth) if depth in (8, 16) else pixels[y].reshape(-1)
         f = filters[y]
         raw.append(f)
-        raw += _filter_row(row, prior, f, c)
+        raw += _filter_row(row, prior, f, bpp)
         prior = row
     ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
     return (
@@ -127,12 +138,13 @@ _ADAM7 = (
 )
 
 
-def encode_png_adam7(pixels: np.ndarray, filters=None) -> bytes:
+def encode_png_adam7(pixels: np.ndarray, filters=None, *, depth=8) -> bytes:
     """Adam7-interlaced encoder: each pass extracted by the §8.2
     offsets, forward-filtered as an INDEPENDENT sub-image (prior row
     resets per pass), empty passes contribute nothing."""
     h, w, c = pixels.shape
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    bpp = c * (depth // 8)
     raw = bytearray()
     fy = 0
     for x0, y0, dx, dy in _ADAM7:
@@ -140,15 +152,15 @@ def encode_png_adam7(pixels: np.ndarray, filters=None) -> bytes:
         ph, pw = sub.shape[:2]
         if ph == 0 or pw == 0:
             continue
-        prior = np.zeros(pw * c, dtype=np.uint8)
+        prior = np.zeros(pw * bpp, dtype=np.uint8)
         for y in range(ph):
-            row = sub[y].reshape(-1)
+            row = _row_bytes(sub[y], depth)
             f = filters[fy] if filters is not None else fy % 5
             fy += 1
             raw.append(f)
-            raw += _filter_row(row, prior, f, c)
+            raw += _filter_row(row, prior, f, bpp)
             prior = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1)
     return (
         b"\x89PNG\r\n\x1a\n"
         + _chunk(b"IHDR", ihdr)
@@ -351,8 +363,16 @@ def test_strict_raises_on_unsupported():
     # unknown interlace METHOD still raises (Adam7 itself decodes now)
     with pytest.raises(NotImplementedError, match="interlace method"):
         decode_png_pixels(encode_png(px, interlace=2))
-    with pytest.raises(NotImplementedError, match="depth=16"):
-        decode_png_pixels(encode_png(px, depth=16))
+    # 4-bit non-palette grayscale is legal PNG but outside our contract
+    ihdr4 = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)
+    g4 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr4)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 12))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="depth=4"):
+        decode_png_pixels(g4)
     # palette PNG (color type 3) with NO PLTE chunk is invalid
     ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
     pal = (
@@ -418,3 +438,49 @@ def test_png_pixel_stats_spark_known_images(spark):
     )
     with pytest.raises(Exception, match="not a PNG"):
         png_pixel_stats(bad).collect()
+
+
+def rng_pixels16(seed, h, w, c):
+    return np.random.RandomState(seed).randint(
+        0, 65536, size=(h, w, c)
+    ).astype(np.uint16)
+
+
+def test_16bit_every_filter_and_channel_count():
+    """16-bit round trip: filter unit = channels*2 bytes, samples
+    recombine big-endian — every filter type x every color type."""
+    for c in (1, 2, 3, 4):
+        for f in range(5):
+            px = rng_pixels16(10 * c + f, 7, 5, c)
+            got = decode_png_pixels(
+                encode_png(px, filters=[f] * 7, depth=16)
+            )
+            assert got.dtype == np.uint16
+            assert np.array_equal(got, px)
+
+
+def test_16bit_adam7_matches_sequential():
+    for c in (1, 3, 4):
+        px = rng_pixels16(77 + c, 13, 9, c)
+        seq = decode_png_pixels(encode_png(px, depth=16))
+        inter = decode_png_pixels(encode_png_adam7(px, depth=16))
+        assert np.array_equal(seq, inter)
+        assert np.array_equal(seq, px)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    c=st.sampled_from([1, 2, 3, 4]),
+    interlace=st.booleans(),
+)
+def test_16bit_fuzz_round_trip(seed, h, w, c, interlace):
+    px = rng_pixels16(seed, h, w, c)
+    png = (
+        encode_png_adam7(px, depth=16)
+        if interlace
+        else encode_png(px, depth=16)
+    )
+    assert np.array_equal(decode_png_pixels(png), px)
