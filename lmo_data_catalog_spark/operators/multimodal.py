@@ -931,3 +931,90 @@ def audio_frame_features(
     return df.select(id_col, payload_col).mapInPandas(
         feats, schema=AUDIO_FRAME_SCHEMA
     )
+
+
+AUDIO_RESAMPLE_SCHEMA = (
+    "doc_id long, rate_in int, rate_out int, n_in long, n_out long, "
+    "duration_s double, rms_in double, rms_out double"
+)
+
+
+def resample_pcm(samples, rate_in: int, rate_out: int):
+    """Linear-interpolation resample of a mono float signal — the
+    deterministic core of sample-rate standardization (no windowed
+    sinc: interpolation error is the documented tradeoff, acceptable
+    for feature pipelines; a polyphase kernel slots in behind the
+    same signature). Output length = round(n * rate_out / rate_in);
+    output sample k sits at input position k * rate_in / rate_out
+    (same t=0 anchor), clamped interpolation at the tail."""
+    import numpy as np
+
+    if rate_in <= 0 or rate_out <= 0:
+        raise ValueError("rates must be positive")
+    n = len(samples)
+    if n == 0 or rate_in == rate_out:
+        return np.asarray(samples, dtype=np.float64).copy()
+    n_out = int(round(n * rate_out / rate_in))
+    pos = np.arange(n_out) * (rate_in / rate_out)
+    i0 = np.minimum(pos.astype(np.int64), n - 1)
+    i1 = np.minimum(i0 + 1, n - 1)
+    frac = pos - i0
+    x = np.asarray(samples, dtype=np.float64)
+    return x[i0] * (1.0 - frac) + x[i1] * frac
+
+
+def audio_resample_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    rate_out: int = 16000,
+) -> DataFrame:
+    """Sample-rate standardization audit: decode WAV → mono downmix →
+    linear resample to ``rate_out`` → emit geometry plus RMS before/
+    after (a broken resampler shifts energy; a correct one preserves
+    it to interpolation error). Same Arrow-batched 1→1 shape as
+    wav_audio_stats; strict decode contract."""
+    import pandas as pd
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [],
+                "rate_in": [],
+                "rate_out": [],
+                "n_in": [],
+                "n_out": [],
+                "duration_s": [],
+                "rms_in": [],
+                "rms_out": [],
+            }
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                rate, samples = decode_wav_pcm(bytes(b))
+                mono = samples.mean(axis=1)
+                out = resample_pcm(mono, rate, rate_out)
+                rows["doc_id"].append(did)
+                rows["rate_in"].append(rate)
+                rows["rate_out"].append(rate_out)
+                rows["n_in"].append(len(mono))
+                rows["n_out"].append(len(out))
+                rows["duration_s"].append(
+                    round(len(out) / rate_out, 6) if rate_out else 0.0
+                )
+                rows["rms_in"].append(
+                    round(float(np.sqrt((mono**2).mean())), 6)
+                    if len(mono)
+                    else 0.0
+                )
+                rows["rms_out"].append(
+                    round(float(np.sqrt((out**2).mean())), 6)
+                    if len(out)
+                    else 0.0
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        stats, schema=AUDIO_RESAMPLE_SCHEMA
+    )

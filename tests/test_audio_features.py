@@ -132,3 +132,72 @@ def test_invalid_args_raise(spark):
     df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
     with pytest.raises(ValueError):
         audio_frame_features(df, frame_ms=0)
+
+
+def test_resample_identity_and_halving():
+    from lmo_data_catalog_spark.operators.multimodal import resample_pcm
+
+    x = np.sin(2 * np.pi * 440 * np.arange(8000) / 8000)
+    same = resample_pcm(x, 8000, 8000)
+    assert np.array_equal(same, x)
+    half = resample_pcm(x, 8000, 4000)
+    assert len(half) == 4000
+    # exact 2:1 decimation positions land ON input samples -> equality
+    assert np.allclose(half, x[::2])
+
+
+def test_resample_preserves_tone_rms_and_freq(spark):
+    """8 kHz 440 Hz tone resampled to 16 kHz keeps its RMS (to linear-
+    interp error) and its spectral centroid stays at 440 Hz when the
+    resampled clip goes back through audio_frame_features."""
+    from lmo_data_catalog_spark.operators.multimodal import (
+        audio_resample_stats,
+        resample_pcm,
+    )
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    x = 0.5 * np.sin(2 * np.pi * 440 * t + 0.1)
+    wav = encode_wav(x[:, None], rate=rate, bits=32, tag=3)
+    df = spark.createDataFrame([(1, wav)], "doc_id long, payload binary")
+    r = audio_resample_stats(df, rate_out=16000).collect()[0]
+    assert (r["rate_in"], r["rate_out"]) == (8000, 16000)
+    assert r["n_out"] == 16000
+    # 2x linear upsample of a tone: every second output sample is a
+    # midpoint, attenuated by cos(pi*f/rate_in) = cos(pi*440/8000)
+    # ~= 0.985 -> expected RMS ratio sqrt((1 + 0.985^2)/2) ~= 0.9926.
+    # Assert the KNOWN interpolation error, not perfection.
+    expect_ratio = np.sqrt((1 + np.cos(np.pi * 440 / 8000) ** 2) / 2)
+    assert r["rms_out"] / r["rms_in"] == pytest.approx(
+        expect_ratio, abs=2e-3
+    )
+
+    # 2x linear upsampling is not alias-free: it leaves an IMAGE at
+    # rate_in - f = 7560 Hz with relative magnitude (1-c)/2 against
+    # the tone's (1+c)/2, c = cos(pi*f/rate_in) — both bin-aligned in
+    # a 25 ms frame (11 and 189 cycles). The magnitude-weighted
+    # centroid therefore sits at the two-component mean, ~493 Hz, NOT
+    # 440 — assert the analytic prediction, pinning that the operator
+    # measures the real (slightly dirty) spectrum.
+    c = np.cos(np.pi * 440 / 8000)
+    m1, m2 = (1 + c) / 2, (1 - c) / 2
+    predicted = (m1 * 440.0 + m2 * (8000.0 - 440.0)) / (m1 + m2)
+    up = resample_pcm(x.astype(np.float32).astype(np.float64), 8000, 16000)
+    wav2 = encode_wav(up[:, None], rate=16000, bits=32, tag=3)
+    rows = _run(spark, [(2, wav2)], frame_ms=25, hop_ms=25)
+    last = max(fr["frame_idx"] for fr in rows)
+    for fr in rows:
+        if fr["frame_idx"] == last:
+            # the tail-clamped final output sample breaks the last
+            # frame's bin alignment — leakage moves its centroid
+            continue
+        assert fr["spectral_centroid_hz"] == pytest.approx(
+            predicted, abs=2.0
+        )
+
+
+def test_resample_invalid_rate_raises():
+    from lmo_data_catalog_spark.operators.multimodal import resample_pcm
+
+    with pytest.raises(ValueError):
+        resample_pcm(np.zeros(10), 0, 8000)
