@@ -48,6 +48,14 @@ BUDGETS = {
 
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_exchange_count_within_budget(spark, name):
+    # cache-free measurement: an earlier test's cache.track'd frame
+    # with a structurally identical subtree (Spark cache lookup is
+    # structural) would swap an InMemoryTableScan into THIS plan and
+    # change the Exchange string count — the flake class that kept
+    # minhash_lsh_pairs out of BUDGETS, seen live when
+    # association_rules_topk's persisted DISTINCT lineitem subtree
+    # rewrote cooccurrence_part_pairs' plan in the full suite.
+    spark.catalog.clearCache()
     df = REGISTRY[name].builder(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     n = plan.count("Exchange")

@@ -150,12 +150,13 @@ def main() -> None:
         "salted query's own 3 isolated runs spread 2.8/5.1/4.1 s under",
         "a neighbor burst; the BEST is the engine number).",
         "",
-        "## Round-11 additions: what the 3 new suite rows cost",
+        "## Round-11 additions: what the 11 new suite rows cost",
         "",
-        "The registry grew 193 → 196: `dup_substring_runs_fp` (md5",
-        "gram-fingerprint substring dedup — 1.72x narrower gram shuffle",
-        "than the exact-string sibling, measured via REST stage metrics",
-        "in tools/substr_fp_probe.py), `html_text_extract` (map-only",
+        "The registry grew 193 → 196 → 204 across the round. First",
+        "wave: `dup_substring_runs_fp` (md5 gram-fingerprint substring",
+        "dedup — 1.72x narrower gram shuffle than the exact-string",
+        "sibling, measured via REST stage metrics in",
+        "tools/substr_fp_probe.py), `html_text_extract` (map-only",
         "0-exchange HTML→text + link-density gate), and",
         "`kcore_parts_graph_hubsafe` (the hub-safe peel). Measured",
         "surprises worth recording: the fingerprint variant is already",
@@ -166,6 +167,24 @@ def main() -> None:
         "node-keyed sort saves; its designed win remains flat wall",
         "under power-law hubs where the window peel grows linearly",
         "(SCALING §kcore hub-safe, 4M→16M-hub probe).",
+        "",
+        "Second wave (+8): `ann_pq_adc_topk` (PQ/ADC — ZERO exchanges,",
+        "one scan into TakeOrderedAndProject; the codebook and lookup",
+        "table are literal arithmetic, built via selectExpr after the",
+        "per-Column py4j construction measured ~1.8 s of pure",
+        "driver-side overhead), `ann_pq_recall` (exact-vs-ADC top-10",
+        "overlap; recall probe in SCALING §PQ-codebook),",
+        "`quality_classifier_score` (two map-side-combinable",
+        "aggregates, weights as closed-form expressions — no model",
+        "broadcast), `bigram_lm_doc_nll` (corpus-trained bigram LM,",
+        "integer micro-nat sums), `lang_confusion_matrix`,",
+        "`zipf_alpha_word_freq` (bucketed global ranks + integer OLS),",
+        "`association_rules_topk` (directed lift over the bounded",
+        "basket self-join), `skyline_parts_price_size` (Pareto",
+        "frontier via bucketed global prefix-max — no quadratic",
+        "dominance pass, no single-task window). Decade-up walls for",
+        "the heavier ones are in SCALING §PQ/classifier (1.8-2.4x for",
+        "10x rows, overhead-dominated).",
         "",
     ]
     with open(os.path.join(ROOT, "BENCH.md"), "w") as fh:
