@@ -874,3 +874,62 @@ def association_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+@query(
+    "frequent_itemsets_depth3",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    t AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, c.l_partkey AS pc,
+               CAST(COUNT(*) AS BIGINT) AS supp
+        FROM li a
+        JOIN li b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+        JOIN li c ON b.l_orderkey = c.l_orderkey
+                 AND b.l_partkey < c.l_partkey
+        GROUP BY 1, 2, 3
+    )
+    SELECT pa, pb, pc, supp
+    FROM t
+    WHERE supp >= 2
+    ORDER BY supp DESC, pa, pb, pc
+    LIMIT 20
+    """,
+    tags=("join", "self_join", "basket", "itemsets"),
+)
+def frequent_itemsets_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-3 frequent itemsets (the Apriori level above
+    association_rules_topk's pairs): ordered part triples
+    co-purchased in one order, minimum support 2, top-20 by
+    (support, triple). Counts are integers, the cut's 4-key order is
+    total — trivially value-exact.
+
+    Scale shape: the triple generation chains TWO orderkey-
+    co-partitioned self-joins on the distinct-per-order item table —
+    with AQE both joins share the orderkey partitioning, so only the
+    first Exchange moves data; fan-out is bounded by C(items_per_
+    order, 3) ≈ 35 per TPC-H order (Apriori's candidate explosion is
+    a per-basket combinatorial bound, not a corpus-size one). The
+    final aggregate is map-side-combinable and the top-20 is
+    TakeOrdered. A skewed mega-basket corpus would salt the basket
+    key exactly as cooccurrence_part_pairs_salted does."""
+    li = (
+        Catalog(spark, sf_dir)
+        .lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.toDF("l_orderkey", "pa")
+    b = li.toDF("l_orderkey", "pb")
+    c = li.toDF("l_orderkey", "pc")
+    return (
+        a.join(b, on="l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .join(c, on="l_orderkey")
+        .filter(F.col("pb") < F.col("pc"))
+        .groupBy("pa", "pb", "pc")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= 2)
+        .orderBy(F.desc("supp"), "pa", "pb", "pc")
+        .limit(20)
+    )

@@ -74,6 +74,7 @@ SENSITIVE = [
     # r11: bucketed global prefix-max — the whole point is layout
     # independence of the skyline cut
     "skyline_parts_price_size",
+    "frequent_itemsets_depth3",
 ]
 
 

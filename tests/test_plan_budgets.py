@@ -43,6 +43,7 @@ BUDGETS = {
     "lang_confusion_matrix": 3,
     "zipf_alpha_word_freq": 3,
     "skyline_parts_price_size": 4,
+    "frequent_itemsets_depth3": 6,
 }
 
 
