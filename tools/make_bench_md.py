@@ -182,9 +182,19 @@ def main() -> None:
         "`association_rules_topk` (directed lift over the bounded",
         "basket self-join), `skyline_parts_price_size` (Pareto",
         "frontier via bucketed global prefix-max — no quadratic",
-        "dominance pass, no single-task window). Decade-up walls for",
-        "the heavier ones are in SCALING §PQ/classifier (1.8-2.4x for",
-        "10x rows, overhead-dominated).",
+        "dominance pass, no single-task window), and",
+        "`frequent_itemsets_depth3` (triple mining over two",
+        "co-partitioned self-joins). Decade-up walls for the heavier",
+        "ones are in SCALING §PQ/classifier (1.8-2.4x for 10x rows,",
+        "overhead-dominated).",
+        "",
+        "Suite-total accounting across the round: canonical 131.8 s /",
+        f"193 (r10 stamp) → {bench['value']} s / {len(bench['queries'])}",
+        "(this stamp). The 12 new rows measure ~9-10 s together",
+        "(association_rules_topk ~2.7 s is the largest); the residual",
+        "drift vs the r10 stamp's quieter host sits inside the",
+        "measured 1.2-1.9x variance band, with no single shared query",
+        "moving beyond it.",
         "",
     ]
     with open(os.path.join(ROOT, "BENCH.md"), "w") as fh:
