@@ -576,3 +576,41 @@ def global_running_max(
     # exclusive frame and the first bucket's missing offset need.
     running = F.greatest(within, off)
     return b.withColumn(name, running).drop("__bucket")
+
+
+def skyline_2d(
+    df: DataFrame,
+    *,
+    x_col: str,
+    y_col: str,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier, minimize x / maximize y, one
+    strict): rows not dominated by any other row. Sort-scan identity
+    instead of the quadratic dominance definition — a row is
+    dominated iff the max y over STRICTLY smaller x groups reaches
+    its y, or its own x group holds a strictly larger y. The prefix
+    maximum runs through :func:`global_running_max` on the x-group
+    frame, so no single-task window and no pairwise comparisons
+    anywhere; output is the input rows that survive. Exact for ties:
+    rows duplicated on (x, y) dominate nothing and both survive."""
+    g = df.groupBy(F.col(x_col).alias("__x")).agg(
+        F.max(y_col).alias("__gmax")
+    )
+    r = global_running_max(
+        g,
+        value_col="__gmax",
+        order_col="__x",
+        ascending=True,
+        name="__lt",
+        exclusive=True,
+        num_buckets=num_buckets,
+    )
+    dominated = F.coalesce(
+        F.col("__lt") >= F.col(y_col), F.lit(False)
+    ) | (F.col("__gmax") > F.col(y_col))
+    return (
+        df.join(r, df[x_col] == r["__x"])
+        .filter(~dominated)
+        .drop("__x", "__gmax", "__lt")
+    )

@@ -1456,22 +1456,11 @@ def skyline_parts_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     skyline output is bounded by |distinct sizes| price groups.
     Engine-exactness is comparison-only (raw column values, no
     arithmetic), so the differential is trivially value-exact."""
-    from ..operators.windows import global_running_max
+    from ..operators.windows import skyline_2d
 
     part = Catalog(spark, sf_dir).part
-    g = part.groupBy(F.col("p_retailprice").alias("pr")).agg(
-        F.max("p_size").alias("gmax")
-    )
-    r = global_running_max(
-        g, value_col="gmax", order_col="pr", ascending=True,
-        name="lt", exclusive=True,
-    )
-    dominated = F.coalesce(
-        F.col("lt") >= F.col("p_size"), F.lit(False)
-    ) | (F.col("gmax") > F.col("p_size"))
     return (
-        part.join(r, part.p_retailprice == r.pr)
-        .filter(~dominated)
+        skyline_2d(part, x_col="p_retailprice", y_col="p_size")
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_retailprice", "p_size", "p_partkey")
     )

@@ -590,3 +590,42 @@ def test_skyline_matches_bruteforce_quadratic(spark):
         )
     )
     assert got == want and len(want) > 0
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as hst  # noqa: E402  (st = schema_toolkit)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    seed=hst.integers(0, 10_000),
+    n=hst.integers(5, 120),
+    grid=hst.sampled_from([3, 5, 10, 1000]),
+)
+def test_skyline_2d_fuzz_vs_bruteforce(spark, seed, n, grid):
+    """skyline_2d vs the quadratic dominance definition on random
+    point sets — small grids force heavy (x, y) ties (duplicates must
+    BOTH survive), grid=1000 exercises the near-unique regime."""
+    import numpy as np
+
+    from lmo_data_catalog_spark.operators.windows import skyline_2d
+
+    rng = np.random.RandomState(seed)
+    pts = [
+        (i, float(rng.randint(0, grid)), int(rng.randint(0, grid)))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(pts, "id long, x double, y int")
+    got = sorted(
+        (r["id"], r["x"], r["y"])
+        for r in skyline_2d(df, x_col="x", y_col="y").collect()
+    )
+    want = sorted(
+        (i, x, y)
+        for (i, x, y) in pts
+        if not any(
+            bx <= x and by >= y and (bx < x or by > y)
+            for (_, bx, by) in pts
+        )
+    )
+    assert got == want
