@@ -39,6 +39,13 @@ _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 _MAX_CODE_WIDTH = 12
 
+#: default canvas sanity cap for :func:`decode_gif_frames` — a crafted
+#: 13-byte header can claim 65535x65535 (a ~12.9 GB RGB allocation per
+#: payload row); untrusted corpus decode must bound the allocation
+#: BEFORE trusting the header, consistent with the strict-raise
+#: contract (raises ValueError, never over-allocates).
+MAX_PIXELS = 16 * 1024 * 1024
+
 
 def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
     """GIF-flavor LZW (spec appendix F): variable code width starting
@@ -98,12 +105,35 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
         ):
             width += 1
         if len(out) >= n_pixels:
-            break
-    if len(out) < n_pixels:
-        raise ValueError(
-            f"GIF: LZW produced {len(out)} of {n_pixels} pixels"
-        )
-    return bytes(out[:n_pixels])
+            if len(out) > n_pixels:
+                raise ValueError(
+                    f"GIF: LZW produced {len(out)} pixels for a "
+                    f"{n_pixels}-pixel image"
+                )
+            # image complete: only CLEAR codes, EOI, or bit padding may
+            # remain — a further pixel-producing code means the stream
+            # is corrupt (the overlong mirror of the short-stream raise)
+            while True:
+                while nbits < width:
+                    if pos >= len(data):
+                        return bytes(out)  # padding-only tail
+                    acc |= data[pos] << nbits
+                    nbits += 8
+                    pos += 1
+                code = acc & ((1 << width) - 1)
+                acc >>= width
+                nbits -= width
+                if code == eoi:
+                    return bytes(out)
+                if code == clear:
+                    width = min_code_size + 1
+                    continue
+                raise ValueError(
+                    "GIF: LZW pixel data past image size"
+                )
+    raise ValueError(
+        f"GIF: LZW produced {len(out)} of {n_pixels} pixels"
+    )
 
 
 def _read_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
@@ -133,7 +163,7 @@ def _color_table(payload: bytes, pos: int, size_field: int):
     return tab, end
 
 
-def decode_gif_frames(payload: bytes):
+def decode_gif_frames(payload: bytes, *, max_pixels: int = MAX_PIXELS):
     """Full decode of a (possibly animated) GIF → ``(width, height,
     frames)`` where ``frames`` is a list of ``(delay_ms, pixels)``
     with ``pixels`` a ``(height, width, 3)`` uint8 RGB array of the
@@ -144,6 +174,11 @@ def decode_gif_frames(payload: bytes):
     if len(payload) < 13:
         raise ValueError("GIF: truncated header")
     w, h = struct.unpack("<HH", payload[6:10])
+    if w * h > max_pixels:
+        raise ValueError(
+            f"GIF: logical screen {w}x{h} exceeds the {max_pixels}"
+            "-pixel decode cap"
+        )
     packed = payload[10]
     bg_idx = payload[11]
     pos = 13

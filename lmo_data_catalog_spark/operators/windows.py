@@ -559,7 +559,11 @@ def global_running_max(
     offsets, acc = {}, None
     for p in sorted(totals):
         offsets[p] = acc  # max over all PREVIOUS buckets (exclusive)
-        acc = totals[p] if acc is None else max(acc, totals[p])
+        # an all-null bucket contributes nothing (F.max returned None);
+        # skipping it mirrors the null-skipping F.greatest gives the
+        # within-bucket frame below — Python max cannot compare None
+        if totals[p] is not None:
+            acc = totals[p] if acc is None else max(acc, totals[p])
     off = F.lit(None)
     for p, o in offsets.items():
         off = F.when(F.col("__bucket") == p, F.lit(o)).otherwise(off)

@@ -351,6 +351,55 @@ def test_malformed_raises():
         decode_gif_frames(bad)
 
 
+def _manual_gif(
+    w: int, h: int, pal: np.ndarray, indices: bytes, min_code: int = 2
+) -> bytes:
+    """Hand-assembled single-frame GIF where the LZW pixel stream is
+    supplied verbatim — lets tests craft streams whose pixel count
+    disagrees with the image descriptor."""
+    assert len(pal) == 4
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | 0x01)  # GCT present, 4 entries
+    out += b"\x00\x00"
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(min_code)
+    out += _subblocks(lzw_encode(indices, min_code))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_overlong_lzw_raises():
+    """A stream emitting MORE pixels than the descriptor claims must
+    raise, mirroring the short-stream check (ADVICE r11) — silent
+    truncation would accept corrupt payloads."""
+    pal = _pal(4)
+    ok = _manual_gif(2, 2, pal, bytes([0, 1, 2, 3]))
+    _, _, frames = decode_gif_frames(ok)  # manual assembly is valid
+    assert np.array_equal(
+        frames[0][1], pal[np.array([[0, 1], [2, 3]], dtype=np.uint8)]
+    )
+    bad = _manual_gif(2, 2, pal, bytes([0, 1, 2, 3, 1, 2]))
+    with pytest.raises(ValueError, match="past image size|pixels for"):
+        decode_gif_frames(bad)
+
+
+def test_oversized_header_caps_allocation():
+    """A 13-byte header claiming 65535x65535 (a ~12.9 GB canvas) must
+    raise BEFORE allocating (ADVICE r11 OOM surface)."""
+    pal = _pal(4)
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    good = encode_gif((2, 2), pal, [{"idx": idx}])
+    huge = bytearray(good)
+    huge[6:10] = struct.pack("<HH", 65535, 65535)
+    with pytest.raises(ValueError, match="decode cap"):
+        decode_gif_frames(bytes(huge))
+    # the cap is configurable per call site
+    with pytest.raises(ValueError, match="decode cap"):
+        decode_gif_frames(good, max_pixels=3)
+
+
 # --------------------------------------------------------- Spark operator
 
 

@@ -561,6 +561,38 @@ def test_global_running_max_matches_global_window(spark):
     assert got_exc == want_exc
 
 
+def test_global_running_max_all_null_bucket(spark):
+    """A bucket whose every value is null (F.max -> None) must not
+    crash the driver-side offset fold and must not poison downstream
+    offsets: nulls are skipped, matching F.greatest's semantics
+    (ADVICE r11). Non-null values first so a later bucket is all-null
+    — the ordering that used to hit max(int, None)."""
+    from pyspark.sql import Window
+
+    from lmo_data_catalog_spark.operators.windows import global_running_max
+
+    rows = [
+        (i, float(i), (i * 13) % 50 if i < 96 else None)
+        for i in range(128)
+    ]
+    df = spark.createDataFrame(rows, "id long, ord double, v int")
+    w = Window.orderBy("ord")
+    want = {
+        r["id"]: r["m"]
+        for r in df.withColumn(
+            "m",
+            F.max("v").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        ).collect()
+    }
+    got = {
+        r["id"]: r["m"]
+        for r in global_running_max(
+            df, value_col="v", order_col="ord", name="m", num_buckets=8
+        ).collect()
+    }
+    assert got == want
+
+
 def test_skyline_matches_bruteforce_quadratic(spark):
     """skyline_parts_price_size (sort-scan identity) vs the literal
     quadratic dominance definition computed in Python."""

@@ -150,9 +150,9 @@ def main() -> None:
         "salted query's own 3 isolated runs spread 2.8/5.1/4.1 s under",
         "a neighbor burst; the BEST is the engine number).",
         "",
-        "## Round-11 additions: what the 11 new suite rows cost",
+        "## Round-11 additions: what the 12 new suite rows cost",
         "",
-        "The registry grew 193 → 196 → 204 across the round. First",
+        "The registry grew 193 → 196 → 205 across the round. First",
         "wave: `dup_substring_runs_fp` (md5 gram-fingerprint substring",
         "dedup — 1.72x narrower gram shuffle than the exact-string",
         "sibling, measured via REST stage metrics in",
@@ -168,7 +168,7 @@ def main() -> None:
         "under power-law hubs where the window peel grows linearly",
         "(SCALING §kcore hub-safe, 4M→16M-hub probe).",
         "",
-        "Second wave (+8): `ann_pq_adc_topk` (PQ/ADC — ZERO exchanges,",
+        "Second wave (+9): `ann_pq_adc_topk` (PQ/ADC — ZERO exchanges,",
         "one scan into TakeOrderedAndProject; the codebook and lookup",
         "table are literal arithmetic, built via selectExpr after the",
         "per-Column py4j construction measured ~1.8 s of pure",
