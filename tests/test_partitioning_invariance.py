@@ -75,6 +75,10 @@ SENSITIVE = [
     # independence of the skyline cut
     "skyline_parts_price_size",
     "frequent_itemsets_depth3",
+    # r12: the trained-PQ index's shortlist cut (top-50 on raw-double
+    # ADC ties) and re-ranked top-10 must not move with layout
+    "ann_pq_trained_topk",
+    "ann_pq_trained_recall",
 ]
 
 

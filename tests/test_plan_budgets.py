@@ -44,6 +44,9 @@ BUDGETS = {
     "zipf_alpha_word_freq": 3,
     "skyline_parts_price_size": 4,
     "frequent_itemsets_depth3": 6,
+    # round-12 additions (measured at add time)
+    "ann_pq_trained_topk": 1,  # encode kernel scan + 1-row q broadcast
+    "ann_pq_trained_recall": 3,
 }
 
 

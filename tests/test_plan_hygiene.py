@@ -26,6 +26,8 @@ ALLOWED_ARROW = {
     "semantic_dedup_keep",  # cell-blocked GEMM kernel (same_col mask)
     "bpe_token_counts",  # BPE encoder kernel over DISTINCT words only
     "token_budget_head_bpe",  # same distinct-word BPE kernel front end
+    "ann_pq_trained_topk",  # vectorized PQ encode kernel (GEMM-class)
+    "ann_pq_trained_recall",  # same encode kernel (index arm)
 }
 
 #: queries whose plans legitimately contain BroadcastNestedLoopJoin —
@@ -36,6 +38,8 @@ ALLOWED_ARROW = {
 ALLOWED_BNLJ = {
     "ann_cosine_topk",  # broadcast query vector
     "ann_pq_recall",  # broadcast query vector (exact arm)
+    "ann_pq_trained_topk",  # broadcast query vector (50-row re-rank)
+    "ann_pq_trained_recall",  # broadcast query vector (both arms)
     "ann_int8_recall",  # broadcast 1-row anchor (query vector + codes)
     "hard_negative_mining_topk",  # broadcast 5-row query-vector set
     "rrf_fusion_topk",  # broadcast query vector + two 100-row arm frames
