@@ -101,6 +101,103 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: cells the IVF multiprobe variant searches — the standard recall
+#: lever the single-cell query lacks (LSH got Hamming-1 multiprobe in
+#: r6; this is the IVF counterpart, r11 verdict ask #3)
+_IVF_NPROBE = 4
+
+_IVF_MULTIPROBE_SQL = f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cvec
+        FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+    ),
+    assign AS (
+        SELECT e.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC, c.cent_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    a1 AS (SELECT vec_id, cent_id FROM assign WHERE rn = 1),
+    qc AS (
+        SELECT cent_id FROM assign
+        WHERE vec_id = 0 AND rn <= {_IVF_NPROBE}
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, ROUND({_sql_cosine('e.embedding', 'q.qv')}, 6) AS cosine
+    FROM embeddings e
+    JOIN a1 ON a1.vec_id = e.vec_id
+    JOIN qc ON a1.cent_id = qc.cent_id
+    CROSS JOIN q
+    ORDER BY {_sql_cosine('e.embedding', 'q.qv')} DESC, e.vec_id
+    LIMIT 10
+"""
+
+
+@query(
+    "ann_ivf_multiprobe_topk",
+    oracle=_IVF_MULTIPROBE_SQL,
+    tags=("similarity", "ann", "ivf"),
+)
+def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=4 (r11 verdict ask #3): database
+    vectors keep their single-cell assignment, but the QUERY searches
+    its 4 nearest cells — the standard IVF recall lever
+    (Jegou et al. 2011 use exactly this probe-the-top-w-cells
+    search; LSH has had the analogous Hamming-1 multiprobe since
+    r6). tools/ann_recall_probe.py measures the recall-vs-cost curve
+    (SCALING §ANN): each extra probed cell adds ~1/8 of the corpus
+    to the exact-rescore set, so nprobe trades scan fraction for
+    recall linearly.
+
+    Scale shape: identical to ann_ivf_topk — broadcast 8-row
+    centroid table, one crossJoin+window assignment (at 100 TB the
+    assignment is precomputed at ingest and the cells are partition
+    keys; the probe is then nprobe partition reads), the probed
+    union filters via a broadcast 4-row cell list, and the
+    final top-10 is TakeOrderedAndProject. Ties on the cell rank and
+    the final cosine both break on vec_id, both engines."""
+    cat = Catalog(spark, sf_dir)
+    e = cat.embeddings
+    cents = F.broadcast(
+        e.filter(F.col("vec_id").between(1, 8)).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__cos").desc(), F.col("cent_id").asc()
+    )
+    assign = (
+        e.crossJoin(cents)
+        .select(
+            "vec_id",
+            "cent_id",
+            cosine_pair("embedding", "cvec", DIM).alias("__cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+    )
+    assign = cache.track(assign)
+    a1 = assign.filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    qc = F.broadcast(
+        assign.filter(
+            (F.col("vec_id") == 0) & (F.col("rn") <= _IVF_NPROBE)
+        ).select(F.col("cent_id").alias("qcent"))
+    )
+    cell = a1.join(qc, a1.cent_id == qc.qcent).select("vec_id")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    return (
+        e.join(cell, on="vec_id")
+        .crossJoin(q)
+        .select("vec_id", cosine_pair("embedding", "qv", DIM).alias("__cos"))
+        .orderBy(F.col("__cos").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.round("__cos", 6).alias("cosine"))
+    )
+
+
 def _kmeans_sql_assign(name: str, prev: str, dim: int = DIM) -> str:
     """Assignment CTE: spherical score dot(q, S_c)/|S_c| as left-deep
     double folds, ties to the lowest cell — mirrors

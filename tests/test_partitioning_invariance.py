@@ -76,9 +76,12 @@ SENSITIVE = [
     "skyline_parts_price_size",
     "frequent_itemsets_depth3",
     # r12: the trained-PQ index's shortlist cut (top-50 on raw-double
-    # ADC ties) and re-ranked top-10 must not move with layout
+    # ADC ties) and re-ranked top-10 must not move with layout; the
+    # IVF multiprobe's cell-rank cut (rn <= nprobe on float cosine
+    # ties) is the same class
     "ann_pq_trained_topk",
     "ann_pq_trained_recall",
+    "ann_ivf_multiprobe_topk",
 ]
 
 

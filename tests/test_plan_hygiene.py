@@ -45,6 +45,7 @@ ALLOWED_BNLJ = {
     "rrf_fusion_topk",  # broadcast query vector + two 100-row arm frames
     "weighted_systematic_sample",  # 1-row grand-total-weight attach
     "ann_ivf_topk",  # broadcast centroid table
+    "ann_ivf_multiprobe_topk",  # broadcast centroid table + query vector
     "ann_lsh_multiprobe",  # broadcast 1-row query (vector + bucket)
     "audience_overlap_hll",  # 1-row sketch-estimate triple attach
     "bigram_pmi_topk",  # 1-row corpus totals (n_uni, n_bg)

@@ -290,7 +290,11 @@ def main() -> None:
                 (corpus_label, f"LSH {planes} planes, multiprobe r=1", f"~{frac:.1%}", r)
             )
             print(results[-1])
-        for cents, nprobe in ((8, 1), (16, 1), (32, 1), (16, 2), (32, 2)):
+        for cents, nprobe in (
+            (8, 1), (16, 1), (32, 1),
+            (8, 2), (16, 2), (32, 2),
+            (8, 4), (16, 4), (32, 4),
+        ):
             r = recall(ivf_run(emb, queries, cents, nprobe), truth)
             frac = nprobe / cents
             results.append(
@@ -353,8 +357,10 @@ def main() -> None:
         "  (planes+1)x the buckets and is the strongest config here",
         "  (0.87 at 32k vectors, 4 planes).",
         "- IVF recall FALLS as cells grow at nprobe=1 — more cells mean",
-        "  more boundaries through dense regions; nprobe=2 claws part of",
-        "  it back. Partition count must co-move with nprobe.",
+        "  more boundaries through dense regions; the nprobe curve",
+        "  (1 -> 2 -> 4, registry `ann_ivf_multiprobe_topk` ships",
+        "  nprobe=4 at 8 cells) buys it back roughly linearly in",
+        "  scanned fraction. Partition count must co-move with nprobe.",
         "- The k-means rows cut BOTH ways, measured: on the clustered",
         "  corpus Lloyd refinement HURTS nprobe=1 recall (0.875 ->",
         "  0.315 at 8 cells/32k) — corpus-vector seeds sit INSIDE the",
