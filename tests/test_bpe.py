@@ -280,3 +280,81 @@ def test_committed_table_matches_all_at_once(word):
     got = bpe_segments(word)
     assert got == all_at_once_encode(word, RANKS)
     assert "".join(got) == word
+
+
+# ------------------------------ committed 12k byte-level table (r12)
+
+
+def test_bytelevel_table_is_realistic_scale():
+    """The committed merges.txt-format table must hold the r11 bar:
+    >= 10k merges, loaded through the PUBLISHED-format loader, with
+    leading-space (Ġ) merges present like a real byte-level table."""
+    from lmo_data_catalog_spark.operators.bpe import (
+        bytelevel_merges,
+        bytelevel_ranks,
+    )
+
+    merges = bytelevel_merges()
+    assert len(merges) >= 10_000
+    assert sum(1 for l, r in merges if "Ġ" in l + r) >= 1_000
+    ranks = bytelevel_ranks()
+    assert ranks[merges[0]] == 0 and ranks[merges[-1]] == len(merges) - 1
+    # every symbol is space-free (the published format's hard contract)
+    assert all(" " not in l and " " not in r for l, r in merges)
+
+
+def test_bytelevel_ascii_identity_shortcut():
+    """The differential's oracle renders the mapped word as
+    chr(288) || w; that equals the kernel's real BYTE_ENCODER path
+    exactly when w is printable ASCII — the shared [!-~] guard."""
+    from lmo_data_catalog_spark.operators.bpe import BYTE_ENCODER
+
+    for w in ("hello", "a1b2", "x,y.z!", "'quote'", "~tilde~"):
+        mapped = "".join(BYTE_ENCODER[b] for b in (" " + w).encode())
+        assert mapped == "Ġ" + w
+
+
+def test_incremental_trainer_matches_reference_loop():
+    """tools/train_bpe_bytelevel.py's heap-indexed trainer must be
+    BIT-IDENTICAL to tools/train_bpe.py's classic recount loop on the
+    same lexicon (same count-then-lexicographic tie-break) — the
+    committed table's provenance rests on this equivalence."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from train_bpe import synth_freqs, train
+    from train_bpe_bytelevel import byte_map, train_incremental
+
+    lex = synth_freqs(400)
+    freqs = {}
+    for w, f in lex.items():
+        freqs[byte_map(" " + w)] = f
+        bare = byte_map(w)
+        freqs[bare] = freqs.get(bare, 0) + max(1, f // 10)
+    assert train_incremental(freqs, 250) == train(freqs, 250)
+
+
+def test_bytelevel_committed_table_segments():
+    """Physics pins on the committed 12k table: frequent synth words
+    collapse to ONE leading-space token; encode/decode round-trips."""
+    from lmo_data_catalog_spark.operators.bpe import (
+        bpe_segments_ranked,
+        bytelevel_ranks,
+        decode_bytelevel,
+    )
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from train_bpe import synth_freqs
+    from train_bpe_bytelevel import byte_map
+
+    ranks = bytelevel_ranks()
+    head = list(synth_freqs(65536))[:20]  # highest-frequency words
+    one_token = 0
+    for w in head:
+        syms = bpe_segments_ranked(byte_map(" " + w), ranks)
+        assert decode_bytelevel(syms) == " " + w
+        one_token += len(syms) == 1
+    assert one_token >= 15  # the Zipf head merged to whole-word tokens

@@ -26,6 +26,7 @@ ALLOWED_ARROW = {
     "semantic_dedup_keep",  # cell-blocked GEMM kernel (same_col mask)
     "bpe_token_counts",  # BPE encoder kernel over DISTINCT words only
     "token_budget_head_bpe",  # same distinct-word BPE kernel front end
+    "bpe_bytelevel_token_counts",  # same kernel shape, 12k-rank table
     "ann_pq_trained_topk",  # vectorized PQ encode kernel (GEMM-class)
     "ann_pq_trained_recall",  # same encode kernel (index arm)
 }
