@@ -27,6 +27,18 @@ Scope — the honest-boundary contract of decode_jpeg_pixels:
   with MCU = one block regardless of SOF sampling factors, per
   T.81 A.2 (a single-component scan is never interleaved).
 
+  ARITHMETIC CODING IS A DOCUMENTED PERMANENT NON-GOAL (r11 verdict
+  ask #4, resolved): a correct §D decoder requires the exact Table
+  D.3 Qe-value state machine from the spec text, which is not
+  available in this environment and must not be reconstructed from
+  memory — a near-miss table would decode plausible-but-WRONG
+  pixels, strictly worse than refusing. Production ingest routes
+  the refusal instead of dying on it:
+  operators/multimodal.py::jpeg_pixel_stats_tolerant emits
+  ``status = codec_unsupported`` rows (header dims preserved) for
+  this class, keeping the strict kernels' fail-fast contract for
+  pipelines that want it.
+
 Everything below is from the public spec: marker walk (B.2), canonical
 Huffman decode (F.2.2), EXTEND sign extension (F.2.2.1), zigzag +
 dequantization (F.2.1.5), the orthonormal 8x8 inverse DCT as two

@@ -39,6 +39,7 @@ lower it for large payloads so a batch fits executor memory.
 
 from __future__ import annotations
 
+import struct as _struct
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -578,6 +579,94 @@ def jpeg_pixel_stats(
 
     return df.select(id_col, payload_col).mapInPandas(
         stats, schema=PNG_STATS_SCHEMA
+    )
+
+
+JPEG_STATS_TOLERANT_SCHEMA = PNG_STATS_SCHEMA + ", status string, reason string"
+
+
+def jpeg_pixel_stats_tolerant(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Crawl-ingest variant of :func:`jpeg_pixel_stats` (r11 verdict
+    ask #4): a 100 TB ingest must not die on the long tail of codec
+    classes the strict decoder correctly refuses. Every payload gets
+    a row: ``status`` is ``ok`` (full pixel stats), or
+    ``codec_unsupported`` (the decoder's honest boundary —
+    arithmetic-coded SOF9/SOF11, 12-bit, hierarchical, CMYK, ... —
+    stats null, width/height from the header walk when parseable),
+    or ``malformed`` (truncated/corrupt entropy stream or not a JPEG
+    at all). ``reason`` carries the decoder's message so the
+    downstream audit can aggregate the tail by cause.
+
+    Arithmetic-coded JPEG specifically is a DOCUMENTED PERMANENT
+    NON-GOAL of the strict decoder: a correct §D decoder needs the
+    exact T.81 Table D.3 Qe state machine from the spec text, which
+    is not available in this environment and must not be
+    reconstructed from memory (a near-miss table would decode
+    plausible-but-wrong pixels — worse than refusing). This operator
+    is the production answer: route the refusals, never fake them.
+    Strict siblings keep raising for pipelines that want the
+    fail-fast contract."""
+    import pandas as pd
+
+    from .jpeg import decode_jpeg_pixels
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "channels": [],
+                "n_pixels": [],
+                "mean_channels": [],
+                "status": [],
+                "reason": [],
+            }
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(b)
+                rows["doc_id"].append(did)
+                try:
+                    px = decode_jpeg_pixels(payload)
+                except (
+                    # the decoder's documented refusal classes (see
+                    # the corruption-fuzz test): loud boundary for
+                    # unsupported codecs, parse errors for garbage
+                    NotImplementedError,
+                    ValueError,
+                    KeyError,
+                    IndexError,
+                    _struct.error,
+                ) as e:
+                    meta = parse_image_dims(payload)
+                    dims_ok = meta is not None and meta[0] == "jpeg"
+                    rows["width"].append(meta[1] if dims_ok else None)
+                    rows["height"].append(meta[2] if dims_ok else None)
+                    rows["channels"].append(None)
+                    rows["n_pixels"].append(None)
+                    rows["mean_channels"].append(None)
+                    rows["status"].append(
+                        "codec_unsupported"
+                        if isinstance(e, NotImplementedError) and dims_ok
+                        else "malformed"
+                    )
+                    rows["reason"].append(str(e))
+                    continue
+                h, w, c = px.shape
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(c)
+                rows["n_pixels"].append(h * w)
+                rows["mean_channels"].append(
+                    [round(float(m), 6) for m in px.reshape(-1, c).mean(0)]
+                )
+                rows["status"].append("ok")
+                rows["reason"].append(None)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        stats, schema=JPEG_STATS_TOLERANT_SCHEMA
     )
 
 

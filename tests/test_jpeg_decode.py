@@ -405,3 +405,51 @@ def test_jpeg_fuzz_corruption_never_hangs_or_misdecodes_silently():
             assert px.dtype == np.uint8 and px.ndim == 3
         except (NotImplementedError, struct.error, KeyError):
             pass
+
+
+def test_jpeg_pixel_stats_tolerant_routes_the_tail(spark):
+    """The crawl-ingest variant (r11 verdict ask #4): unsupported
+    codec classes and corrupt payloads become STATUS ROWS instead of
+    killing the job; good payloads keep full pixel stats equal to the
+    strict kernel's."""
+    from lmo_data_catalog_spark.operators.multimodal import (
+        jpeg_pixel_stats_tolerant,
+    )
+
+    good = encode_jpeg(_gradient_rgb(12, 20))
+    # arithmetic-coded: same stream with SOF0 (FFC0) marked SOF9 (FFC9)
+    # — the documented permanent non-goal class
+    arith = bytearray(good)
+    i = arith.find(b"\xff\xc0")
+    assert i > 0
+    arith[i + 1] = 0xC9
+    trunc = good[: len(good) - len(good) // 3]
+    rows = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytes(arith)),
+            (3, bytearray(trunc)),
+            (4, bytearray(b"not a jpeg at all")),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in jpeg_pixel_stats_tolerant(rows).collect()}
+    assert len(got) == 4
+
+    px = decode_jpeg_pixels(good)
+    ok = got[1]
+    assert ok["status"] == "ok" and ok["reason"] is None
+    assert (ok["height"], ok["width"], ok["channels"]) == px.shape
+    assert ok["mean_channels"] == [
+        round(float(m), 6) for m in px.reshape(-1, 3).mean(0)
+    ]
+
+    ar = got[2]
+    assert ar["status"] == "codec_unsupported"
+    assert "arithmetic" in ar["reason"]
+    # header dims survive even though pixels are refused
+    assert (ar["width"], ar["height"]) == (20, 12)
+    assert ar["n_pixels"] is None and ar["mean_channels"] is None
+
+    assert got[3]["status"] in ("malformed", "codec_unsupported")
+    assert got[4]["status"] == "malformed"
