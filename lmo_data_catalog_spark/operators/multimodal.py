@@ -1022,6 +1022,123 @@ def audio_frame_features(
     )
 
 
+def mel_filter_weights(
+    n_bins: int, n_mels: int, rate: int
+) -> list[list[float]]:
+    """Triangular mel filterbank weights (the HTK convention used by
+    every ASR front end: mel(f) = 2595 log10(1 + f/700), band centers
+    equally spaced in mel between 0 and rate/2, each filter a
+    triangle over its neighbors' centers) as a plain Python
+    ``n_mels x n_bins`` matrix over rFFT bin frequencies — pure math,
+    shared by the log-mel kernel, the registry fold's literal
+    generator, and its DuckDB oracle, so all three use the SAME
+    weights to the last bit."""
+    import math
+
+    def mel(f: float) -> float:
+        return 2595.0 * math.log10(1.0 + f / 700.0)
+
+    def imel(m: float) -> float:
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    fmax = rate / 2.0
+    centers = [
+        imel(mel(fmax) * i / (n_mels + 1)) for i in range(n_mels + 2)
+    ]
+    # bin k of an L-point rFFT sits at k * rate / L; n_bins = L//2 + 1
+    L = (n_bins - 1) * 2
+    out = []
+    for b in range(n_mels):
+        lo, c, hi = centers[b], centers[b + 1], centers[b + 2]
+        row = []
+        for k in range(n_bins):
+            f = k * rate / L
+            if lo < f <= c and c > lo:
+                row.append((f - lo) / (c - lo))
+            elif c < f < hi and hi > c:
+                row.append((hi - f) / (hi - c))
+            else:
+                row.append(0.0)
+        out.append(row)
+    return out
+
+
+AUDIO_LOGMEL_SCHEMA = (
+    "doc_id long, frame_idx int, n_frames int, t_ms long, "
+    "log_mel array<double>"
+)
+
+
+def audio_logmel_features(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_ms: int = 25,
+    hop_ms: int = 10,
+    n_mels: int = 16,
+) -> DataFrame:
+    """Log-mel filterbank energies per frame — the stage after
+    :func:`audio_frame_features` that completes the ASR front end
+    (r11 verdict ask #6): mono downmix, ``frame_ms`` windows every
+    ``hop_ms``, rFFT POWER spectrum, triangular mel filterbank
+    (:func:`mel_filter_weights`), natural log with a 1e-10 floor.
+    Same explode shape and strict-decode contract as the sibling;
+    the filterbank is one (n_mels x n_bins) @ (n_bins x n_frames)
+    matrix multiply per clip — numpy-vectorized, no per-frame Python.
+    Physics pinned in tests/test_audio_features.py: a pure tone's
+    argmax band is the band whose triangle contains the tone."""
+    import pandas as pd
+
+    if frame_ms <= 0 or hop_ms <= 0:
+        raise ValueError("frame_ms and hop_ms must be positive")
+    if n_mels <= 0:
+        raise ValueError("n_mels must be positive")
+
+    def feats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "n_frames": [],
+                "t_ms": [],
+                "log_mel": [],
+            }
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                rate, samples = decode_wav_pcm(bytes(b))
+                mono = samples.mean(axis=1)
+                L = max(1, rate * frame_ms // 1000)
+                H = max(1, rate * hop_ms // 1000)
+                n = len(mono)
+                nf = (n - L) // H + 1 if n >= L else 0
+                if nf <= 0:
+                    continue
+                idx = (
+                    np.arange(nf)[:, None] * H + np.arange(L)[None, :]
+                )
+                frames = mono[idx]
+                power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                W = np.array(
+                    mel_filter_weights(power.shape[1], n_mels, rate)
+                )
+                logmel = np.log(power @ W.T + 1e-10)
+                for i in range(nf):
+                    rows["doc_id"].append(did)
+                    rows["frame_idx"].append(i)
+                    rows["n_frames"].append(nf)
+                    rows["t_ms"].append(int(i * H * 1000) // rate)
+                    rows["log_mel"].append(
+                        [round(float(v), 6) for v in logmel[i]]
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        feats, schema=AUDIO_LOGMEL_SCHEMA
+    )
+
+
 AUDIO_RESAMPLE_SCHEMA = (
     "doc_id long, rate_in int, rate_out int, n_in long, n_out long, "
     "duration_s double, rms_in double, rms_out double"

@@ -47,6 +47,7 @@ BUDGETS = {
     # round-12 additions (measured at add time)
     "ann_pq_trained_topk": 1,  # encode kernel scan + 1-row q broadcast
     "ann_pq_trained_recall": 3,
+    "mel_filterbank_energies": 0,  # map-only literal fold chain
 }
 
 
