@@ -877,6 +877,114 @@ def association_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "association_rules_topk_salted",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM li),
+    item AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS supp FROM li GROUP BY 1
+    ),
+    pair AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               CAST(COUNT(*) AS BIGINT) AS supp_ab
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    rules AS (
+        SELECT pa AS ante, pb AS cons, supp_ab FROM pair
+        UNION ALL
+        SELECT pb AS ante, pa AS cons, supp_ab FROM pair
+    ),
+    scored AS (
+        SELECT r.ante, r.cons, r.supp_ab,
+               CAST(r.supp_ab AS DOUBLE) / CAST(ia.supp AS DOUBLE)
+                 AS confidence,
+               (CAST(n.n AS DOUBLE) * CAST(r.supp_ab AS DOUBLE))
+                 / CAST(ia.supp * ic.supp AS DOUBLE) AS lift
+        FROM rules r
+        JOIN item ia ON r.ante = ia.l_partkey
+        JOIN item ic ON r.cons = ic.l_partkey
+        CROSS JOIN n
+        WHERE r.supp_ab >= 2
+    )
+    SELECT ante, cons, supp_ab, confidence, lift
+    FROM scored
+    ORDER BY lift DESC, confidence DESC, ante, cons
+    LIMIT 20
+    """,
+    tags=("join", "self_join", "basket", "rules", "skew"),
+)
+def association_rules_topk_salted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``association_rules_topk`` with the pair-generating basket
+    self-join routed through operators/joins.py::salted_join x8 —
+    the hot-basket insurance the r11 verdict asked to measure (ask
+    #7): a mega-order with M distinct items emits C(M,2) pairs from
+    ONE orderkey task in the unsalted plan; salting spreads it over
+    8 tasks at plan time (tools/itemset_skew_probe.py has the
+    per-task histograms at an 8M-pair hot basket — the same
+    mechanics cooccurrence_part_pairs_salted fixed, inherited here).
+    Same oracle as the unsalted sibling: salting is
+    result-invariant for inner equi-joins (each left row meets each
+    matching right row exactly once, in its own salt bucket), so the
+    differential hash-matches the two variants against ONE SQL
+    truth."""
+    from .. import cache
+    from ..operators.joins import salted_join
+
+    li = (
+        Catalog(spark, sf_dir)
+        .lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    li = cache.track(li)
+    n = li.select(F.count_distinct("l_orderkey").alias("n"))
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
+    a = li.toDF("l_orderkey", "pa")
+    b = li.toDF("l_orderkey", "pb")
+    pair = (
+        salted_join(a, b, on=["l_orderkey"], salt_buckets=8)
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("supp_ab"))
+        .filter(F.col("supp_ab") >= 2)
+    )
+    rules = pair.select(
+        F.col("pa").alias("ante"), F.col("pb").alias("cons"), "supp_ab"
+    ).unionByName(
+        pair.select(
+            F.col("pb").alias("ante"), F.col("pa").alias("cons"), "supp_ab"
+        )
+    )
+    ia = item.toDF("ante", "supp_a")
+    ic = item.toDF("cons", "supp_c")
+    return (
+        rules.join(F.broadcast(ia), on="ante")
+        .join(F.broadcast(ic), on="cons")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ante",
+            "cons",
+            "supp_ab",
+            (
+                F.col("supp_ab").cast("double")
+                / F.col("supp_a").cast("double")
+            ).alias("confidence"),
+            (
+                (F.col("n").cast("double") * F.col("supp_ab").cast("double"))
+                / (F.col("supp_a") * F.col("supp_c")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.desc("lift"), F.desc("confidence"), F.asc("ante"), F.asc("cons")
+        )
+        .limit(20)
+    )
+
+
+@query(
     "frequent_itemsets_depth3",
     oracle="""
     WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -82,6 +82,9 @@ SENSITIVE = [
     "ann_pq_trained_topk",
     "ann_pq_trained_recall",
     "ann_ivf_multiprobe_topk",
+    # r12: the salted pair stage must not let bucket layout reach the
+    # rule scores' top-20 cut
+    "association_rules_topk_salted",
 ]
 
 

@@ -52,6 +52,7 @@ ALLOWED_BNLJ = {
     "bigram_pmi_topk",  # 1-row corpus totals (n_uni, n_bg)
     "bigram_lm_doc_nll",  # 1-row vocabulary-size attach onto the model
     "association_rules_topk",  # 1-row basket-count attach
+    "association_rules_topk_salted",  # same 1-row attach, salted pairs
     "bm25_topk_docs",  # 1-row corpus stats (N, Σdl, per-term df)
     "corpus_mixture_sample",  # 1-row grand token total
     "dsir_importance_weights",  # 1-row corpus totals (Nt, Ns, V)
