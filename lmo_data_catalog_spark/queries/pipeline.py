@@ -3747,7 +3747,7 @@ def _tpq_fold(vec_elem, c_elem, j: int) -> str:
     return out
 
 
-def _tpq_sql_scored() -> str:
+def _tpq_sql_scored(src: str = "embeddings") -> str:
     """Oracle CTE chain ending in ``scored (vec_id, embedding,
     adc_raw)`` under the COMMITTED trained codebook (literals appear
     once, in the cb CTE). Callers must also provide ``qv``."""
@@ -3781,7 +3781,7 @@ def _tpq_sql_scored() -> str:
     luts AS (SELECT {luts} FROM cb CROSS JOIN qv),
     dists AS (
         SELECT e.vec_id, e.embedding, {das}
-        FROM embeddings e CROSS JOIN cb
+        FROM {src} e CROSS JOIN cb
     ),
     codes AS (SELECT vec_id, embedding, {codes} FROM dists),
     scored AS (
@@ -3790,10 +3790,10 @@ def _tpq_sql_scored() -> str:
     )"""
 
 
-def _tpq_sql_index_ids() -> str:
+def _tpq_sql_index_ids(src: str = "embeddings") -> str:
     """...continuing the chain: the index's re-ranked top-10 as
     ``idx10 (vec_id, cos_raw)``."""
-    return f"""{_tpq_sql_scored()},
+    return f"""{_tpq_sql_scored(src)},
     short AS (
         SELECT vec_id, embedding FROM scored
         ORDER BY adc_raw, vec_id LIMIT {_TPQ_RERANK}
@@ -3818,7 +3818,9 @@ _TPQ_TOPK_SQL = f"""
 """
 
 
-def _tpq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _tpq_scored(
+    spark: SparkSession, sf_dir: str, frame: DataFrame | None = None
+) -> DataFrame:
     """(vec_id, embedding, __adc) under the committed trained
     codebook — the Spark mirror of the oracle's ``scored`` CTE, run
     as ONE Arrow mapInPandas kernel (the PQ ENCODE kernel: at 100 TB
@@ -3890,7 +3892,8 @@ def _tpq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return e.select("vec_id", "embedding").mapInPandas(
+    src = e if frame is None else frame
+    return src.select("vec_id", "embedding").mapInPandas(
         kernel, schema="vec_id long, embedding array<float>, __adc double"
     )
 
@@ -3979,6 +3982,191 @@ def ann_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     e = cat.embeddings
     idx = _tpq_index_ids(spark, sf_dir).select("vec_id")
+    qdf = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv")
+        )
+    )
+    exact = (
+        e.crossJoin(qdf)
+        .select("vec_id", cosine_pair("embedding", "qv", DIM).alias("__cos"))
+        .orderBy(F.col("__cos").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    return exact.join(idx, on="vec_id").agg(
+        F.lit(10).alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        (F.count(F.lit(1)) / F.lit(10.0)).alias("recall"),
+    )
+
+
+# ---------------------------------------------------- IVFADC (Jegou)
+
+#: cells the IVFADC query probes — kept at 2 (vs ann_ivf_multiprobe's
+#: 4) so the composition's cost profile is the interesting one: ~25%
+#: of the corpus scanned AS CODES, not as vectors
+_IVFADC_NPROBE = 2
+
+
+def _ivfadc_cell_ctes() -> str:
+    """cents/assign/a1/qc/cellv: the probed-cell vector subset."""
+    return f"""cents AS (
+        SELECT vec_id AS cent_id, embedding AS cvec
+        FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+    ),
+    assign AS (
+        SELECT e.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC, c.cent_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    a1 AS (SELECT vec_id, cent_id FROM assign WHERE rn = 1),
+    qc AS (
+        SELECT cent_id FROM assign
+        WHERE vec_id = 0 AND rn <= {_IVFADC_NPROBE}
+    ),
+    cellv AS (
+        SELECT e.vec_id, e.embedding
+        FROM embeddings e
+        JOIN a1 ON a1.vec_id = e.vec_id
+        JOIN qc ON a1.cent_id = qc.cent_id
+    )"""
+
+
+def _ivfadc_index_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, __cos): IVFADC's re-ranked top-10 — probed-cell
+    subset → PQ/ADC codes → top-50 shortlist → exact re-rank."""
+    cat = Catalog(spark, sf_dir)
+    e = cat.embeddings
+    cents = F.broadcast(
+        e.filter(F.col("vec_id").between(1, 8)).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__cos").desc(), F.col("cent_id").asc()
+    )
+    assign = (
+        e.crossJoin(cents)
+        .select(
+            "vec_id",
+            "cent_id",
+            cosine_pair("embedding", "cvec", DIM).alias("__cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+    )
+    assign = cache.track(assign)
+    a1 = assign.filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    qc = F.broadcast(
+        assign.filter(
+            (F.col("vec_id") == 0) & (F.col("rn") <= _IVFADC_NPROBE)
+        ).select(F.col("cent_id").alias("qcent"))
+    )
+    cell = a1.join(qc, a1.cent_id == qc.qcent).select("vec_id")
+    e_cell = e.join(cell, on="vec_id")
+    short = (
+        _tpq_scored(spark, sf_dir, frame=e_cell)
+        .orderBy(F.col("__adc").asc(), F.col("vec_id").asc())
+        .limit(_TPQ_RERANK)
+    )
+    qdf = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv")
+        )
+    )
+    return (
+        short.crossJoin(qdf)
+        .select("vec_id", cosine_pair("embedding", "qv", DIM).alias("__cos"))
+        .orderBy(F.col("__cos").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "ann_ivfadc_topk",
+    oracle=f"""
+    WITH qv AS (
+        SELECT embedding AS q FROM embeddings WHERE vec_id = 0
+    ),
+    {_ivfadc_cell_ctes()},
+    {_tpq_sql_index_ids(src="cellv")}
+    SELECT vec_id, ROUND(cos_raw, 6) AS cosine
+    FROM idx10
+    ORDER BY cos_raw DESC, vec_id
+    """,
+    tags=("similarity", "ann", "ivf", "pq"),
+)
+def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the FULL production ANN architecture of Jegou, Douze,
+    Schmid 2011 (and FAISS's IndexIVFPQ), composing this round's two
+    levers: an IVF coarse quantizer restricts the search to the
+    query's 2 nearest cells, PQ/ADC under the TRAINED committed
+    codebook scores only that subset as 16-byte codes, and the exact
+    re-rank of the ADC top-50 recovers everything the probed cells
+    contain (ann_ivfadc_recall measures what they don't). At 100 TB
+    the cost profile is the point: nprobe/|cells| of the corpus is
+    touched, AS CODES (16 B/vector, 16x compression), with one
+    50-row exact pass — cells are partition keys, so the probe is 2
+    pruned partition reads feeding the encode kernel's scan.
+
+    Every stage is the already-pinned arithmetic: the cell assignment
+    is ann_ivf_topk's tie-broken cosine rank, the codes/LUT/shortcut
+    are ann_pq_trained_topk's left-deep folds, and the final cut is
+    the raw-double cosine order with vec_id ties — so the composition
+    is value-exact end-to-end under one DuckDB CTE chain."""
+    return _ivfadc_index_ids(spark, sf_dir).select(
+        "vec_id", F.round("__cos", 6).alias("cosine")
+    )
+
+
+@query(
+    "ann_ivfadc_recall",
+    oracle=f"""
+    WITH qv AS (
+        SELECT embedding AS q FROM embeddings WHERE vec_id = 0
+    ),
+    {_ivfadc_cell_ctes()},
+    {_tpq_sql_index_ids(src="cellv")},
+    exact AS (
+        SELECT e.vec_id
+        FROM embeddings e CROSS JOIN qv
+        ORDER BY {_sql_cosine('e.embedding', 'qv.q')} DESC, e.vec_id
+        LIMIT 10
+    )
+    SELECT 10 AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           COUNT(*) / 10.0 AS recall
+    FROM exact JOIN idx10 USING (vec_id)
+    """,
+    tags=("similarity", "ann", "ivf", "pq", "recall"),
+)
+def ann_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the composed IVFADC index vs the exact cosine
+    top-10 over the FULL corpus — the honesty row for the composed
+    architecture: unlike ann_pq_trained_recall (full-corpus ADC,
+    1.0), this one also pays the coarse quantizer's cell-miss rate
+    (true neighbors whose cell the query did not probe are
+    unreachable regardless of re-rank).
+
+    Measured at q=0: 0.6 / 0.6 / 0.3 at sf0.001/0.01/0.1 (nprobe=2;
+    nprobe=4 = 50% of the corpus only reaches 0.8/0.8/0.5) — and
+    that is the honest geometry lesson, not a defect: the fixture's
+    near-uniform unit vectors give the 8 static centroids broad
+    random cones that barely correlate with cosine neighborhoods, so
+    the COARSE quantizer, not PQ, is the bottleneck (the ADC+re-rank
+    stage alone measures 1.0). On clustered corpora the same
+    cell structure measures 0.985 at nprobe=2 with exact within-cell
+    scoring (SCALING §ANN), which ADC + re-rank@50 approximates — IVF
+    cell quality is corpus-geometry-dependent, which is exactly what
+    this in-registry row exists to measure per deployment. The
+    full-corpus-codes alternative (ann_pq_trained_topk) stays the
+    right index for unclustered data."""
+    cat = Catalog(spark, sf_dir)
+    e = cat.embeddings
+    idx = _ivfadc_index_ids(spark, sf_dir).select("vec_id")
     qdf = F.broadcast(
         e.filter(F.col("vec_id") == 0).select(
             F.col("embedding").alias("qv")

@@ -29,6 +29,8 @@ ALLOWED_ARROW = {
     "bpe_bytelevel_token_counts",  # same kernel shape, 12k-rank table
     "ann_pq_trained_topk",  # vectorized PQ encode kernel (GEMM-class)
     "ann_pq_trained_recall",  # same encode kernel (index arm)
+    "ann_ivfadc_topk",  # same encode kernel over the probed cells
+    "ann_ivfadc_recall",  # same encode kernel (index arm)
 }
 
 #: queries whose plans legitimately contain BroadcastNestedLoopJoin —
@@ -47,6 +49,8 @@ ALLOWED_BNLJ = {
     "weighted_systematic_sample",  # 1-row grand-total-weight attach
     "ann_ivf_topk",  # broadcast centroid table
     "ann_ivf_multiprobe_topk",  # broadcast centroid table + query vector
+    "ann_ivfadc_topk",  # broadcast centroids + 1-row query re-rank
+    "ann_ivfadc_recall",  # broadcast centroids + query vector (both arms)
     "ann_lsh_multiprobe",  # broadcast 1-row query (vector + bucket)
     "audience_overlap_hll",  # 1-row sketch-estimate triple attach
     "bigram_pmi_topk",  # 1-row corpus totals (n_uni, n_bg)
