@@ -189,12 +189,38 @@ def main() -> None:
         "overhead-dominated).",
         "",
         "Suite-total accounting across the round: canonical 131.8 s /",
-        f"193 (r10 stamp) → {bench['value']} s / {len(bench['queries'])}",
-        "(this stamp). The 12 new rows measure ~9-10 s together",
+        "193 (r10 stamp) → 166.0 s / 205 (r11 stamp). The 12 new rows",
+        "measure ~9-10 s together",
         "(association_rules_topk ~2.7 s is the largest); the residual",
         "drift vs the r10 stamp's quieter host sits inside the",
         "measured 1.2-1.9x variance band, with no single shared query",
         "moving beyond it.",
+        "",
+        "## Round-12 additions: what the 8 new suite rows cost",
+        "",
+        "The registry grew 205 → 213. The r11-verdict closers:",
+        "`ann_pq_trained_topk` / `ann_pq_trained_recall` (the trained",
+        "M=16xK=256 committed codebook + exact re-rank@50 — ONE Arrow",
+        "encode-kernel scan into TakeOrdered, recall@10 = 1.0 at q=0",
+        "vs the K=4 harness's 0.1-0.2; a 4096-literal HOF-lambda",
+        "formulation measured ~6 s/2000 rows before the kernel",
+        "rewrite), `ann_ivf_multiprobe_topk` (nprobe=4; recall-vs-cost",
+        "curve in SCALING §ANN), `bpe_bytelevel_token_counts` (the",
+        "committed 12k-merge merges.txt-format table through",
+        "load_merges_file — oracle measured 0.93 s and VOCAB-bounded),",
+        "`mel_filterbank_energies` (map-only 16-point DFT + mel fold,",
+        "zero exchanges, kept at L=16 to stay inside whole-stage",
+        "codegen — L=32 measured 'code grows beyond 64 KB'),",
+        "`association_rules_topk_salted` (the hot-basket insurance:",
+        "81% → 20% max-task share at an 8.4M-pair mega-order, SCALING",
+        "§itemset-miner), and `ann_ivfadc_topk` / `ann_ivfadc_recall`",
+        "(the composed Jegou IndexIVFPQ architecture; the recall row",
+        "pins the coarse quantizer's geometry dependence: 0.3-0.6 on",
+        "this near-uniform fixture vs 0.985 cell recall on clustered",
+        "corpora).",
+        "",
+        f"Suite total this stamp: {bench['value']} s /",
+        f"{len(bench['queries'])} queries.",
         "",
     ]
     with open(os.path.join(ROOT, "BENCH.md"), "w") as fh:
