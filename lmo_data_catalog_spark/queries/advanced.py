@@ -919,20 +919,28 @@ def association_rules_topk_salted(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """``association_rules_topk`` with the pair-generating basket
-    self-join routed through operators/joins.py::salted_join x8 —
-    the hot-basket insurance the r11 verdict asked to measure (ask
-    #7): a mega-order with M distinct items emits C(M,2) pairs from
-    ONE orderkey task in the unsalted plan; salting spreads it over
-    8 tasks at plan time (tools/itemset_skew_probe.py has the
-    per-task histograms at an 8M-pair hot basket — the same
-    mechanics cooccurrence_part_pairs_salted fixed, inherited here).
-    Same oracle as the unsalted sibling: salting is
-    result-invariant for inner equi-joins (each left row meets each
-    matching right row exactly once, in its own salt bucket), so the
-    differential hash-matches the two variants against ONE SQL
-    truth."""
+    self-join routed through operators/joins.py::hybrid_salted_join
+    x8 — the hot-basket insurance the r11 verdict asked to measure
+    (ask #7): a mega-order with M distinct items emits C(M,2) pairs
+    from ONE orderkey task in the unsalted plan; hot-key salting
+    spreads it over 8 tasks at plan time
+    (tools/itemset_skew_probe.py has the per-task histograms at an
+    8M-pair hot basket — the same mechanics
+    cooccurrence_part_pairs_salted fixed, inherited here). HYBRID,
+    not blanket: only keys whose basket exceeds 64 distinct items
+    are salted (one map-side-combinable count, broadcast hot set),
+    so on TPC-H's bounded ~7-item baskets nothing replicates and
+    the insurance costs ~nothing (blanket salted_join x8 measured
+    9.1 s at sf0.1 — it ships the 600k-row build side x8 whether or
+    not any key is hot — vs ~2.7 s unsalted; the hybrid restores
+    the unsalted cost while keeping the mega-basket flattening).
+    Same oracle as the unsalted sibling: hot-only salting is
+    result-invariant for inner equi-joins (cold pairs meet in
+    bucket 0, hot pairs in the left row's bucket, each exactly
+    once), so the differential hash-matches the two variants
+    against ONE SQL truth."""
     from .. import cache
-    from ..operators.joins import salted_join
+    from ..operators.joins import hybrid_salted_join
 
     li = (
         Catalog(spark, sf_dir)
@@ -945,7 +953,9 @@ def association_rules_topk_salted(
     a = li.toDF("l_orderkey", "pa")
     b = li.toDF("l_orderkey", "pb")
     pair = (
-        salted_join(a, b, on=["l_orderkey"], salt_buckets=8)
+        hybrid_salted_join(
+            a, b, on=["l_orderkey"], salt_buckets=8, hot_threshold=64
+        )
         .filter(F.col("pa") < F.col("pb"))
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("supp_ab"))

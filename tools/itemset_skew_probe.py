@@ -39,7 +39,10 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-from lmo_data_catalog_spark.operators.joins import salted_join  # noqa: E402
+from lmo_data_catalog_spark.operators.joins import (  # noqa: E402
+    hybrid_salted_join,
+    salted_join,
+)
 from tools._shared import replace_section  # noqa: E402
 
 MEGA_PAIRS = 4096  # C(4096,2) = 8,386,560 pairs
@@ -80,22 +83,25 @@ def corpus(spark, n_orders: int, mega_items: int):
     return mega.unionByName(normal)
 
 
-def rules_pair_stage(li, salted: bool):
+def rules_pair_stage(li, mode: str):
     a = li.toDF("l_orderkey", "pa")
     b = li.toDF("l_orderkey", "pb")
-    j = (
-        salted_join(a, b, on=["l_orderkey"], salt_buckets=8)
-        if salted
-        else a.join(b, on="l_orderkey")
-    )
+    if mode == "salted":
+        j = salted_join(a, b, on=["l_orderkey"], salt_buckets=8)
+    elif mode == "hybrid":
+        j = hybrid_salted_join(
+            a, b, on=["l_orderkey"], salt_buckets=8, hot_threshold=64
+        )
+    else:
+        j = a.join(b, on="l_orderkey")
     return j.filter(F.col("pa") < F.col("pb"))
 
 
-def rules_topk(li, salted: bool):
+def rules_topk(li, mode: str):
     n = li.select(F.count_distinct("l_orderkey").alias("n"))
     item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
     pair = (
-        rules_pair_stage(li, salted)
+        rules_pair_stage(li, mode)
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("supp_ab"))
         .filter(F.col("supp_ab") >= 2)
@@ -169,17 +175,22 @@ def main() -> None:
 
     li2 = corpus(spark, n_orders, MEGA_PAIRS).cache()
     li2.count()
-    for label, salted in (("rules unsalted", False), ("rules salted_8", True)):
+    for label, mode in (
+        ("rules unsalted", "plain"),
+        ("rules salted_8 (blanket)", "salted"),
+        ("rules hybrid_8 (hot-only)", "hybrid"),
+    ):
         wall = min(
-            timed(rules_pair_stage(li2, salted)),
-            timed(rules_pair_stage(li2, salted)),
+            timed(rules_pair_stage(li2, mode)),
+            timed(rules_pair_stage(li2, mode)),
         )
-        hist = task_histogram(rules_pair_stage(li2, salted))
+        hist = task_histogram(rules_pair_stage(li2, mode))
         results.append((label, dict(hist, wall_s=round(wall, 2))))
         print(results[-1])
-    top_u = [tuple(r) for r in rules_topk(li2, False).collect()]
-    top_s = [tuple(r) for r in rules_topk(li2, True).collect()]
-    rules_equal = top_u == top_s
+    top_u = [tuple(r) for r in rules_topk(li2, "plain").collect()]
+    top_s = [tuple(r) for r in rules_topk(li2, "salted").collect()]
+    top_h = [tuple(r) for r in rules_topk(li2, "hybrid").collect()]
+    rules_equal = top_u == top_s == top_h
     print("rules top-20 identical:", rules_equal)
     li2.unpersist()
 
@@ -225,19 +236,25 @@ def main() -> None:
         )
     lines += [
         "",
-        f"Rules top-20 identical salted vs unsalted: {rules_equal}.",
+        f"Rules top-20 identical plain vs blanket vs hybrid: {rules_equal}.",
         f"Triple-support exceptAll diff: {diff3} rows (must be 0).",
         "",
         "Readings: the straggler REAPPEARS exactly as predicted (the",
         "hot basket's pairs/triples land on one task unsalted);",
-        "salted_join x8 spreads it 8 ways at plan time — the depth-3",
+        "salting x8 spreads it 8 ways at plan time — the depth-3",
         "chain must salt BOTH orderkey joins or the second join",
-        "re-collapses the hot key one stage later. The registry ships",
-        "`association_rules_topk_salted` (same DuckDB oracle as the",
-        "unsalted sibling — salting is result-invariant for inner",
-        "equi-joins — so the differential hash-pins equivalence);",
-        "at TPC-H's bounded ~7-item baskets the unsalted plans stay",
-        "the default. (Regenerate: python tools/itemset_skew_probe.py.)",
+        "re-collapses the hot key one stage later. BLANKET salting",
+        "pays x8 build-side replication whether or not a hot key",
+        "exists (measured 9.1 s vs ~2.7 s at sf0.1 on TPC-H, where",
+        "nothing is hot); hybrid_salted_join salts only keys over",
+        "the 64-item threshold (one map-side count, broadcast hot",
+        "set) — same flattening on the mega-basket, ~unsalted cost",
+        "when the corpus is bounded. The registry ships",
+        "`association_rules_topk_salted` on the HYBRID (same DuckDB",
+        "oracle as the unsalted sibling — hot-only salting is",
+        "result-invariant for inner equi-joins — so the differential",
+        "hash-pins equivalence).",
+        "(Regenerate: python tools/itemset_skew_probe.py.)",
         "",
     ]
     replace_section(
