@@ -147,6 +147,7 @@ def hybrid_salted_join(
     salt_buckets: int = 16,
     hot_threshold: int = 1024,
     how: str = "inner",
+    hot_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Skew join that salts ONLY measured-hot keys — the production
     refinement of :func:`salted_join`, whose blanket ``x salt_buckets``
@@ -172,16 +173,26 @@ def hybrid_salted_join(
     per-key row count drives the blowup on the left). At 100 TB the
     hot-key count is one cheap aggregate whose output is bounded by
     the threshold — the same pass that computes per-key supports in
-    basket pipelines, so it is often free."""
+    basket pipelines, so it is often free.
+
+    ``hot_keys`` (a frame of just the key columns) overrides the
+    left-count detection — pass it when the hot set is already known
+    from an upstream aggregate, or when the left frame is itself an
+    expensive join whose recomputation for the count would double the
+    work (the chained depth-3 miner passes the >threshold baskets
+    computed ONCE from the base item table to both joins)."""
     if how != "inner":
         raise ValueError(f"hybrid_salted_join supports inner, got {how!r}")
     keys = list(on)
-    hot = F.broadcast(
-        left.groupBy(*keys)
+    hot_src = (
+        hot_keys.select(*keys).distinct()
+        if hot_keys is not None
+        else left.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") > hot_threshold)
-        .select(*keys, F.lit(True).alias("__is_hot"))
+        .select(*keys)
     )
+    hot = F.broadcast(hot_src.withColumn("__is_hot", F.lit(True)))
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)
     ).cast("int")

@@ -1030,8 +1030,54 @@ def frequent_itemsets_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, 3) ≈ 35 per TPC-H order (Apriori's candidate explosion is
     a per-basket combinatorial bound, not a corpus-size one). The
     final aggregate is map-side-combinable and the top-20 is
-    TakeOrdered. A skewed mega-basket corpus would salt the basket
-    key exactly as cooccurrence_part_pairs_salted does."""
+    TakeOrdered. The `_salted` sibling below is the skewed-
+    mega-basket insurance."""
+    return _frequent_itemsets_depth3(spark, sf_dir, salted=False)
+
+
+@query(
+    "frequent_itemsets_depth3_salted",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    t AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, c.l_partkey AS pc,
+               CAST(COUNT(*) AS BIGINT) AS supp
+        FROM li a
+        JOIN li b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+        JOIN li c ON b.l_orderkey = c.l_orderkey
+                 AND b.l_partkey < c.l_partkey
+        GROUP BY 1, 2, 3
+    )
+    SELECT pa, pb, pc, supp
+    FROM t
+    WHERE supp >= 2
+    ORDER BY supp DESC, pa, pb, pc
+    LIMIT 20
+    """,
+    tags=("join", "self_join", "basket", "itemsets", "skew"),
+)
+def frequent_itemsets_depth3_salted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``frequent_itemsets_depth3`` with BOTH chained orderkey
+    self-joins routed through hybrid_salted_join x8 — the depth-3
+    half of the r11 hot-basket ask: salting only the first join
+    re-collapses the hot key in the second (measured in
+    tools/itemset_skew_probe.py — a 384-part mega-order emits 9.4M
+    triples, 83% on one task unsalted, ~21% salted both). Hybrid
+    hot-only salting (threshold 64) keeps the TPC-H cost at the
+    unsalted plan's level — no key is hot, so neither join
+    replicates — and the oracle is the unsalted sibling's SQL
+    verbatim, pinning result-invariance through the differential."""
+    return _frequent_itemsets_depth3(spark, sf_dir, salted=True)
+
+
+def _frequent_itemsets_depth3(
+    spark: SparkSession, sf_dir: str, *, salted: bool
+) -> DataFrame:
+    """Shared body of the two depth-3 miners; ``salted`` routes both
+    chained orderkey joins through hybrid_salted_join x8."""
     li = (
         Catalog(spark, sf_dir)
         .lineitem.select("l_orderkey", "l_partkey")
@@ -1040,12 +1086,35 @@ def frequent_itemsets_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.toDF("l_orderkey", "pa")
     b = li.toDF("l_orderkey", "pb")
     c = li.toDF("l_orderkey", "pc")
+    if salted:
+        from ..operators.joins import hybrid_salted_join
+
+        # hot baskets computed ONCE from the base item table: an
+        # order with >64 distinct items is hot for BOTH joins (the
+        # pair stage's per-key fan-out only grows from there), and
+        # deriving it here avoids recomputing the pair join for the
+        # second hybrid's left-count detection
+        hot = (
+            li.groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 64)
+            .select("l_orderkey")
+        )
+        ab = hybrid_salted_join(
+            a, b, on=["l_orderkey"], salt_buckets=8, hot_keys=hot
+        ).filter(F.col("pa") < F.col("pb"))
+        triples = hybrid_salted_join(
+            ab, c, on=["l_orderkey"], salt_buckets=8, hot_keys=hot
+        ).filter(F.col("pb") < F.col("pc"))
+    else:
+        triples = (
+            a.join(b, on="l_orderkey")
+            .filter(F.col("pa") < F.col("pb"))
+            .join(c, on="l_orderkey")
+            .filter(F.col("pb") < F.col("pc"))
+        )
     return (
-        a.join(b, on="l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .join(c, on="l_orderkey")
-        .filter(F.col("pb") < F.col("pc"))
-        .groupBy("pa", "pb", "pc")
+        triples.groupBy("pa", "pb", "pc")
         .agg(F.count(F.lit(1)).alias("supp"))
         .filter(F.col("supp") >= 2)
         .orderBy(F.desc("supp"), "pa", "pb", "pc")

@@ -85,6 +85,7 @@ SENSITIVE = [
     # r12: the salted pair stage must not let bucket layout reach the
     # rule scores' top-20 cut
     "association_rules_topk_salted",
+    "frequent_itemsets_depth3_salted",
     # r12: IVFADC composes two rank cuts (cell rank, ADC shortlist)
     "ann_ivfadc_topk",
     "ann_ivfadc_recall",

@@ -134,3 +134,35 @@ def test_hybrid_rejects_unsupported_how(skewed):
     left, right = skewed
     with pytest.raises(ValueError):
         hybrid_salted_join(left, right, on=["k"], how="left")
+
+
+def test_hybrid_property_random_skew(spark):
+    """Property-style sweep: random key distributions x thresholds x
+    bucket counts — hybrid must equal the plain inner join on every
+    draw (deterministic seeds, no hypothesis dependency needed for a
+    Spark fixture test)."""
+    import random
+
+    from lmo_data_catalog_spark.operators.joins import hybrid_salted_join
+
+    for seed in (3, 17, 92):
+        rng = random.Random(seed)
+        n_keys = rng.randint(2, 12)
+        rows = []
+        for i in range(rng.randint(50, 400)):
+            # zipf-ish: low keys much hotter
+            k = min(int(rng.paretovariate(1.1)) - 1, n_keys - 1)
+            rows.append((k, i))
+        left = spark.createDataFrame(rows, "k int, v long")
+        right = spark.createDataFrame(
+            [(k, k * 7) for k in range(n_keys)], "k int, dim long"
+        )
+        plain = left.join(right, on=["k"])
+        hybrid = hybrid_salted_join(
+            left,
+            right,
+            on=["k"],
+            salt_buckets=rng.choice([2, 4, 8]),
+            hot_threshold=rng.choice([1, 10, 100]),
+        )
+        assert _sorted(hybrid.select(*plain.columns)) == _sorted(plain), seed
