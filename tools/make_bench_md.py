@@ -196,9 +196,9 @@ def main() -> None:
         "measured 1.2-1.9x variance band, with no single shared query",
         "moving beyond it.",
         "",
-        "## Round-12 additions: what the 8 new suite rows cost",
+        "## Round-12 additions: what the 9 new suite rows cost",
         "",
-        "The registry grew 205 → 213. The r11-verdict closers:",
+        "The registry grew 205 → 214. The r11-verdict closers:",
         "`ann_pq_trained_topk` / `ann_pq_trained_recall` (the trained",
         "M=16xK=256 committed codebook + exact re-rank@50 — ONE Arrow",
         "encode-kernel scan into TakeOrdered, recall@10 = 1.0 at q=0",
@@ -211,9 +211,13 @@ def main() -> None:
         "`mel_filterbank_energies` (map-only 16-point DFT + mel fold,",
         "zero exchanges, kept at L=16 to stay inside whole-stage",
         "codegen — L=32 measured 'code grows beyond 64 KB'),",
-        "`association_rules_topk_salted` (the hot-basket insurance:",
-        "81% → 20% max-task share at an 8.4M-pair mega-order, SCALING",
-        "§itemset-miner), and `ann_ivfadc_topk` / `ann_ivfadc_recall`",
+        "`association_rules_topk_salted` and",
+        "`frequent_itemsets_depth3_salted` (the hot-basket insurance",
+        "pair: 81-83% → ~20% max-task share at 8-9M hot",
+        "pairs/triples, routed through hybrid_salted_join — hot-only",
+        "salting after blanket x8 replication measured 9.1 s vs",
+        "~3.4 s at sf0.1; SCALING §itemset-miner), and",
+        "`ann_ivfadc_topk` / `ann_ivfadc_recall`",
         "(the composed Jegou IndexIVFPQ architecture; the recall row",
         "pins the coarse quantizer's geometry dependence: 0.3-0.6 on",
         "this near-uniform fixture vs 0.985 cell recall on clustered",
