@@ -223,6 +223,18 @@ def main() -> None:
         "this near-uniform fixture vs 0.985 cell recall on clustered",
         "corpora).",
         "",
+        "## simhash_candidates isolated re-measure (round 13)",
+        "",
+        "The one r12 driver row beyond the 2x gate (driver 2.77 s vs",
+        "canonical 1.32 s = 2.10x, on UNCHANGED code — archived plan",
+        "diff showed only expression IDs) was re-measured per the",
+        "winnow protocol, extended to THREE fully isolated fresh-JVM",
+        "processes (each: warm-up + best-of-3, noop sink, load1 0.14,",
+        "2026-08-16): **1.35 s / 1.72 s / 1.66 s**. All three sit at",
+        "1.02-1.30x canonical, inside the variance band; the driver's",
+        "2.77 s (suite loadavg 9.08) was host noise at the band's",
+        "edge, not a regression. No code change was needed or made.",
+        "",
         f"Suite total this stamp: {bench['value']} s /",
         f"{len(bench['queries'])} queries.",
         "",
