@@ -52,7 +52,8 @@ def window_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority"),
         "o_orderkey",
         F.round("o_totalprice", 2).alias("total_price"),
-        "rk",
+        # bigint: DuckDB ROW_NUMBER() binds BIGINT (r13 width guard)
+        F.col("rk").cast("long").alias("rk"),
     )
 
 

@@ -41,7 +41,10 @@ def _yearly_flag_revenue(cat: Catalog) -> DataFrame:
     return (
         cat.lineitem.groupBy(
             F.col("l_returnflag").alias("grp"),
-            F.year("l_shipdate").alias("year"),
+            # bigint, matching DuckDB's year() → BIGINT binding: the
+            # r13 width-parity guard (tools/verify_local.py) flags any
+            # cross-engine integer-width drift in output schemas.
+            F.year("l_shipdate").cast("long").alias("year"),
         )
         .agg(
             F.round(F.sum(_revenue().cast("decimal(30,8)")), 4)
@@ -230,7 +233,10 @@ def unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = pivot_years(_yearly_flag_revenue(cat), ["grp"], YEARS)
     long = unpivot_years(wide, ["grp"], [str(y) for y in YEARS])
     return long.filter(F.col("value").isNotNull()).select(
-        "grp", "year", F.round("value", 4).alias("value")
+        "grp",
+        # bigint to match DuckDB's year() binding (r13 width guard)
+        F.col("year").cast("long").alias("year"),
+        F.round("value", 4).alias("value"),
     )
 
 

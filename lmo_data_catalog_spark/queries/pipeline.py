@@ -825,7 +825,9 @@ def _substr_runs(
     return runs.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup_runs"),
         F.sum("run_len").alias("dup_tokens"),
-        F.max("run_len").alias("longest_run"),
+        # bigint: DuckDB's MAX over its BIGINT run arithmetic binds
+        # BIGINT while Spark's int chain yields int (r13 width guard)
+        F.max("run_len").cast("long").alias("longest_run"),
         (
             F.round(
                 F.sum("run_len").cast("double") / F.first("n_toks"), 6
@@ -2672,7 +2674,7 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(r <= big, ((r - 1) / (q + 1)).cast("long"))
         .otherwise(rem + ((r - 1 - big) / F.greatest(q, F.lit(1))).cast("long"))
         + 1
-    ).cast("int")
+    ).cast("long")  # DuckDB NTILE binds BIGINT (r13 width guard)
     pct = (r - 1).cast("double") / F.greatest(n - 1, F.lit(1)).cast("double")
     return ranked.select(
         "o_custkey",

