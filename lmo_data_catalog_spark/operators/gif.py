@@ -46,6 +46,16 @@ _MAX_CODE_WIDTH = 12
 #: contract (raises ValueError, never over-allocates).
 MAX_PIXELS = 16 * 1024 * 1024
 
+#: default cap on TOTAL decoded pixels across all composed frames of
+#: one animation (r12 advisor finding): decode_gif_frames appends a
+#: canvas COPY per frame, so a near-cap canvas (16M px ≈ 48 MB RGB)
+#: with thousands of few-byte frames would otherwise amplify a tiny
+#: payload into tens of GB of frame copies. 8× the canvas cap allows
+#: any legitimate animation up to ~128M composed pixels (e.g. a full
+#: 1080p canvas × ~64 frames) while bounding the allocation at
+#: ~384 MB per payload row.
+MAX_TOTAL_PIXELS = 8 * MAX_PIXELS
+
 
 def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
     """GIF-flavor LZW (spec appendix F): variable code width starting
@@ -163,12 +173,24 @@ def _color_table(payload: bytes, pos: int, size_field: int):
     return tab, end
 
 
-def decode_gif_frames(payload: bytes, *, max_pixels: int = MAX_PIXELS):
+def decode_gif_frames(
+    payload: bytes,
+    *,
+    max_pixels: int = MAX_PIXELS,
+    max_total_pixels: int = MAX_TOTAL_PIXELS,
+):
     """Full decode of a (possibly animated) GIF → ``(width, height,
     frames)`` where ``frames`` is a list of ``(delay_ms, pixels)``
     with ``pixels`` a ``(height, width, 3)`` uint8 RGB array of the
     COMPOSED logical-screen canvas after that frame renders — the
-    thing a video frame-sampler samples."""
+    thing a video frame-sampler samples.
+
+    Allocation is bounded on BOTH axes of untrusted input: the canvas
+    by ``max_pixels`` (checked before trusting the header) and the
+    frame-copy total by ``max_total_pixels`` (each frame appends a
+    canvas copy, so frame COUNT is the second amplification axis —
+    a near-cap canvas with thousands of tiny frames raises here
+    instead of allocating ~48 MB per frame)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("GIF: bad signature")
     if len(payload) < 13:
@@ -194,6 +216,7 @@ def decode_gif_frames(payload: bytes, *, max_pixels: int = MAX_PIXELS):
     canvas[:, :] = bg_rgb
 
     frames: list[tuple[int, np.ndarray]] = []
+    total_px = 0
     # pending graphic-control state (applies to the next image)
     delay_ms = 0
     transparent: int | None = None
@@ -269,6 +292,12 @@ def decode_gif_frames(payload: bytes, *, max_pixels: int = MAX_PIXELS):
             region[mask] = rgb[mask]
         else:
             region[:, :] = rgb
+        total_px += w * h
+        if total_px > max_total_pixels:
+            raise ValueError(
+                f"GIF: total decoded pixels across {len(frames) + 1} "
+                f"frames exceed the {max_total_pixels}-pixel cap"
+            )
         frames.append((delay_ms, canvas.copy()))
 
         if disposal == 2:

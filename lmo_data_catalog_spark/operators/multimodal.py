@@ -932,6 +932,95 @@ def gif_frame_stats(
     )
 
 
+GIF_STATS_TOLERANT_SCHEMA = GIF_FRAME_STATS_SCHEMA + ", status string, reason string"
+
+
+def gif_frame_stats_tolerant(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n: int = 1,
+) -> DataFrame:
+    """Crawl-ingest variant of :func:`gif_frame_stats` (r12 advisor
+    finding): the strict decoder's refusal classes — including the
+    r12 strictness bump where an LZW stream whose final dictionary
+    entry straddles past ``n_pixels`` now raises instead of being
+    truncated, and the total-frame-pixel allocation cap — must be
+    ROUTED on a 100 TB crawl, not die the stage. Every payload gets
+    at least one row: ``status`` is ``ok`` (per-frame rows, exactly
+    the strict operator's output), ``resource_cap`` (canvas or
+    frame-total pixel cap — a real GIF too big to decode under the
+    allocation contract, dims from the header), or ``malformed``
+    (bad signature, truncation, LZW corruption — including
+    encoder-emitted straddling final codes, which conformant
+    encoders never produce but crawl tails do). ``reason`` carries
+    the decoder message for tail-by-cause audits. The strict sibling
+    keeps raising for pipelines that want fail-fast."""
+    import pandas as pd
+
+    from .gif import decode_gif_frames
+
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "frame_idx", "n_frames", "ts_ms",
+                    "width", "height", "mean_r", "mean_g", "mean_b",
+                    "status", "reason",
+                )
+            }
+
+            def refusal(did, payload: bytes, msg: str) -> None:
+                meta = parse_image_dims(payload)
+                dims_ok = meta is not None and meta[0] == "gif"
+                cap = "pixel" in msg and "cap" in msg
+                rows["doc_id"].append(did)
+                rows["frame_idx"].append(None)
+                rows["n_frames"].append(None)
+                rows["ts_ms"].append(None)
+                rows["width"].append(meta[1] if dims_ok else None)
+                rows["height"].append(meta[2] if dims_ok else None)
+                rows["mean_r"].append(None)
+                rows["mean_g"].append(None)
+                rows["mean_b"].append(None)
+                rows["status"].append("resource_cap" if cap else "malformed")
+                rows["reason"].append(msg)
+
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(b)
+                try:
+                    w, h, frames = decode_gif_frames(payload)
+                except (ValueError, IndexError, _struct.error) as e:
+                    refusal(did, payload, str(e))
+                    continue
+                ts = 0
+                for i, (delay_ms, px) in enumerate(frames):
+                    if i % every_n == 0:
+                        means = px.reshape(-1, 3).mean(0)
+                        rows["doc_id"].append(did)
+                        rows["frame_idx"].append(i)
+                        rows["n_frames"].append(len(frames))
+                        rows["ts_ms"].append(ts)
+                        rows["width"].append(w)
+                        rows["height"].append(h)
+                        rows["mean_r"].append(round(float(means[0]), 6))
+                        rows["mean_g"].append(round(float(means[1]), 6))
+                        rows["mean_b"].append(round(float(means[2]), 6))
+                        rows["status"].append("ok")
+                        rows["reason"].append(None)
+                    ts += delay_ms
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        stats, schema=GIF_STATS_TOLERANT_SCHEMA
+    )
+
+
 AUDIO_FRAME_SCHEMA = (
     "doc_id long, frame_idx int, n_frames int, t_ms long, "
     "rms double, zcr double, spectral_centroid_hz double"
@@ -1023,7 +1112,7 @@ def audio_frame_features(
 
 
 def mel_filter_weights(
-    n_bins: int, n_mels: int, rate: int
+    n_bins: int, n_mels: int, rate: int, *, frame_len: int | None = None
 ) -> list[list[float]]:
     """Triangular mel filterbank weights (the HTK convention used by
     every ASR front end: mel(f) = 2595 log10(1 + f/700), band centers
@@ -1032,7 +1121,14 @@ def mel_filter_weights(
     ``n_mels x n_bins`` matrix over rFFT bin frequencies — pure math,
     shared by the log-mel kernel, the registry fold's literal
     generator, and its DuckDB oracle, so all three use the SAME
-    weights to the last bit."""
+    weights to the last bit.
+
+    ``frame_len`` is the rFFT input length L that produced the bins;
+    bin k sits at ``k * rate / L``. When omitted it is inferred as
+    ``(n_bins - 1) * 2``, which is only correct for EVEN L — an odd
+    frame length (e.g. 11025 Hz × 25 ms = 275 samples → 138 bins)
+    would infer L=274 and shift every bin frequency slightly (r12
+    advisor finding), so callers that know L must pass it."""
     import math
 
     def mel(f: float) -> float:
@@ -1046,7 +1142,11 @@ def mel_filter_weights(
         imel(mel(fmax) * i / (n_mels + 1)) for i in range(n_mels + 2)
     ]
     # bin k of an L-point rFFT sits at k * rate / L; n_bins = L//2 + 1
-    L = (n_bins - 1) * 2
+    L = frame_len if frame_len is not None else (n_bins - 1) * 2
+    if L // 2 + 1 != n_bins:
+        raise ValueError(
+            f"frame_len {L} yields {L // 2 + 1} rFFT bins, not {n_bins}"
+        )
     out = []
     for b in range(n_mels):
         lo, c, hi = centers[b], centers[b + 1], centers[b + 2]
@@ -1121,7 +1221,9 @@ def audio_logmel_features(
                 frames = mono[idx]
                 power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
                 W = np.array(
-                    mel_filter_weights(power.shape[1], n_mels, rate)
+                    mel_filter_weights(
+                        power.shape[1], n_mels, rate, frame_len=L
+                    )
                 )
                 logmel = np.log(power @ W.T + 1e-10)
                 for i in range(nf):

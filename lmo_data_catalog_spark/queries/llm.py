@@ -1011,7 +1011,7 @@ _MEL_L, _MEL_B, _MEL_RATE = 16, 4, 8000
 def _mel_sql(engine: str) -> str:
     """The mel-filterbank energy query as engine SQL text. Both
     engines consume the SAME Python-generated coefficient literals
-    (DFT cos/sin at L=32, mel triangle weights from
+    (DFT cos/sin at L=_MEL_L, mel triangle weights from
     operators/multimodal.py::mel_filter_weights — the matrix the real
     log-mel kernel uses) and the same left-deep fold shapes, so every
     double is bit-identical; the only engine difference is the table
@@ -1046,7 +1046,7 @@ def _mel_sql(engine: str) -> str:
         ]
         for k in range(n_bins)
     ]
-    W = mel_filter_weights(n_bins, _MEL_B, _MEL_RATE)
+    W = mel_filter_weights(n_bins, _MEL_B, _MEL_RATE, frame_len=_MEL_L)
 
     def fold(terms: list[str]) -> str:
         out = terms[0]
@@ -1103,9 +1103,11 @@ def mel_filterbank_energies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mel filterbank energies as a VALUE-EXACT registry fold (r11
     verdict ask #6's oracle half; the real-WAV log-mel kernel with
     the tone→band physics pin is
-    operators/multimodal.py::audio_logmel_features): per doc, a
-    32-sample synthetic integer frame → 17-bin DFT power spectrum →
-    6 triangular mel bands, every coefficient a SHARED literal
+    operators/multimodal.py::audio_logmel_features): per doc, an
+    _MEL_L(=16)-sample synthetic integer frame → _MEL_L//2+1(=9)-bin
+    DFT power spectrum → _MEL_B(=4) triangular mel bands (the L=32
+    geometry fell out of whole-stage codegen — see _MEL_L's comment),
+    every coefficient a SHARED literal
     (DFT cos/sin; mel weights from the SAME mel_filter_weights the
     kernel uses) and every sum a left-deep fold, so both engines
     produce identical doubles and ROUND(·, 4) is deterministic.

@@ -3721,12 +3721,17 @@ def _tpq_geom():
 
 
 def _tpq_cb_duck(j: int) -> str:
-    """Subspace j's codebook as a DuckDB DOUBLE[][] literal — the e0
-    suffix forces DOUBLE (a bare decimal literal is DECIMAL in DuckDB,
-    whose arithmetic would diverge from Spark's doubles)."""
+    """Subspace j's codebook as a DuckDB DOUBLE[][] literal — the
+    ``::DOUBLE`` cast forces DOUBLE (a bare decimal literal is
+    DECIMAL in DuckDB, whose arithmetic would diverge from Spark's
+    doubles). Cast form rather than an ``e0`` suffix because repr of
+    a double can already carry an exponent (``1e-05`` → ``1e-05e0``
+    is a syntax error) — the same pitfall _mel_sql documents; the
+    trained codebook's 4-dp rounding happens to avoid it today, but
+    the rendering must not depend on that coupling (r12 advisor)."""
     cb, _, _ = _tpq_geom()
     return "[" + ", ".join(
-        "[" + ", ".join(f"{v!r}e0" for v in c) + "]" for c in cb[j]
+        "[" + ", ".join(f"({v!r})::DOUBLE" for v in c) + "]" for c in cb[j]
     ) + "]"
 
 

@@ -294,3 +294,53 @@ def test_logmel_matches_independent_numpy_replica(spark):
     assert len(got) == nf
     for i in range(nf):
         assert got[i] == [round(float(v), 6) for v in want[i]]
+
+
+def test_mel_weights_odd_frame_length(spark):
+    """r12 advisor finding: inferring L=(n_bins-1)*2 is wrong for odd
+    frame lengths (11025 Hz x 25 ms = 275 samples -> 138 bins ->
+    inferred 274), shifting every bin frequency. mel_filter_weights
+    must take the true L, and the logmel kernel must pass it."""
+    from lmo_data_catalog_spark.operators.multimodal import (
+        audio_logmel_features,
+        decode_wav_pcm,
+        mel_filter_weights,
+    )
+
+    rate, n_mels = 11025, 8
+    L = rate * 25 // 1000  # 275 — odd
+    assert L % 2 == 1
+    n_bins = L // 2 + 1
+
+    # explicit L yields bin k at k*rate/L; the old inference (L=274)
+    # must produce a DIFFERENT matrix (the shift the advisor flagged)
+    W_true = np.array(mel_filter_weights(n_bins, n_mels, rate, frame_len=L))
+    # a frame_len inconsistent with n_bins is rejected (L-1=274 also
+    # yields 138 bins, so it is legitimately accepted; L+2 is not)
+    with pytest.raises(ValueError, match="rFFT bins"):
+        mel_filter_weights(n_bins, n_mels, rate, frame_len=L + 2)
+    # the old inference built the L-1 matrix for odd L: (n_bins-1)*2
+    # = 274, silently shifting every bin frequency
+    W_shift = np.array(mel_filter_weights(n_bins, n_mels, rate))
+    assert not np.array_equal(W_true, W_shift)
+
+    # end-to-end: the kernel's output must match a replica built with
+    # the TRUE frame length
+    rng = np.random.RandomState(3)
+    x = rng.uniform(-0.5, 0.5, size=rate // 4)
+    wav = encode_wav(x[:, None], rate=rate, bits=32, tag=3)
+    df = spark.createDataFrame([(1, wav)], "doc_id long, payload binary")
+    rows = audio_logmel_features(
+        df, frame_ms=25, hop_ms=25, n_mels=n_mels
+    ).collect()
+    _, samples = decode_wav_pcm(wav)
+    mono = samples.mean(axis=1)
+    H = rate * 25 // 1000
+    nf = (len(mono) - L) // H + 1
+    idx = np.arange(nf)[:, None] * H + np.arange(L)[None, :]
+    power = np.abs(np.fft.rfft(mono[idx], axis=1)) ** 2
+    want = np.log(power @ W_true.T + 1e-10)
+    got = {r["frame_idx"]: r["log_mel"] for r in rows}
+    assert len(got) == nf
+    for i in range(nf):
+        assert got[i] == [round(float(v), 6) for v in want[i]]

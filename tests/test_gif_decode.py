@@ -445,3 +445,59 @@ def test_gif_frame_stats_spark(spark):
                 assert r["mean_b"] == round(float(means[2]), 6)
             ts += delay
     assert len(got) == n_expected
+
+
+def test_frame_count_amplification_cap():
+    """r12 advisor (medium): the canvas cap bounds ONE allocation, but
+    each frame appends a canvas COPY — a near-cap canvas with many
+    tiny frames amplifies a few-byte payload into GBs of copies. The
+    total-pixel cap must raise instead, and legitimate animations
+    must keep decoding."""
+    pal = _pal(4)
+    frame = {"idx": np.zeros((4, 4), dtype=np.uint8)}
+    many = encode_gif((4, 4), pal, [dict(frame) for _ in range(20)])
+    # 20 frames x 16 px = 320 total; cap below that must refuse...
+    with pytest.raises(ValueError, match="total decoded pixels"):
+        decode_gif_frames(many, max_total_pixels=300)
+    # ...and a cap at/above it must decode all frames
+    w, h, frames = decode_gif_frames(many, max_total_pixels=320)
+    assert (w, h, len(frames)) == (4, 4, 20)
+    # default cap: MAX_TOTAL_PIXELS / canvas area bounds frame count
+    from lmo_data_catalog_spark.operators.gif import MAX_TOTAL_PIXELS
+
+    assert MAX_TOTAL_PIXELS >= 20 * 16  # sanity: legit animations fit
+
+
+def test_gif_frame_stats_tolerant_routes_refusals(spark):
+    """Crawl-ingest routing (r12 advisor): ok payloads produce the
+    strict operator's per-frame rows; malformed payloads (including
+    the r12 strictness bump on straddling final LZW codes) and
+    cap-exceeding payloads produce status rows instead of dying the
+    stage."""
+    from lmo_data_catalog_spark.operators.multimodal import (
+        gif_frame_stats_tolerant,
+    )
+
+    pal = _pal(4)
+    idx = np.arange(16, dtype=np.uint8).reshape(4, 4) % 4
+    ok = encode_gif((4, 4), pal, [{"idx": idx}, {"idx": idx}])
+    huge = bytearray(ok)
+    huge[6:10] = struct.pack("<HH", 65535, 65535)
+    rows = spark.createDataFrame(
+        [(1, ok), (2, b"not a gif"), (3, bytes(huge)), (4, ok[:20])],
+        "doc_id long, payload binary",
+    )
+    out = gif_frame_stats_tolerant(rows).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    assert [r["status"] for r in by_doc[1]] == ["ok", "ok"]
+    assert by_doc[1][0]["mean_r"] is not None
+    assert by_doc[2][0]["status"] == "malformed"
+    assert "signature" in by_doc[2][0]["reason"]
+    assert by_doc[3][0]["status"] == "resource_cap"
+    # dims recovered from the header even when decode refuses
+    assert by_doc[3][0]["width"] == 65535
+    assert by_doc[4][0]["status"] == "malformed"
+    assert all(len(v) == 1 for k, v in by_doc.items() if k != 1)
