@@ -68,3 +68,63 @@ def test_exchange_count_within_budget(spark, name):
         f"{name}: {n} exchanges > budget {BUDGETS[name]} — a shuffle "
         "crept in; check broadcasts/partial aggregation"
     )
+
+
+# ------------------------------------------------- codegen 64 KB cliff
+
+#: queries whose plans are giant-literal fold chains — the family
+#: that can silently fall out of whole-stage codegen when a geometry
+#: bump pushes one generated method past the JVM's 64 KB limit (the
+#: r12 L=32 mel fold cost +2.4 s/run and was caught only by manual
+#: explain reading; this guard makes the cliff a red test instead).
+CODEGEN_GUARDED = [
+    "mel_filterbank_energies",
+    "ann_pq_adc_topk",
+    "ann_pq_trained_topk",
+    "ann_pq_trained_recall",
+    "random_projection_embeddings",
+]
+
+
+def _run_codegen_strict(spark, df) -> None:
+    """Execute with codegen fallback DISABLED: a generated method
+    exceeding 64 KB raises (Janino InternalCompilerException through
+    WholeStageCodegenExec) instead of silently degrading to the
+    interpreted path."""
+    old = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        df.write.format("noop").mode("overwrite").save()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
+
+
+@pytest.mark.parametrize("name", CODEGEN_GUARDED)
+def test_literal_fold_stays_inside_codegen(spark, name):
+    spark.catalog.clearCache()
+    _run_codegen_strict(spark, REGISTRY[name].builder(spark, SF))
+
+
+def test_codegen_guard_catches_the_l32_cliff(spark, monkeypatch):
+    """Red-path proof the guard works: substituting the L=32 mel
+    geometry (the exact regression r12 caught by hand) must fail
+    under the strict-codegen harness. If Spark ever RAISES the
+    generated-method ceiling, this starts xfailing-as-passing and the
+    guard family can be retired."""
+    from lmo_data_catalog_spark.queries import llm as llm_mod
+
+    monkeypatch.setattr(llm_mod, "_MEL_L", 32)
+    monkeypatch.setattr(llm_mod, "_MEL_B", 6)
+    sig, dft, pw, mel = llm_mod._mel_sql("spark")
+    from lmo_data_catalog_spark.catalog import Catalog
+
+    df = (
+        Catalog(spark, SF).documents
+        .selectExpr("doc_id", *sig)
+        .selectExpr("doc_id", *dft)
+        .selectExpr("doc_id", *pw)
+        .selectExpr("doc_id", *mel)
+    )
+    spark.catalog.clearCache()
+    with pytest.raises(Exception, match="64 KB|grows beyond|compile"):
+        _run_codegen_strict(spark, df)
