@@ -89,6 +89,10 @@ SENSITIVE = [
     # r12: IVFADC composes two rank cuts (cell rank, ADC shortlist)
     "ann_ivfadc_topk",
     "ann_ivfadc_recall",
+    # r13: trained coarse quantizer — Lloyd state must not depend on
+    # partition layout (integer sums), nor the multiprobe cell rank
+    "ann_ivfadc_trained_topk",
+    "ann_ivfadc_trained_recall",
 ]
 
 

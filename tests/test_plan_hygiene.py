@@ -31,6 +31,8 @@ ALLOWED_ARROW = {
     "ann_pq_trained_recall",  # same encode kernel (index arm)
     "ann_ivfadc_topk",  # same encode kernel over the probed cells
     "ann_ivfadc_recall",  # same encode kernel (index arm)
+    "ann_ivfadc_trained_topk",  # encode kernel + kmeans assignment
+    "ann_ivfadc_trained_recall",  # same (index arm)
 }
 
 #: queries whose plans legitimately contain BroadcastNestedLoopJoin —
@@ -51,6 +53,8 @@ ALLOWED_BNLJ = {
     "ann_ivf_multiprobe_topk",  # broadcast centroid table + query vector
     "ann_ivfadc_topk",  # broadcast centroids + 1-row query re-rank
     "ann_ivfadc_recall",  # broadcast centroids + query vector (both arms)
+    "ann_ivfadc_trained_topk",  # broadcast 1-row query re-rank
+    "ann_ivfadc_trained_recall",  # broadcast query vector (both arms)
     "ann_lsh_multiprobe",  # broadcast 1-row query (vector + bucket)
     "audience_overlap_hll",  # 1-row sketch-estimate triple attach
     "bigram_pmi_topk",  # 1-row corpus totals (n_uni, n_bg)
