@@ -27,6 +27,7 @@ ALLOWED_ARROW = {
     "bpe_token_counts",  # BPE encoder kernel over DISTINCT words only
     "token_budget_head_bpe",  # same distinct-word BPE kernel front end
     "bpe_bytelevel_token_counts",  # same kernel shape, 12k-rank table
+    "bpe_bytelevel50k_token_counts",  # same kernel, GPT-2-scale table
     "ann_pq_trained_topk",  # vectorized PQ encode kernel (GEMM-class)
     "ann_pq_trained_recall",  # same encode kernel (index arm)
     "ann_ivfadc_topk",  # same encode kernel over the probed cells

@@ -28,7 +28,11 @@ included) unioned with the sf corpus word frequencies; merging
 applies all occurrences left-to-right per iteration; stops early when
 no pair occurs twice. Re-running reproduces the file byte-for-byte.
 
-Usage: python tools/train_bpe_bytelevel.py [sf_dir] [n_merges] [n_synth]
+Usage: python tools/train_bpe_bytelevel.py [sf_dir] [n_merges] [n_synth] [out]
+
+``out`` (default functions/bpe_merges_bytelevel.txt) lets the 50k-rank
+GPT-2-scale table (r12 verdict ask #5) train to its own file without
+clobbering the committed 12k artifact.
 """
 
 from __future__ import annotations
@@ -136,6 +140,7 @@ def main() -> None:
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     n_merges = int(args[1]) if len(args) > 1 else 12000
     n_synth = int(args[2]) if len(args) > 2 else 65536
+    out = args[3] if len(args) > 3 else OUT
 
     t0 = time.time()
     lex = synth_freqs(n_synth)
@@ -162,11 +167,11 @@ def main() -> None:
         "# operators/bpe.py::load_merges_file.",
     ]
     lines += [f"{l} {r}" for l, r in merges]
-    with open(OUT, "w", encoding="utf-8") as fh:
+    with open(out, "w", encoding="utf-8") as fh:
         fh.write("\n".join(lines) + "\n")
     n_g = sum(1 for l, r in merges if "Ġ" in l + r)
     print(
-        f"wrote {OUT}: {len(merges)} merges ({n_g} involve Ġ) from "
+        f"wrote {out}: {len(merges)} merges ({n_g} involve Ġ) from "
         f"{len(freqs)} units in {time.time() - t0:.1f}s"
     )
 
