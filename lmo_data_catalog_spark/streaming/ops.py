@@ -694,3 +694,62 @@ def lsh_dedup_sink(
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def pq_index_sink(
+    stream_vecs: DataFrame,
+    state_root: str,
+    cell_sums,
+    *,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    state_keep_last: int | None = None,
+    await_termination: bool = True,
+):
+    """Streaming IVFADC index maintenance: each micro-batch of vectors
+    is PQ-encoded (cell + 16 codes, one map-only Arrow kernel — the
+    FAISS IndexIVFPQ ``add`` path) and appended cell-partitioned to
+    the persisted index (operators/ann_index.py::PqIvfIndexState).
+    The streaming mirror of batch ``ingest``: a vector corpus that
+    arrives continuously is searchable within the trigger that
+    delivered it, at O(batch) cost regardless of index size — no
+    rebuild, no history read, no shuffle (encoding is a pure
+    per-vector function of the FROZEN cell model + codebook, so the
+    union-of-batches invariant makes the streamed index byte-equal to
+    a one-shot build).
+
+    Exactly-once: the state append is the ONLY output, so the
+    ``stream_watermark`` prop rides the commit itself — a replayed
+    batch (crash before the checkpoint advanced) is a watermark no-op
+    and cannot duplicate index rows. ``state_keep_last`` bounds the
+    version history like the LSH sink's retention (vacuum after
+    commit; replay safety rides the manifest props, not the dropped
+    history)."""
+    from ..operators.ann_index import PqIvfIndexState
+
+    def apply_batch(df: DataFrame, batch_id: int) -> None:
+        state = PqIvfIndexState(df.sparkSession, state_root, cell_sums)
+        wm = int(state.table.get_props().get("stream_watermark", -1))
+        if batch_id <= wm:
+            return
+        if df.limit(1).count() == 0:
+            return
+        state.ingest(
+            df,
+            id_col=id_col,
+            vec_col=vec_col,
+            props={"stream_watermark": batch_id},
+        )
+        if state_keep_last is not None:
+            state.table.vacuum(keep_last=state_keep_last)
+
+    q = (
+        stream_vecs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q

@@ -1,0 +1,159 @@
+"""Persisted IVFADC index maintenance (operators/ann_index.py +
+streaming/ops.py::pq_index_sink).
+
+Pins the three claims the operator makes:
+
+1. union-of-batches: ingesting a corpus in any batch partitioning
+   produces the SAME index rows as a one-shot build (encoding is a
+   pure per-vector function of the frozen cell model + codebook);
+2. the probe is PHYSICALLY pruned: a query's candidate scan reads
+   only the probed ``cell=<id>`` subdirectories;
+3. the persisted-index query returns the SAME top-k as the
+   per-query-rebuild registry row (``ann_ivfadc_trained_topk``) at
+   the same geometry — the index is a cache of that computation,
+   byte-equal where it claims to be.
+
+Plus the streaming sink's batch-equivalence and replay idempotency.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lmo_data_catalog_spark.operators.ann_index import PqIvfIndexState
+from lmo_data_catalog_spark.operators.similarity import kmeans_cells_exact
+
+SF = "/root/testdata/sf0.001"
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+@pytest.fixture(scope="module")
+def cell_sums(spark, vectors):
+    _, sums = kmeans_cells_exact(
+        vectors,
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=DIM,
+        k=8,
+        iters=3,
+        return_state=True,
+    )
+    return sums
+
+
+def rows_of(df):
+    return sorted(
+        (r["id"], r["cell"], tuple(r["codes"])) for r in df.collect()
+    )
+
+
+def test_union_of_batches_equals_one_shot(spark, vectors, cell_sums, tmp_path):
+    one = PqIvfIndexState(spark, str(tmp_path / "one"), cell_sums)
+    one.ingest(vectors)
+    inc = PqIvfIndexState(spark, str(tmp_path / "inc"), cell_sums)
+    inc.ingest(vectors.filter(F.col("vec_id") % 3 == 0))
+    inc.ingest(vectors.filter(F.col("vec_id") % 3 == 1))
+    inc.ingest(vectors.filter(F.col("vec_id") % 3 == 2))
+    assert rows_of(one.table.read()) == rows_of(inc.table.read())
+    # three commits, each O(batch): no history rewrite
+    assert len(inc.table.history()) == 3
+
+
+def test_query_probe_reads_only_probed_cells(
+    spark, vectors, cell_sums, tmp_path
+):
+    state = PqIvfIndexState(spark, str(tmp_path / "ix"), cell_sums)
+    state.ingest(vectors)
+    qvec = [
+        float(x)
+        for x in vectors.filter(F.col("vec_id") == 0)
+        .collect()[0]["embedding"]
+    ]
+    probed = state.rank_cells(qvec)[:4]
+    codes = state.table.read_partitions("cell", probed)
+    files = codes.inputFiles()
+    assert files, "probe read no files"
+    for f in files:
+        assert any(f"cell={c}" + os.sep in f or f"cell={c}/" in f for c in probed), f
+    # and the pruned scan covers exactly the probed cells' rows
+    full = state.table.read()
+    want = full.filter(F.col("cell").isin(probed)).count()
+    assert codes.count() == want
+
+
+def test_persisted_query_matches_registry_rebuild(
+    spark, vectors, cell_sums, tmp_path
+):
+    """The index is a CACHE of ann_ivfadc_trained_topk's computation:
+    same trained cells, same committed codebook, same nprobe/rerank →
+    same top-10 ids (cosines compared at 1e-9: the re-rank folds the
+    query norm as one literal where the registry row uses
+    sqrt·sqrt — last-bit-different, order-identical)."""
+    from lmo_data_catalog_spark.registry import REGISTRY
+
+    state = PqIvfIndexState(spark, str(tmp_path / "ix"), cell_sums)
+    state.ingest(vectors)
+    qvec = [
+        float(x)
+        for x in vectors.filter(F.col("vec_id") == 0)
+        .collect()[0]["embedding"]
+    ]
+    got = state.query(qvec, vectors, nprobe=4, rerank=50, k=10).collect()
+    want = (
+        REGISTRY["ann_ivfadc_trained_topk"].builder(spark, SF).collect()
+    )
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+    # the registry row rounds to 6 dp; this query returns raw cosines
+    for g, w in zip(got, want):
+        assert abs(g["cosine"] - w["cosine"]) < 5e-7
+
+
+def test_streaming_sink_equals_batch_build_and_replay_is_noop(
+    spark, vectors, cell_sums, tmp_path
+):
+    from lmo_data_catalog_spark.streaming import ops
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    a = vectors.filter(F.col("vec_id") % 2 == 0)
+    b = vectors.filter(F.col("vec_id") % 2 == 1)
+    a.coalesce(1).write.parquet(os.path.join(src, "f=a"))
+    b.coalesce(1).write.parquet(os.path.join(src, "f=b"))
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    root = str(tmp_path / "state")
+    ops.pq_index_sink(
+        stream, root, cell_sums, checkpoint=str(tmp_path / "ckpt")
+    )
+    streamed = PqIvfIndexState(spark, root, cell_sums)
+    batch = PqIvfIndexState(spark, str(tmp_path / "batch"), cell_sums)
+    batch.ingest(vectors)
+    assert rows_of(streamed.table.read()) == rows_of(batch.table.read())
+    assert int(streamed.table.get_props()["stream_watermark"]) >= 1
+
+    # replay the finished stream from a fresh checkpoint reader: the
+    # watermark guard makes every replayed batch a no-op
+    head = streamed.table.head()
+    stream2 = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    ops.pq_index_sink(
+        stream2, root, cell_sums, checkpoint=str(tmp_path / "ckpt")
+    )
+    assert streamed.table.head() == head
