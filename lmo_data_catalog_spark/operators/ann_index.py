@@ -49,6 +49,63 @@ from pyspark.sql import functions as F
 CODES_SCHEMA = "id long, cell int, codes array<int>"
 
 
+def pq_encode_codes(
+    df: DataFrame,
+    cell_sums,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1024.0,
+) -> DataFrame:
+    """(id, cell, codes) — the IVFADC ``add``-path encode as one
+    map-only Arrow kernel, no shuffle. Cell assignment: argmax of
+    dot(quantized(v), S_c)/|S_c| over the frozen integer Lloyd state
+    (every operand an exact integer in double — numpy's GEMM and the
+    expression fold agree bit-for-bit, the kmeans_cells_exact
+    argument); ties to the lowest cell via first-max. Codes (0-based):
+    per-subspace first-min argmin of squared L2 against the committed
+    codebook — identical to the ``_tpq_scored`` convention, so
+    persisted codes equal the per-query kernel's."""
+    import numpy as np
+
+    from ..functions.pq_codebook import CODEBOOK, PQ_M, PQ_SUB
+
+    S = np.array(
+        [[int(x) for x in v] for v in cell_sums], dtype=np.float64
+    )
+    norms = np.sqrt((S * S).sum(axis=1))
+    C = np.array(CODEBOOK, dtype=np.float64)  # (M, K, SUB)
+    scale = float(scale)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+            )
+            Q = np.floor(X * scale + 0.5)
+            cells = ((Q @ S.T) / norms).argmax(axis=1) + 1
+            codes = np.empty((len(X), PQ_M), dtype=np.int64)
+            for j in range(PQ_M):
+                Xs = X[:, j * PQ_SUB : (j + 1) * PQ_SUB]
+                d = ((Xs[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "cell": cells.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(kernel, schema=CODES_SCHEMA)
+
+
 class PqIvfIndexState:
     """Persisted IVFADC index over a VersionedTable, cell-partitioned.
 
@@ -72,54 +129,13 @@ class PqIvfIndexState:
         self, df: DataFrame, *, id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> DataFrame:
-        """(id, cell, codes) for the batch — map-only, one Arrow
-        kernel, no shuffle. Cell assignment: argmax of
-        dot(quantized(v), S_c)/|S_c| over the frozen state (every
-        operand an exact integer in double — numpy's GEMM and the
-        expression fold agree bit-for-bit, the kmeans_cells_exact
-        argument); ties to the lowest cell via first-max. Codes:
-        per-subspace first-min argmin of squared L2 against the
-        committed codebook — identical to the ``_tpq_scored``
-        convention, so persisted codes equal the per-query kernel's.
-        """
-        import numpy as np
-
-        from ..functions.pq_codebook import CODEBOOK, PQ_M, PQ_SUB
-
-        S = np.array(self.cell_sums, dtype=np.float64)
-        norms = np.sqrt((S * S).sum(axis=1))
-        C = np.array(CODEBOOK, dtype=np.float64)  # (M, K, SUB)
-        scale = self.scale
-
-        def kernel(batches):
-            import pandas as pd
-
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                X = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
-                )
-                Q = np.floor(X * scale + 0.5)
-                cells = ((Q @ S.T) / norms).argmax(axis=1) + 1
-                codes = np.empty((len(X), PQ_M), dtype=np.int64)
-                for j in range(PQ_M):
-                    Xs = X[:, j * PQ_SUB : (j + 1) * PQ_SUB]
-                    d = ((Xs[:, None, :] - C[j][None, :, :]) ** 2).sum(
-                        axis=2
-                    )
-                    codes[:, j] = d.argmin(axis=1)
-                yield pd.DataFrame(
-                    {
-                        "id": pdf["id"],
-                        "cell": cells.astype("int32"),
-                        "codes": list(codes),
-                    }
-                )
-
-        return df.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-        ).mapInPandas(kernel, schema=CODES_SCHEMA)
+        return pq_encode_codes(
+            df,
+            self.cell_sums,
+            id_col=id_col,
+            vec_col=vec_col,
+            scale=self.scale,
+        )
 
     # ------------------------------------------------------------ ingest
 

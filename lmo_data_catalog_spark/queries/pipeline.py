@@ -4423,3 +4423,75 @@ def ann_ivfadc_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_overlap"),
         (F.count(F.lit(1)) / F.lit(10.0)).alias("recall"),
     )
+
+
+@query(
+    "pq_index_build_cells",
+    oracle=f"""
+    WITH qv AS (
+        SELECT embedding AS q FROM embeddings WHERE vec_id = 0
+    ),
+    {_ivfadc_trained_cell_ctes()},
+    {_tpq_sql_scored("embeddings")}
+    SELECT a.cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM({" + ".join(f"(c.code_{j} - 1)" for j in range(16))})
+                AS BIGINT) AS code_sum,
+           CAST(SUM({" + ".join(f"{j + 1} * (c.code_{j} - 1)"
+                                for j in range(16))})
+                AS BIGINT) AS code_wsum,
+           CAST(SUM(a.vec_id) AS BIGINT) AS id_sum
+    FROM af1 a JOIN codes c ON a.vec_id = c.vec_id
+    GROUP BY a.cell
+    ORDER BY a.cell
+    """,
+    tags=("similarity", "ann", "ivf", "pq", "index"),
+)
+def pq_index_build_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVFADC index BUILD stage as a differential-gated query:
+    train the 3-round Lloyd cell model, run the production encode
+    kernel (operators/ann_index.py::pq_encode_codes — the exact code
+    path PqIvfIndexState.ingest persists and pq_index_sink streams)
+    over every vector, and aggregate per cell: vector count, the sum
+    of all 16 PQ codes, the position-weighted code sum, and the id
+    sum. Any single flipped cell assignment or code anywhere in the
+    corpus moves at least one of these integers, so the driver hash
+    pins the ENTIRE index artifact, not a query over it — the same
+    role the LSH state's candidate oracle plays for dedup state.
+
+    Scale shape: the build is one map-only Arrow kernel scan (cells
+    and codebook are frozen literals) into one hash aggregate keyed
+    by cell — k rows out; at 100 TB this is the whole index-build
+    dataflow, and it is embarrassingly parallel. The oracle replays
+    the kernel as the unrolled kmeans CTEs + the PQ code CTEs (duck's
+    1-based list_indexof shifted to the kernel's 0-based codes)."""
+    from ..operators.ann_index import pq_encode_codes
+    from ..operators.similarity import kmeans_cells_exact
+
+    cat = Catalog(spark, sf_dir)
+    e = cat.embeddings
+    _, state = kmeans_cells_exact(
+        e,
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=DIM,
+        k=8,
+        iters=3,
+        return_state=True,
+    )
+    enc = pq_encode_codes(e, state)
+    code_sum = F.expr("aggregate(codes, 0L, (a, x) -> a + x)")
+    code_wsum = F.expr(
+        "aggregate(zip_with(codes, sequence(1, 16), (c, i) -> c * i),"
+        " 0L, (a, x) -> a + x)"
+    )
+    return (
+        enc.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(code_sum).alias("code_sum"),
+            F.sum(code_wsum).alias("code_wsum"),
+            F.sum("id").alias("id_sum"),
+        )
+        .orderBy("cell")
+    )

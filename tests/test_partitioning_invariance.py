@@ -93,6 +93,9 @@ SENSITIVE = [
     # partition layout (integer sums), nor the multiprobe cell rank
     "ann_ivfadc_trained_topk",
     "ann_ivfadc_trained_recall",
+    # r13: the index-build pins (cell assignments + codes) must be
+    # layout-free — integer sums over a layout-free kernel
+    "pq_index_build_cells",
 ]
 
 

@@ -34,6 +34,7 @@ ALLOWED_ARROW = {
     "ann_ivfadc_recall",  # same encode kernel (index arm)
     "ann_ivfadc_trained_topk",  # encode kernel + kmeans assignment
     "ann_ivfadc_trained_recall",  # same (index arm)
+    "pq_index_build_cells",  # the production encode kernel itself
 }
 
 #: queries whose plans legitimately contain BroadcastNestedLoopJoin —
