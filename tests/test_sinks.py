@@ -275,6 +275,14 @@ def test_zorder_on_skewed_data_via_ntile(spark, tmp_path):
     from lmo_data_catalog_spark.operators.windows import distributed_ntile
     from lmo_data_catalog_spark.sinks.workbook import zorder_key
 
+    # cache-free measurement: a structurally identical subtree cached
+    # by an earlier test would swap an InMemoryTableScan in here with
+    # ITS partition layout, shifting repartitionByRange's sample and
+    # therefore the file boundaries this test measures (the same
+    # flake class test_plan_budgets documents; seen once in-suite at
+    # r13 on the a=80k tail assertion, green isolated)
+    spark.catalog.clearCache()
+
     # heavily skewed: a ~ exp-ish tail, b ~ squared ramp
     df = spark.range(0, 60_000).select(
         (F.col("id") % 300).alias("i"), F.col("id")
