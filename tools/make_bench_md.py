@@ -223,6 +223,27 @@ def main() -> None:
         "this near-uniform fixture vs 0.985 cell recall on clustered",
         "corpora).",
         "",
+        "## Round-13 additions: what the 4 new suite rows cost",
+        "",
+        "The registry grew 214 → 218. The r12-verdict closers:",
+        "`ann_ivfadc_trained_topk` / `ann_ivfadc_trained_recall`",
+        "(IndexIVFPQ with BOTH stages trained — 3-round Lloyd cells +",
+        "the committed PQ codebook at nprobe=4; recall@10 = 1.0 at",
+        "q=0 on every fixture vs the static cells' 0.3-0.6; the",
+        "per-query Lloyd tax is ~2x the static sibling and the",
+        "persisted-index amortization is measured in SCALING —",
+        "query-over-persisted-codes is 1.9x faster with training",
+        "paid once), `bpe_bytelevel50k_token_counts` (the GPT-2-scale",
+        "50,000-rank committed table; oracle measured 3.1-3.6 s,",
+        "retiring the '~6 s' projection; Spark-side wall identical",
+        "to the 12k sibling at BOTH sf0.1 and sf1 — the kernel is",
+        "rank-table-size-independent, now measured at 10x corpus),",
+        "and `pq_index_build_cells` (the production encode kernel's",
+        "per-cell integer pins — one map-only kernel scan into one",
+        "k-row hash aggregate; the index ARTIFACT is driver-hashed).",
+        "Decade-up ratios for all four are in SCALING §decade-up",
+        "(every ANN row sub-linear or flat).",
+        "",
         "## simhash_candidates isolated re-measure (round 13)",
         "",
         "The one r12 driver row beyond the 2x gate (driver 2.77 s vs",
