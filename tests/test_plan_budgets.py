@@ -48,6 +48,11 @@ BUDGETS = {
     "ann_pq_trained_topk": 1,  # encode kernel scan + 1-row q broadcast
     "ann_pq_trained_recall": 3,
     "mel_filterbank_energies": 0,  # map-only literal fold chain
+    # round-13 additions (measured at add time, cache-cleared)
+    "ann_ivfadc_trained_topk": 1,  # probed-cell kernel + q broadcast
+    "ann_ivfadc_trained_recall": 3,
+    "bpe_bytelevel50k_token_counts": 3,  # distinct-vocab kernel + join
+    "pq_index_build_cells": 2,  # encode kernel scan + k-row hash agg
 }
 
 
