@@ -91,8 +91,18 @@ def pq_encode_codes(
             codes = np.empty((len(X), PQ_M), dtype=np.int64)
             for j in range(PQ_M):
                 Xs = X[:, j * PQ_SUB : (j + 1) * PQ_SUB]
-                d = ((Xs[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = d.argmin(axis=1)
+                # explicit left-deep accumulation over the subspace —
+                # the SAME operand order as _tpq_scored's kernel and
+                # the oracle's SQL fold (a .sum(axis=2) happens to be
+                # sequential at SUB=4 but flips to pairwise blocking
+                # on larger widths, which would move last bits and
+                # could flip an argmin near-tie cross-engine)
+                acc = None
+                for k in range(PQ_SUB):
+                    t = Xs[:, k, None] - C[j, None, :, k]
+                    tt = t * t
+                    acc = tt if acc is None else acc + tt
+                codes[:, j] = acc.argmin(axis=1)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],

@@ -501,3 +501,50 @@ def test_gif_frame_stats_tolerant_routes_refusals(spark):
     assert by_doc[3][0]["width"] == 65535
     assert by_doc[4][0]["status"] == "malformed"
     assert all(len(v) == 1 for k, v in by_doc.items() if k != 1)
+
+
+def test_tolerant_wrapper_never_dies_on_corruption(spark):
+    """Crawl-grade robustness for the tolerant path: single-byte
+    corruptions, truncations, and random garbage must each produce a
+    status ROW (ok/malformed/resource_cap), never a raised stage —
+    the kernel-level contract behind 'routes the tail instead of
+    dying on it'. Deterministic seed; one Spark pass over the whole
+    corrupt batch so the assertion covers the mapInPandas path, not
+    just the decoder."""
+    import random
+
+    from lmo_data_catalog_spark.operators.multimodal import (
+        gif_frame_stats_tolerant,
+    )
+
+    rng = random.Random(13)
+    pal = _pal(8)
+    idx = np.arange(36, dtype=np.uint8).reshape(6, 6) % 8
+    good = encode_gif((6, 6), pal, [{"idx": idx}, {"idx": idx}])
+
+    payloads = []
+    pid = 0
+    for _ in range(40):  # single-byte corruptions
+        pos = rng.randrange(len(good))
+        val = rng.randrange(256)
+        payloads.append(
+            (pid, good[:pos] + bytes([val]) + good[pos + 1 :])
+        )
+        pid += 1
+    for _ in range(20):  # truncations
+        payloads.append((pid, good[: rng.randrange(len(good))]))
+        pid += 1
+    for _ in range(20):  # random garbage
+        payloads.append(
+            (pid, bytes(rng.randrange(256) for _ in range(rng.randrange(80))))
+        )
+        pid += 1
+
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    rows = gif_frame_stats_tolerant(df).collect()
+    seen = {r["doc_id"] for r in rows}
+    assert seen == {p for p, _ in payloads}  # every payload answered
+    for r in rows:
+        assert r["status"] in ("ok", "malformed", "resource_cap")
+        if r["status"] != "ok":
+            assert r["reason"]
