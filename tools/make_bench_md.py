@@ -244,6 +244,15 @@ def main() -> None:
         "Decade-up ratios for all four are in SCALING §decade-up",
         "(every ANN row sub-linear or flat).",
         "",
+        "Isolated quiet-host reference for the three heavy new rows",
+        "(load1 1.09, warm best-of-3, 2026-08-16 — recorded so",
+        "round-to-round drift on them is falsifiable from the",
+        "artifact): ann_ivfadc_trained_topk 4.95 s /",
+        "ann_ivfadc_trained_recall 4.78 s / pq_index_build_cells",
+        "4.13 s. The Lloyd-training jobs dominate and their",
+        "scheduling varies ~25% run-to-run, so driver readings up to",
+        "~5 s on these rows are in-band, not regressions.",
+        "",
         "## simhash_candidates isolated re-measure (round 13)",
         "",
         "The one r12 driver row beyond the 2x gate (driver 2.77 s vs",
