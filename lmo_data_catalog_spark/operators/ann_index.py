@@ -158,9 +158,15 @@ class PqIvfIndexState:
         props: dict | None = None,
     ) -> int:
         """Encode the batch and append it cell-partitioned; returns
-        the new version. O(batch) compute, zero shuffle (the
+        the new version — or the CURRENT head (possibly None) for an
+        empty batch, which commits nothing (an empty partitioned
+        write has no files for the commit's schema read-back, and an
+        empty version would be pure manifest noise; same guard as
+        the streaming sink). O(batch) compute, zero shuffle (the
         partitioned write splits by column value, not by Exchange),
         zero history reads. Ids must be unique across batches."""
+        if df.limit(1).count() == 0:
+            return self.table.head()
         return self.table.commit(
             self._encode(df, id_col=id_col, vec_col=vec_col),
             operation="pq-ivf-ingest",

@@ -157,3 +157,24 @@ def test_streaming_sink_equals_batch_build_and_replay_is_noop(
         stream2, root, cell_sums, checkpoint=str(tmp_path / "ckpt")
     )
     assert streamed.table.head() == head
+
+
+def test_empty_batch_ingest_is_a_noop_and_empty_query_is_clean(
+    spark, vectors, cell_sums, tmp_path
+):
+    """Edge contract: an empty batch commits NOTHING (an empty
+    partitioned write would break the commit's schema read-back) and
+    querying an index with no versions raises the VersionedTable's
+    clean FileNotFoundError, not a Spark internals error."""
+    state = PqIvfIndexState(spark, str(tmp_path / "ix"), cell_sums)
+    assert state.ingest(vectors.filter(F.col("vec_id") < 0)) is None
+    qvec = [0.1] * DIM
+    with pytest.raises(FileNotFoundError, match="no versions"):
+        state.query(qvec, vectors).collect()
+    v1 = state.ingest(vectors)
+    assert v1 == 1
+    # empty batch AFTER data: head unchanged, rows unchanged
+    assert state.ingest(vectors.filter(F.col("vec_id") < 0)) == v1
+    assert state.table.head() == v1
+    # oversized nprobe clamps to every cell and still answers
+    assert len(state.query(qvec, vectors, nprobe=99, k=5).collect()) == 5
