@@ -39,6 +39,17 @@ _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 _MAX_CODE_WIDTH = 12
 
+
+class GifResourceCap(ValueError):
+    """A structurally valid GIF refused because decoding it would
+    exceed an allocation cap (canvas pixels or total composed frame
+    pixels) — distinct from malformed input.  Tolerant crawl-ingest
+    wrappers catch this BY TYPE to classify ``resource_cap`` vs
+    ``malformed`` (r13 advisor finding: substring-matching the
+    message meant any rewording silently reclassified rows).
+    Subclasses ``ValueError`` so strict callers' contracts are
+    unchanged."""
+
 #: default canvas sanity cap for :func:`decode_gif_frames` — a crafted
 #: 13-byte header can claim 65535x65535 (a ~12.9 GB RGB allocation per
 #: payload row); untrusted corpus decode must bound the allocation
@@ -197,7 +208,7 @@ def decode_gif_frames(
         raise ValueError("GIF: truncated header")
     w, h = struct.unpack("<HH", payload[6:10])
     if w * h > max_pixels:
-        raise ValueError(
+        raise GifResourceCap(
             f"GIF: logical screen {w}x{h} exceeds the {max_pixels}"
             "-pixel decode cap"
         )
@@ -294,7 +305,7 @@ def decode_gif_frames(
             region[:, :] = rgb
         total_px += w * h
         if total_px > max_total_pixels:
-            raise ValueError(
+            raise GifResourceCap(
                 f"GIF: total decoded pixels across {len(frames) + 1} "
                 f"frames exceed the {max_total_pixels}-pixel cap"
             )

@@ -959,7 +959,7 @@ def gif_frame_stats_tolerant(
     keeps raising for pipelines that want fail-fast."""
     import pandas as pd
 
-    from .gif import decode_gif_frames
+    from .gif import GifResourceCap, decode_gif_frames
 
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
@@ -975,10 +975,9 @@ def gif_frame_stats_tolerant(
                 )
             }
 
-            def refusal(did, payload: bytes, msg: str) -> None:
+            def refusal(did, payload: bytes, msg: str, cap: bool) -> None:
                 meta = parse_image_dims(payload)
                 dims_ok = meta is not None and meta[0] == "gif"
-                cap = "pixel" in msg and "cap" in msg
                 rows["doc_id"].append(did)
                 rows["frame_idx"].append(None)
                 rows["n_frames"].append(None)
@@ -996,7 +995,13 @@ def gif_frame_stats_tolerant(
                 try:
                     w, h, frames = decode_gif_frames(payload)
                 except (ValueError, IndexError, _struct.error) as e:
-                    refusal(did, payload, str(e))
+                    # classified BY TYPE, not by message substring
+                    # (r13 advisor): GifResourceCap is the decoder's
+                    # own cap contract; everything else is malformed.
+                    refusal(
+                        did, payload, str(e),
+                        cap=isinstance(e, GifResourceCap),
+                    )
                     continue
                 ts = 0
                 for i, (delay_ms, px) in enumerate(frames):

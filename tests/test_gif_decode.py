@@ -548,3 +548,85 @@ def test_tolerant_wrapper_never_dies_on_corruption(spark):
         assert r["status"] in ("ok", "malformed", "resource_cap")
         if r["status"] != "ok":
             assert r["reason"]
+
+
+def _straddling_final_code_gif() -> bytes:
+    """A structurally valid GIF whose LZW stream's FINAL
+    pixel-producing code is a multi-pixel dictionary entry that
+    straddles past n_pixels — the real-world-encoder shape the r13
+    verdict asked to pin (sloppy encoders emit one code too many when
+    the dictionary entry at the boundary is multi-pixel; conformant
+    decoders must refuse rather than silently truncate).
+
+    Hand-packed stream for a 2x2 image (n_pixels=4), min_code_size=2
+    (CLEAR=4, EOI=5, first dict code=6), codes CLEAR,0,1,0,6:
+
+    - 0        -> out=[0]                         len 1
+    - 1        -> dict[6]=[0,1], out=[0,1]        len 2
+    - 0        -> dict[7]=[1,0], out=[0,1,0]      len 3  (width->4)
+    - 6=[0,1]  -> out len 5 > 4: STRADDLE
+
+    LSB-first packing: widths [3,3,3,3,4] -> bytes 0x44 0x60.
+    """
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", 2, 2)
+    out.append(0x80 | 1)  # GCT present, 4 entries
+    out += b"\x00\x00"  # bg idx, aspect
+    out += bytes(range(12))  # 4-color GCT
+    out.append(0x2C)  # image descriptor
+    out += struct.pack("<HHHH", 0, 0, 2, 2)
+    out.append(0)  # no LCT, no interlace
+    out.append(2)  # LZW min code size
+    out += bytes([2, 0x44, 0x60, 0])  # one 2-byte sub-block + term
+    out.append(0x3B)
+    return bytes(out)
+
+
+def test_straddling_final_lzw_code_strict_and_tolerant(spark):
+    """r13 verdict ask #6: the straddling-final-LZW-code shape must
+    (a) raise in the strict decoder as corruption, NOT as a resource
+    cap, and (b) route through gif_frame_stats_tolerant as a
+    ``malformed`` status row rather than raising through the stage."""
+    from lmo_data_catalog_spark.operators.gif import GifResourceCap
+    from lmo_data_catalog_spark.operators.multimodal import (
+        gif_frame_stats_tolerant,
+    )
+
+    payload = _straddling_final_code_gif()
+    with pytest.raises(ValueError, match="produced 5 pixels") as exc:
+        decode_gif_frames(payload)
+    assert not isinstance(exc.value, GifResourceCap)
+
+    df = spark.createDataFrame(
+        [(1, payload)], "doc_id long, payload binary"
+    )
+    rows = gif_frame_stats_tolerant(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["status"] == "malformed"
+    assert "produced 5 pixels" in rows[0]["reason"]
+    # header dims still recovered for the audit trail
+    assert (rows[0]["width"], rows[0]["height"]) == (2, 2)
+
+
+def test_resource_cap_is_typed_not_message_matched(spark):
+    """r13 advisor: cap refusals are classified BY EXCEPTION TYPE
+    (GifResourceCap), so rewording a decoder message can never
+    silently reclassify rows. Pins both cap sites raising the
+    subclass and a corruption raising the plain ValueError."""
+    from lmo_data_catalog_spark.operators.gif import GifResourceCap
+
+    pal = _pal(4)
+    idx = np.zeros((4, 4), dtype=np.uint8)
+    ok = encode_gif((4, 4), pal, [{"idx": idx}] * 25)
+    # canvas cap site
+    huge = bytearray(ok)
+    huge[6:10] = struct.pack("<HH", 65535, 65535)
+    with pytest.raises(GifResourceCap):
+        decode_gif_frames(bytes(huge))
+    # total-frame-pixel cap site
+    with pytest.raises(GifResourceCap):
+        decode_gif_frames(ok, max_total_pixels=300)
+    # corruption is NOT the cap type
+    with pytest.raises(ValueError) as exc:
+        decode_gif_frames(b"GIF89a\x00")
+    assert not isinstance(exc.value, GifResourceCap)
