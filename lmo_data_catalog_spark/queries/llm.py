@@ -650,7 +650,7 @@ def _bpe_sql() -> str:
 
 @query(
     "bpe_token_counts",
-    oracle=_bpe_sql(),
+    oracle=_bpe_sql,
     tags=("text", "tokens", "bpe"),
 )
 def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -752,7 +752,7 @@ def _bpe_bl_sql(table: str = "12k") -> str:
 
 @query(
     "bpe_bytelevel_token_counts",
-    oracle=_bpe_bl_sql(),
+    oracle=_bpe_bl_sql,
     tags=("text", "tokens", "bpe"),
 )
 def bpe_bytelevel_token_counts(
@@ -848,7 +848,7 @@ def _bpe_bl_builder(
 
 @query(
     "bpe_bytelevel50k_token_counts",
-    oracle=_bpe_bl_sql("50k"),
+    oracle=lambda: _bpe_bl_sql("50k"),
     tags=("text", "tokens", "bpe"),
 )
 def bpe_bytelevel50k_token_counts(
@@ -906,7 +906,7 @@ def _bpe_budget_sql() -> str:
 
 @query(
     "token_budget_head_bpe",
-    oracle=_bpe_budget_sql(),
+    oracle=_bpe_budget_sql,
     tags=("sampling", "budget", "tokens", "bpe", "llm"),
 )
 def token_budget_head_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:

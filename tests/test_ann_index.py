@@ -145,8 +145,11 @@ def test_streaming_sink_equals_batch_build_and_replay_is_noop(
     assert rows_of(streamed.table.read()) == rows_of(batch.table.read())
     assert int(streamed.table.get_props()["stream_watermark"]) >= 1
 
-    # replay the finished stream from a fresh checkpoint reader: the
-    # watermark guard makes every replayed batch a no-op
+    # replay the finished stream against a FRESH checkpoint dir (r13
+    # advisor: reusing the old checkpoint makes availableNow deliver
+    # zero batches, so the replay claim passed vacuously) — now
+    # batches 0..N genuinely redeliver and head-unchanged is enforced
+    # by the stream_watermark guard itself
     head = streamed.table.head()
     stream2 = (
         spark.readStream.schema("vec_id bigint, embedding array<float>")
@@ -154,9 +157,10 @@ def test_streaming_sink_equals_batch_build_and_replay_is_noop(
         .parquet(src + "/*")
     )
     ops.pq_index_sink(
-        stream2, root, cell_sums, checkpoint=str(tmp_path / "ckpt")
+        stream2, root, cell_sums, checkpoint=str(tmp_path / "ckpt2")
     )
     assert streamed.table.head() == head
+    assert rows_of(streamed.table.read()) == rows_of(batch.table.read())
 
 
 def test_empty_batch_ingest_is_a_noop_and_empty_query_is_clean(
