@@ -60,3 +60,53 @@ def test_oracle_output_type_parity(con, spark):
         if problems:
             bad[name] = problems
     assert not bad, f"oracle output type parity violations: {bad}"
+
+
+def test_float_width_guard_red_path(con, spark):
+    """r13 verdict ask #3: prove the float-width extension actually
+    fires (the integer guard's red path was proven the same way in
+    r12). Synthetic mismatches in both directions, scalar and
+    array-element, plus the matching green cases."""
+    from pyspark.sql import types as T
+
+    from tools.verify_local import type_parity_problems
+
+    def schema(spark_type):
+        return T.StructType([T.StructField("x", spark_type)])
+
+    flt, dbl = T.FloatType(), T.DoubleType()
+    arr = T.ArrayType
+
+    # duck FLOAT vs spark double — flagged
+    assert type_parity_problems(
+        con, "SELECT 1.5::FLOAT AS x", schema(dbl)
+    )
+    # duck DOUBLE vs spark float — flagged
+    assert type_parity_problems(
+        con, "SELECT 1.5::DOUBLE AS x", schema(flt)
+    )
+    # duck DOUBLE vs spark int (neither int nor float guard alone
+    # covered this corner before r14) — flagged
+    assert type_parity_problems(
+        con, "SELECT 1.5::DOUBLE AS x", schema(T.IntegerType())
+    )
+    # array-element widths — flagged both directions
+    assert type_parity_problems(
+        con, "SELECT [1.5::FLOAT] AS x", schema(arr(dbl))
+    )
+    assert type_parity_problems(
+        con, "SELECT [1.5::DOUBLE] AS x", schema(arr(flt))
+    )
+    # matching widths — green
+    assert not type_parity_problems(
+        con, "SELECT 1.5::DOUBLE AS x", schema(dbl)
+    )
+    assert not type_parity_problems(
+        con, "SELECT 1.5::FLOAT AS x", schema(flt)
+    )
+    assert not type_parity_problems(
+        con, "SELECT [1.5::FLOAT] AS x", schema(arr(flt))
+    )
+    assert not type_parity_problems(
+        con, "SELECT [[1.5::DOUBLE]] AS x", schema(arr(arr(dbl)))
+    )
