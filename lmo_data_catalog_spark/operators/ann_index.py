@@ -174,6 +174,88 @@ class PqIvfIndexState:
             props=props,
         )
 
+    # ------------------------------------------------------------ delete
+
+    def remove_ids(
+        self,
+        ids,
+        *,
+        vectors: DataFrame | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        props: dict | None = None,
+    ) -> int:
+        """Delete vectors from the persisted index — the FAISS
+        ``remove_ids`` analog (r13 verdict ask #5). Returns the new
+        version (or the current head when nothing matched).
+
+        Shuffle/IO budget is O(touched cells), never a full rewrite:
+        the touched ``cell=`` leaves are re-read (explicit leaf-path
+        scans), survivors anti-joined against the broadcast id set
+        (no Exchange), and the table's
+        :meth:`~..sources.versioned.VersionedTable.replace_partitions`
+        swaps exactly those leaves — every untouched cell's files are
+        carried forward verbatim and ``cell=`` pruning (the coarse
+        quantizer) is preserved, pinned in tests/test_ann_index.py.
+
+        Locating the touched cells costs one of two shapes:
+        ``vectors`` given (the deleted vectors are at hand, e.g. a
+        GDPR erasure batch with payloads) → re-encode the batch
+        (encoding is a pure function of the frozen artifacts), O(batch)
+        with zero index reads; otherwise → an id→cell lookup over the
+        index's own ``id`` column (columnar projection; the 16-byte
+        codes are never read), O(index ids). Ids absent from the
+        index are ignored either way, so delete is idempotent."""
+        if not isinstance(ids, DataFrame):
+            ids = self.spark.createDataFrame(
+                [(int(i),) for i in ids], "id bigint"
+            )
+        id_df = ids.select(F.col(ids.columns[0]).alias("__del")).distinct()
+        head = self.table.head()
+        if head is None:
+            return head
+        if vectors is not None:
+            located = (
+                self._encode(vectors, id_col=id_col, vec_col=vec_col)
+                .join(
+                    F.broadcast(id_df),
+                    F.col("id") == F.col("__del"),
+                    "leftsemi",
+                )
+            )
+        else:
+            located = self.table.read().join(
+                F.broadcast(id_df),
+                F.col("id") == F.col("__del"),
+                "leftsemi",
+            )
+        touched = sorted(
+            r["cell"] for r in located.select("cell").distinct().collect()
+        )
+        if not touched:
+            return head
+        survivors = None
+        for c in touched:
+            surv = (
+                self.table.read_partitions("cell", [c])
+                .join(
+                    F.broadcast(id_df),
+                    F.col("id") == F.col("__del"),
+                    "left_anti",
+                )
+                .withColumn("cell", F.lit(int(c)).cast("int"))
+            )
+            survivors = (
+                surv if survivors is None else survivors.unionByName(surv)
+            )
+        return self.table.replace_partitions(
+            "cell",
+            touched,
+            survivors,
+            operation="pq-ivf-remove-ids",
+            props=props,
+        )
+
     # ------------------------------------------------------------- query
 
     def rank_cells(self, qvec) -> list[int]:

@@ -352,11 +352,13 @@ class VersionedTable:
                 }
         partitioned = {cdir: list(partition_by)} if partition_by else {}
         renames = [] if parent is None else self._renames(parent)
+        excluded: dict = {}
         if mode == "append" and parent is not None:
             pm = self._load_manifest(parent)
             dirs = pm["data_dirs"] + dirs
             stats = {**pm.get("stats", {}), **stats}
             partitioned = {**pm.get("partitioned", {}), **partitioned}
+            excluded = pm.get("excluded", {})
         self._publish(
             version,
             {
@@ -366,6 +368,7 @@ class VersionedTable:
                 "data_dirs": dirs,
                 "stats": stats,
                 **({} if not partitioned else {"partitioned": partitioned}),
+                **({} if not excluded else {"excluded": excluded}),
                 **({} if schema is None else {"schema": schema.jsonValue()}),
                 **({} if not renames else {"renames": renames}),
                 "props": self._next_props(parent, props),
@@ -570,6 +573,7 @@ class VersionedTable:
         partitioned: dict | None = None,
         renames: list[dict] | None = None,
         version: int | None = None,
+        excluded: dict | None = None,
     ) -> DataFrame:
         """Read data directories at the table's logical schema: files
         written before an evolution are up-cast (safe-ladder widening)
@@ -595,7 +599,14 @@ class VersionedTable:
         of its write version) and aliased to the logical schema;
         dirs sharing a mapping batch into one scan, and the common
         no-renames case stays the single multi-path scan. Filters
-        still push down — an alias is transparent to Catalyst."""
+        still push down — an alias is transparent to Catalyst.
+
+        ``excluded`` (``{dir: {col: [values]}}``, recorded by
+        :meth:`replace_partitions`) drops the named ``col=value``
+        subdirectories of a Hive-partitioned directory from the scan:
+        the included leaves are enumerated explicitly under the dir's
+        ``basePath``, so partition-column restoration and pruning
+        behave exactly as a whole-dir scan."""
         from pyspark.sql import types as T
 
         from pyspark.sql import functions as F
@@ -666,20 +677,43 @@ class VersionedTable:
                         mp,
                     )
                 )
+        excl = excluded or {}
         for d in dirs:
             if d not in part:
                 continue
             p = os.path.join(self._data_dir, d)
+            paths = [p]
+            dexcl = excl.get(d)
+            if dexcl and part[d] and part[d][0] in dexcl:
+                pcol = part[d][0]
+                gone = set(dexcl[pcol])
+                paths = [
+                    os.path.join(p, sub)
+                    for sub in sorted(os.listdir(p))
+                    if sub.startswith(f"{pcol}=")
+                    and sub.split("=", 1)[1] not in gone
+                ]
+                if not paths:
+                    continue  # every live leaf replaced elsewhere
             r = self.spark.read.option("basePath", p)
             mp = mapping_for(d)
             if schema is None:
-                frames.append(r.option("mergeSchema", "true").parquet(p))
+                frames.append(
+                    r.option("mergeSchema", "true").parquet(*paths)
+                )
             elif mp is None:
-                frames.append(r.schema(schema).parquet(p))
+                frames.append(r.schema(schema).parquet(*paths))
             else:
                 # partition columns are rename-protected, so they map
                 # identically and still restore from the dir names
-                frames.append(project(r.schema(phys_schema(mp)).parquet(p), mp))
+                frames.append(
+                    project(r.schema(phys_schema(mp)).parquet(*paths), mp)
+                )
+        if not frames:
+            # every requested dir fully excluded (replace_partitions
+            # normally drops such dirs from the manifest; this is the
+            # defensive mirror) — empty frame at the logical schema
+            return self.spark.createDataFrame([], schema)
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=schema is None)
@@ -812,6 +846,8 @@ class VersionedTable:
         new_stats = {d: stats[d] for d in keep_dirs if d in stats}
         part_map = manifest.get("partitioned", {})
         new_part = {d: part_map[d] for d in keep_dirs if d in part_map}
+        excl_map = manifest.get("excluded", {})
+        new_excl = {d: excl_map[d] for d in keep_dirs if d in excl_map}
         new_schema = self.schema(head)  # evolves if updates add/widen
         if rewrite_dirs or updates is not None:
             parts = []
@@ -825,6 +861,7 @@ class VersionedTable:
                     part_map,
                     self._renames(head),
                     head,
+                    manifest.get("excluded", {}),
                 )
                 gone = [
                     b.select(F.col(key).alias("__k")).distinct()
@@ -876,11 +913,171 @@ class VersionedTable:
                 "data_dirs": new_dirs,
                 "stats": new_stats,
                 **({} if not new_part else {"partitioned": new_part}),
+                **({} if not new_excl else {"excluded": new_excl}),
                 **(
                     {}
                     if not self._renames(head)
                     else {"renames": self._renames(head)}
                 ),
+                **(
+                    {}
+                    if new_schema is None
+                    else {"schema": new_schema.jsonValue()}
+                ),
+                "props": self._next_props(head, props),
+            },
+        )
+        return version
+
+    def replace_partitions(
+        self,
+        col: str,
+        values,
+        replacement: DataFrame | None = None,
+        *,
+        operation: str | None = None,
+        props: dict | None = None,
+    ) -> int:
+        """Dynamic partition overwrite (the Hive/Delta
+        ``replaceWhere`` primitive): atomically publish a version in
+        which the ``col=value`` partitions for ``values`` contain
+        EXACTLY ``replacement``'s rows (none, if ``replacement`` is
+        None/empty) and every other partition is untouched.
+
+        Cost is O(touched partitions), not O(table): directories
+        Hive-partitioned on ``col`` are never rewritten — the manifest
+        records their touched subdirectories as ``excluded`` and every
+        read path (read / read_range / read_partitions / merge /
+        read_changes) skips those leaves, so untouched ``col=``
+        leaves are carried forward VERBATIM and physical pruning is
+        preserved. Only directories NOT partitioned on ``col``
+        (legacy commits, merge rewrites) are conservatively rewritten
+        minus the replaced values; their surviving rows land in the
+        new directory, which is itself partitioned on ``col``.
+
+        ``replacement`` must only contain rows with ``col`` in
+        ``values`` — silently widening the replaced set would make
+        "every other partition is untouched" a lie, so that raises.
+        A directory whose every physical leaf ends up excluded leaves
+        the manifest entirely (vacuum reclaims it); excluded leaves
+        inside still-live directories are reclaimed when a later
+        :meth:`compact` rewrites the table (vacuum is
+        directory-granular).
+
+        This is the deletion/correction path for cell-partitioned
+        index state (operators/ann_index.py::PqIvfIndexState.
+        remove_ids — the FAISS ``remove_ids`` analog): delete =
+        replace the touched cells with their survivors."""
+        from pyspark.sql import functions as F
+
+        head = self.head()
+        if head is None:
+            raise FileNotFoundError(f"no versions in {self.root}")
+        svals = {str(v) for v in values}
+        if not svals:
+            if (
+                replacement is not None
+                and replacement.limit(1).count() > 0
+            ):
+                raise ValueError(
+                    "replacement rows supplied but no values to "
+                    "replace — an append in disguise"
+                )
+            return head
+        if replacement is not None:
+            bad = (
+                replacement.filter(
+                    ~F.col(col).cast("string").isin(list(svals))
+                    | F.col(col).isNull()
+                )
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"replacement rows outside the replaced "
+                    f"{col} values {sorted(svals)}"
+                )
+        m = self._load_manifest(head)
+        part = m.get("partitioned", {})
+        rens = m.get("renames", [])
+        stats = m.get("stats", {})
+        old_excl = m.get("excluded", {})
+        schema = self.schema(head)
+        version = head + 1
+
+        keep_dirs: list[str] = []
+        new_excl: dict = {}
+        rewrite_dirs: list[str] = []
+        for d in m["data_dirs"]:
+            if part.get(d) == [col]:
+                p = os.path.join(self._data_dir, d)
+                prev = set((old_excl.get(d) or {}).get(col, ()))
+                phys = {
+                    sub.split("=", 1)[1]
+                    for sub in os.listdir(p)
+                    if sub.startswith(f"{col}=")
+                }
+                gone = prev | (phys & svals)
+                if phys and phys <= gone:
+                    continue  # no live leaf left: drop the dir
+                keep_dirs.append(d)
+                if gone:
+                    new_excl[d] = {col: sorted(gone)}
+            else:
+                keep_dirs.append(d)
+                if d in old_excl:
+                    new_excl[d] = old_excl[d]
+                # can this dir hold replaced rows? conservatively yes
+                # unless its zone map on ``col`` proves otherwise
+                rewrite_dirs.append(d)
+        if rewrite_dirs and svals:
+            survivors = self._read_dirs(
+                rewrite_dirs, schema, part, rens, head, old_excl
+            ).filter(
+                ~F.col(col).cast("string").isin(list(svals))
+                | F.col(col).isNull()
+            )
+            keep_dirs = [d for d in keep_dirs if d not in set(rewrite_dirs)]
+            for d in rewrite_dirs:
+                new_excl.pop(d, None)
+            replacement = (
+                survivors
+                if replacement is None
+                else replacement.unionByName(
+                    survivors, allowMissingColumns=True
+                )
+            )
+        new_dirs = list(keep_dirs)
+        new_stats = {d: stats[d] for d in keep_dirs if d in stats}
+        new_part = {d: part[d] for d in keep_dirs if d in part}
+        new_schema = schema
+        if replacement is not None and replacement.limit(1).count() > 0:
+            cdir = f"c{version:05d}-{uuid.uuid4().hex[:8]}"
+            path = os.path.join(self._data_dir, cdir)
+            replacement.write.partitionBy(col).parquet(path)
+            written = self.spark.read.parquet(path)
+            if new_schema is not None:
+                new_schema = _evolve_schema(new_schema, written.schema)
+            new_dirs.append(cdir)
+            new_part[cdir] = [col]
+        if not new_dirs and new_schema is None:
+            raise ValueError(
+                "replace_partitions would leave an empty LEGACY table "
+                "(no recorded schema to serve empty reads from) — "
+                "refusing"
+            )
+        self._publish(
+            version,
+            {
+                "version": version,
+                "parent": head,
+                "operation": operation or f"replace_partitions({col})",
+                "data_dirs": new_dirs,
+                "stats": new_stats,
+                **({} if not new_part else {"partitioned": new_part}),
+                **({} if not new_excl else {"excluded": new_excl}),
+                **({} if not rens else {"renames": rens}),
                 **(
                     {}
                     if new_schema is None
@@ -916,6 +1113,11 @@ class VersionedTable:
                 ),
                 **(
                     {}
+                    if not old.get("excluded")
+                    else {"excluded": old["excluded"]}
+                ),
+                **(
+                    {}
                     if not old.get("renames")
                     else {"renames": old["renames"]}
                 ),
@@ -948,6 +1150,7 @@ class VersionedTable:
             m.get("partitioned", {}),
             m.get("renames", []),
             v,
+            m.get("excluded", {}),
         )
 
     def read_range(
@@ -984,6 +1187,7 @@ class VersionedTable:
             m.get("partitioned", {}),
             m.get("renames", []),
             v,
+            m.get("excluded", {}),
         )
 
     def read_partitions(
@@ -1013,6 +1217,7 @@ class VersionedTable:
         m = self._load_manifest(v)
         part = m.get("partitioned", {})
         rens = m.get("renames", [])
+        excl = m.get("excluded", {})
         schema = self.schema(v)
         leaf_schema = schema
         if schema is not None:
@@ -1040,16 +1245,18 @@ class VersionedTable:
                     else tuple(sorted((k, x) for k, x in mp.items()))
                 )
                 g = leaf_groups.setdefault(key, (mp, []))[1]
+                gone = set((excl.get(d) or {}).get(col, ()))
                 for sub in os.listdir(p):
                     if not sub.startswith(f"{col}="):
                         continue
-                    if sub.split("=", 1)[1] in wanted:
+                    val = sub.split("=", 1)[1]
+                    if val in wanted and val not in gone:
                         g.append(os.path.join(p, sub))
             else:
                 # legacy/unpartitioned (or partitioned on another
                 # column): no physical pruning possible — include
                 # whole, minus the partition column if present
-                full = self._read_dirs([d], schema, part, rens, v)
+                full = self._read_dirs([d], schema, part, rens, v, excl)
                 frames.append(
                     full.drop(col) if col in full.columns else full
                 )
@@ -1520,6 +1727,20 @@ class VersionedTable:
                 f"{sorted(gone)} rewritten (merge/compact/rollback) — "
                 "read_changes would be wrong; use diff() instead"
             )
+        excl_since = m_since.get("excluded", {})
+        excl_to = m_to.get("excluded", {})
+        reshaped = [
+            d
+            for d in m_since["data_dirs"]
+            if excl_since.get(d) != excl_to.get(d)
+        ]
+        if reshaped:
+            raise ValueError(
+                f"non-append history between v{since_version} and v{to}: "
+                f"partitions of {sorted(reshaped)} replaced "
+                "(replace_partitions) — read_changes would be wrong; "
+                "use diff() instead"
+            )
         new_dirs = [
             d for d in m_to["data_dirs"] if d not in set(m_since["data_dirs"])
         ]
@@ -1531,6 +1752,7 @@ class VersionedTable:
             m_to.get("partitioned", {}),
             m_to.get("renames", []),
             to,
+            excl_to,
         )
 
     def commit_retry(

@@ -182,3 +182,91 @@ def test_empty_batch_ingest_is_a_noop_and_empty_query_is_clean(
     assert state.table.head() == v1
     # oversized nprobe clamps to every cell and still answers
     assert len(state.query(qvec, vectors, nprobe=99, k=5).collect()) == 5
+
+
+def test_remove_ids_equals_fresh_build_minus_deleted(
+    spark, vectors, cell_sums, tmp_path
+):
+    """r13 verdict ask #5 (FAISS remove_ids analog): ingest∪delete ==
+    fresh-build-minus-deleted, O(touched cells) — untouched cells'
+    files carried forward VERBATIM — and cell= pruning preserved."""
+    state = PqIvfIndexState(spark, str(tmp_path / "ix"), cell_sums)
+    state.ingest(vectors)
+    qvec = [
+        float(x)
+        for x in vectors.filter(F.col("vec_id") == 0)
+        .collect()[0]["embedding"]
+    ]
+    before = state.query(qvec, vectors, nprobe=4, k=10).collect()
+    doomed = [r["vec_id"] for r in before[1:4]]  # keep the self-match
+
+    enc = state._encode(vectors)
+    cell_of = {
+        r["id"]: r["cell"]
+        for r in enc.filter(F.col("id").isin(doomed)).collect()
+    }
+    touched = sorted(set(cell_of.values()))
+    untouched = sorted(
+        set(r["cell"] for r in enc.select("cell").distinct().collect())
+        - set(touched)
+    )
+    assert untouched, "test needs at least one untouched cell"
+    files_before = {
+        u: sorted(state.table.read_partitions("cell", [u]).inputFiles())
+        for u in untouched
+    }
+
+    v = state.remove_ids(
+        doomed, vectors=vectors.filter(F.col("vec_id").isin(doomed))
+    )
+    assert state.table.head() == v
+    assert state.table.history()[-1]["operation"] == "pq-ivf-remove-ids"
+
+    fresh = PqIvfIndexState(spark, str(tmp_path / "fresh"), cell_sums)
+    fresh.ingest(vectors.filter(~F.col("vec_id").isin(doomed)))
+    assert rows_of(state.table.read()) == rows_of(fresh.table.read())
+
+    # untouched cells: same physical files, byte-for-byte carry
+    for u in untouched:
+        assert (
+            sorted(state.table.read_partitions("cell", [u]).inputFiles())
+            == files_before[u]
+        )
+    # touched cells still prune to cell= leaves only (old + new dirs)
+    probed = state.table.read_partitions("cell", touched)
+    for f in probed.inputFiles():
+        assert any(f"cell={c}/" in f or f.rsplit("/", 2)[-2] == f"cell={c}" for c in touched), f
+
+    # the deleted neighbors are gone from the served top-k
+    after = state.query(qvec, vectors, nprobe=4, k=10).collect()
+    got = {r["vec_id"] for r in after}
+    assert not (got & set(doomed))
+    assert after[0]["vec_id"] == 0  # self-match survives
+
+    # delete-then-reingest == one-shot full build (union-of-batches
+    # invariant extends across deletion)
+    state.ingest(vectors.filter(F.col("vec_id").isin(doomed)))
+    full = PqIvfIndexState(spark, str(tmp_path / "full"), cell_sums)
+    full.ingest(vectors)
+    assert rows_of(state.table.read()) == rows_of(full.table.read())
+
+
+def test_remove_ids_by_index_lookup_and_idempotence(
+    spark, vectors, cell_sums, tmp_path
+):
+    """Without the vectors at hand, remove_ids locates cells from the
+    index's own id column; absent ids are a head-preserving no-op."""
+    state = PqIvfIndexState(spark, str(tmp_path / "ix"), cell_sums)
+    state.ingest(vectors)
+    head = state.table.head()
+    # absent ids: no touched cells, head unchanged
+    assert state.remove_ids([10**9, 10**9 + 1]) == head
+
+    doomed = [r["vec_id"] for r in vectors.limit(5).collect()]
+    v = state.remove_ids(doomed)
+    assert v == head + 1
+    fresh = PqIvfIndexState(spark, str(tmp_path / "fresh"), cell_sums)
+    fresh.ingest(vectors.filter(~F.col("vec_id").isin(doomed)))
+    assert rows_of(state.table.read()) == rows_of(fresh.table.read())
+    # deleting the same ids again: lookup finds nothing, head stable
+    assert state.remove_ids(doomed) == v

@@ -955,3 +955,161 @@ def test_zorder_layout_survives_merge_rename_and_drop(spark, tmp_path):
         t.read().inputFiles()
     )
     assert n_total >= 2
+
+
+# ------------------------------------------------- replace_partitions (r14)
+
+
+def _pp_table(spark, tmp_path, name="tbl"):
+    """Three cell-partitioned commits + one UNpartitioned commit, the
+    mixed layout replace_partitions must handle."""
+    t = VersionedTable(spark, str(tmp_path / name))
+    t.commit(
+        df_of(spark, [(1, 10, "a"), (2, 20, "b")], ["id", "cell", "val"]),
+        partition_by=["cell"],
+    )
+    t.commit(
+        df_of(spark, [(3, 10, "c"), (4, 30, "d")], ["id", "cell", "val"]),
+        partition_by=["cell"],
+    )
+    t.commit(df_of(spark, [(5, 20, "e"), (6, 30, "f")], ["id", "cell", "val"]))
+    return t
+
+
+def test_replace_partitions_swaps_leaves_not_directories(spark, tmp_path):
+    """Dynamic partition overwrite: the replaced cell's rows come
+    exclusively from the replacement; other cells are untouched and
+    their leaf FILES carry forward verbatim (O(touched partitions));
+    time travel still sees the pre-replace snapshot."""
+    t = _pp_table(spark, tmp_path)
+    # verbatim-carry claim covers the cell-partitioned leaves (the
+    # unpartitioned commit is legitimately rewritten minus replaced
+    # rows — its files change)
+    files_30 = sorted(
+        f for f in t.read_partitions("cell", [30]).inputFiles()
+        if "cell=30" in f
+    )
+    assert files_30
+    pre = rows_set(t.read())
+
+    v = t.replace_partitions(
+        "cell",
+        [10, 20],
+        df_of(spark, [(7, 10, "G"), (8, 20, "H")], ["id", "cell", "val"]),
+    )
+    assert t.head() == v == 4
+    assert rows_set(t.read()) == {
+        (7, "G", 10),
+        (8, "H", 20),
+        (4, "d", 30),
+        (6, "f", 30),
+    }
+    # untouched partitioned leaves carried verbatim... (the
+    # unpartitioned dir's cell=30 row was rewritten, so compare the
+    # partitioned commits' contribution only: files_30 ⊆ after)
+    after_30 = sorted(t.read_partitions("cell", [30]).inputFiles())
+    for f in files_30:
+        assert f in after_30
+    # ...and pruned probes never see a replaced leaf (read_partitions
+    # omits the partition column: rows are (id, val))
+    assert rows_set(t.read_partitions("cell", [10])) == {(7, "G")}
+    # time travel: the pre-replace snapshot is intact
+    assert rows_set(t.read(3)) == pre
+
+
+def test_replace_partitions_delete_only_and_full_exclusion_drop(
+    spark, tmp_path
+):
+    """No replacement = partition delete. A directory whose every
+    leaf is excluded leaves the manifest and becomes vacuumable."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(
+        df_of(spark, [(1, 10, "a"), (2, 20, "b")], ["id", "cell", "val"]),
+        partition_by=["cell"],
+    )
+    t.commit(
+        df_of(spark, [(3, 10, "c")], ["id", "cell", "val"]),
+        partition_by=["cell"],
+    )
+    t.replace_partitions("cell", [10])
+    assert rows_set(t.read()) == {(2, "b", 20)}
+    # commit 2 held only cell=10: dropped from the manifest entirely
+    import json
+
+    m = json.load(open(t._manifest_path(t.head())))
+    assert len(m["data_dirs"]) == 1
+    removed = t.vacuum(keep_last=1)
+    assert len(removed) == 1  # the fully-excluded dir reclaimed
+    assert rows_set(t.read()) == {(2, "b", 20)}
+
+
+def test_replace_partitions_guards_and_noops(spark, tmp_path):
+    t = _pp_table(spark, tmp_path)
+    head = t.head()
+    # replacement rows outside the replaced values: refused
+    with pytest.raises(ValueError, match="outside the replaced"):
+        t.replace_partitions(
+            "cell", [10], df_of(spark, [(9, 30, "x")], ["id", "cell", "val"])
+        )
+    # rows with no values named: an append in disguise, refused
+    with pytest.raises(ValueError, match="append in disguise"):
+        t.replace_partitions(
+            "cell", [], df_of(spark, [(9, 10, "x")], ["id", "cell", "val"])
+        )
+    # nothing to do: head preserved
+    assert t.replace_partitions("cell", []) == head
+    assert t.head() == head
+
+
+def test_replace_partitions_read_changes_and_rollback(spark, tmp_path):
+    """replace_partitions is a rewrite: read_changes across it must
+    refuse (like merge/compact); rollback across it restores the
+    pre-replace rows; a later merge keeps the exclusions."""
+    t = _pp_table(spark, tmp_path)
+    pre = rows_set(t.read())
+    v = t.replace_partitions(
+        "cell", [10], df_of(spark, [(7, 10, "G")], ["id", "cell", "val"])
+    )
+    with pytest.raises(ValueError, match="replace_partitions"):
+        t.read_changes(2, v)
+    # appends after the replace flow through read_changes fine
+    v2 = t.commit(df_of(spark, [(9, 40, "i")], ["id", "cell", "val"]))
+    assert rows_set(t.read_changes(v, v2)) == {(9, "i", 40)}
+    # rollback to the pre-replace snapshot restores the replaced rows
+    t.rollback(3)
+    assert rows_set(t.read()) == pre
+    # and rolling FORWARD to the replaced version keeps exclusions
+    t.rollback(v)
+    assert rows_set(t.read()) == {
+        (7, "G", 10),
+        (4, "d", 30),
+        (5, "e", 20),
+        (6, "f", 30),
+        (2, "b", 20),
+    }
+
+
+def test_replace_partitions_then_merge_keeps_exclusions(spark, tmp_path):
+    """merge after a replace: carried directories keep their excluded
+    leaves (no resurrection), rewritten directories honor them."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(
+        df_of(
+            spark,
+            [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+            ["id", "cell", "val"],
+        ),
+        partition_by=["cell"],
+        stats_col="id",
+    )
+    t.replace_partitions(
+        "cell", [20], df_of(spark, [(2, 20, "B")], ["id", "cell", "val"])
+    )
+    # merge an update touching id=1 only: the zone map can't prune the
+    # partitioned dir (ids 1..3 span it) so it REWRITES — minus the
+    # excluded cell=20 leaf
+    t.merge(df_of(spark, [(1, 10, "A")], ["id", "cell", "val"]), "id")
+    assert rows_set(t.read()) == {(1, "A", 10), (2, "B", 20), (3, "c", 30)}
+    # compact fully rewrites: exclusions evaporate with their dirs
+    t.compact("id")
+    assert rows_set(t.read()) == {(1, "A", 10), (2, "B", 20), (3, "c", 30)}
