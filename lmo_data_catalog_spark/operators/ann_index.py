@@ -280,6 +280,44 @@ class PqIvfIndexState:
             for _, ci in sorted(scored, key=lambda sc: (-sc[0], sc[1]))
         ]
 
+    def adc_shortlist(
+        self, qvec, *, nprobe: int = 4, rerank: int = 50
+    ) -> DataFrame:
+        """(id, __adc): the probe half of the IVFADC search over the
+        PERSISTED codes — rank cells driver-side, read ONLY the
+        probed ``cell=`` subdirectories (explicit leaf-path scan, no
+        partition discovery, no Exchange), ADC-score the 16-byte
+        codes against the query LUT as plain column arithmetic
+        (left-deep j = 0..M-1, the encode/oracle fold order), keep
+        the ``rerank`` best by (__adc asc, id asc). Shared by
+        :meth:`query` and the ``pq_index_query_topk`` registry row,
+        so the serving path itself is differential-gated."""
+        from ..functions.pq_codebook import CODEBOOK, PQ_M, PQ_SUB
+
+        probed = self.rank_cells(qvec)[:nprobe]
+        q = [float(x) for x in qvec]
+        luts = []
+        for j in range(PQ_M):
+            lut = []
+            for cvec in CODEBOOK[j]:
+                acc = None
+                for i in range(PQ_SUB):
+                    t = q[j * PQ_SUB + i] - cvec[i]
+                    acc = t * t if acc is None else acc + t * t
+                lut.append(acc)
+            luts.append(lut)
+        codes = self.table.read_partitions("cell", probed)
+        adc = None
+        for j in range(PQ_M):
+            arr = F.array(*[F.lit(v) for v in luts[j]])
+            term = F.element_at(arr, F.col("codes")[j] + 1)
+            adc = term if adc is None else adc + term
+        return (
+            codes.select("id", adc.alias("__adc"))
+            .orderBy(F.col("__adc").asc(), F.col("id").asc())
+            .limit(rerank)
+        )
+
     def query(
         self,
         qvec,
@@ -297,36 +335,14 @@ class PqIvfIndexState:
         plain column arithmetic, exact-re-rank the top-``rerank``
         against ``base`` (the vector table — codes never round-trip
         through it). Returns (id, cosine) top-``k``."""
-        from ..functions.pq_codebook import CODEBOOK, PQ_M, PQ_SUB
         from .similarity import cosine_literal
 
-        probed = self.rank_cells(qvec)[:nprobe]
         q = [float(x) for x in qvec]
-        luts = []
-        for j in range(PQ_M):
-            lut = []
-            for cvec in CODEBOOK[j]:
-                acc = None
-                for i in range(PQ_SUB):
-                    t = q[j * PQ_SUB + i] - cvec[i]
-                    acc = t * t if acc is None else acc + t * t
-                lut.append(acc)
-            luts.append(lut)
-        codes = self.table.read_partitions("cell", probed)
-        # ADC as column arithmetic over the LUT literals: left-deep
-        # j = 0..M-1, matching the encode/query kernels' fold order
-        adc = None
-        for j in range(PQ_M):
-            arr = F.array(*[F.lit(v) for v in luts[j]])
-            term = F.element_at(arr, F.col("codes")[j] + 1)
-            adc = term if adc is None else adc + term
-        short = (
-            codes.select("id", adc.alias("__adc"))
-            .orderBy(F.col("__adc").asc(), F.col("id").asc())
-            .limit(rerank)
-        )
+        short = self.adc_shortlist(qvec, nprobe=nprobe, rerank=rerank)
         return (
-            base.join(short, base[id_col] == short["id"], "inner")
+            base.join(
+                F.broadcast(short), base[id_col] == short["id"], "inner"
+            )
             .select(
                 F.col(id_col),
                 cosine_literal(vec_col, q).alias("cosine"),

@@ -89,6 +89,13 @@ def test_query_probe_reads_only_probed_cells(
     full = state.table.read()
     want = full.filter(F.col("cell").isin(probed)).count()
     assert codes.count() == want
+    # the probe side of the SERVING path is exchange-free: leaf scan →
+    # ADC project → TakeOrderedAndProject (r13 verdict ask #2's plan
+    # requirement, mirrored for the registry row by its plan budget)
+    short = state.adc_shortlist(qvec, nprobe=4, rerank=50)
+    plan = short._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_persisted_query_matches_registry_rebuild(

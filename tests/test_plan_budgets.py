@@ -53,6 +53,10 @@ BUDGETS = {
     "ann_ivfadc_trained_recall": 3,
     "bpe_bytelevel50k_token_counts": 3,  # distinct-vocab kernel + join
     "pq_index_build_cells": 2,  # encode kernel scan + k-row hash agg
+    # round-14 additions (measured at add time, cache-cleared)
+    "pq_index_query_topk": 2,  # BOTH broadcasts (shortlist + 1-row qv);
+    # the probe side is exchange-free: leaf-path scan → ADC project →
+    # TakeOrderedAndProject (explains/pq_index_query_topk.txt)
 }
 
 

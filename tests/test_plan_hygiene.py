@@ -57,6 +57,7 @@ ALLOWED_BNLJ = {
     "ann_ivfadc_recall",  # broadcast centroids + query vector (both arms)
     "ann_ivfadc_trained_topk",  # broadcast 1-row query re-rank
     "ann_ivfadc_trained_recall",  # broadcast query vector (both arms)
+    "pq_index_query_topk",  # broadcast 1-row query re-rank (persisted)
     "ann_lsh_multiprobe",  # broadcast 1-row query (vector + bucket)
     "audience_overlap_hll",  # 1-row sketch-estimate triple attach
     "bigram_pmi_topk",  # 1-row corpus totals (n_uni, n_bg)
