@@ -277,3 +277,47 @@ def test_remove_ids_by_index_lookup_and_idempotence(
     assert rows_of(state.table.read()) == rows_of(fresh.table.read())
     # deleting the same ids again: lookup finds nothing, head stable
     assert state.remove_ids(doomed) == v
+
+
+def test_drift_raises_cell_occupancy_skew(spark, vectors, cell_sums):
+    """The retrain policy's label-free trigger (r13 verdict ask #4,
+    measured in tools/pq_index_drift_probe.py): under the FROZEN cell
+    model, a mean-shifted batch crowds into fewer cells, so the
+    newest batch's max-cell occupancy share rises well before recall
+    is measurable. Pins the signal's direction deterministically."""
+    from pyspark.sql import functions as FF
+
+    from lmo_data_catalog_spark.operators.ann_index import pq_encode_codes
+
+    def max_share(df):
+        n = df.count()
+        mx = (
+            pq_encode_codes(df, cell_sums)
+            .groupBy("cell")
+            .count()
+            .agg(FF.max("count").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        return mx / n
+
+    base_share = max_share(vectors)
+    dims = FF.sequence(FF.lit(0), FF.lit(DIM - 1))
+    shift = FF.transform(
+        dims,
+        lambda d: (
+            (
+                FF.pmod(FF.xxhash64(d, FF.lit(13)), FF.lit(2000001))
+                / FF.lit(1000000.5)
+                - FF.lit(1.0)
+            )
+            * FF.lit(0.6)
+        ).cast("float"),
+    )
+    drifted = vectors.select(
+        "vec_id",
+        FF.zip_with(
+            FF.col("embedding"), shift, lambda v, s: (v + s).cast("float")
+        ).alias("embedding"),
+    )
+    drift_share = max_share(drifted)
+    assert drift_share > 1.5 * base_share, (base_share, drift_share)

@@ -166,9 +166,11 @@ def main() -> int:
         )
 
     failures = []
+    n_run = 0
     for name, spec in REGISTRY.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             df = spec.builder(spark, sf_dir)
@@ -223,7 +225,7 @@ def main() -> int:
         else:
             print(f"PASS {name}: {len(sr)} rows ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(REGISTRY) - len(failures)}/{len(REGISTRY or [1])} passed")
+    print(f"\n{n_run - len(failures)}/{n_run} passed")
     spark.stop()
     return 1 if failures else 0
 

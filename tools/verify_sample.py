@@ -39,12 +39,23 @@ AUDIT_LOG = os.path.join(ROOT, "tools", "sample_audit_log.json")
 
 
 def driver_seen_names() -> set[str]:
+    """Names with at least one driver row that HASH-MATCHED.
+
+    r13 judge finding: counting mere name presence let
+    ``simhash_candidates``' single rows-only-era row (r01,
+    ``err: no_oracle``) stand in for driver verification, leaving it
+    the one registry query neither driver hash-green nor in the
+    isolated audit log. The exhaustion invariant's union counts
+    verified rows, not appearances."""
     seen: set[str] = set()
     for path in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
         try:
-            seen.update(json.load(open(path)))
+            rows = json.load(open(path))
         except Exception:
-            pass
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                seen.add(name)
     return seen
 
 
@@ -154,8 +165,25 @@ def main() -> int:
 
     n_ok = sum(1 for _, ok, _, _ in results if ok)
     record_audit(round_no, sample)
+    # exhaustion arithmetic, recomputed from the artifacts every run
+    # (r13 judge finding: the hand-written narrative counted driver
+    # NAMES — 70, including an `err: no_oracle` row — where the
+    # invariant needs hash-GREEN rows, 69; and manual re-adds of the
+    # narrative were themselves a recurring pitfall)
+    audited_after = audited_names()
+    blind = sorted(set(names) - driver_seen - audited_after)
     lines = [
         "# VERIFY_SAMPLE — isolated-run audit",
+        "",
+        "## Exhaustion invariant (recomputed from artifacts)",
+        "",
+        f"Registry = {len(names)} queries. Driver hash-GREEN union",
+        f"(CORRECTNESS_r*.json rows with hash_match == true, not mere",
+        f"name presence) = {len(driver_seen)} names; cumulative",
+        f"isolated-audit log = {len(audited_after)} names. Blind spot",
+        "(neither driver-hash-matched nor isolated-audited) after this",
+        f"round's draw: **{len(blind)}**"
+        + (f" — {', '.join(blind)}" if blind else " — ∅."),
         "",
         f"Round {round_no}: {len(results)} registry queries drawn with",
         f"seed = round number ({round_no}), tiered toward the blind",
