@@ -256,6 +256,39 @@ class PqIvfIndexState:
             props=props,
         )
 
+    # ----------------------------------------------------------- rebuild
+
+    def rebuild(
+        self,
+        vectors: DataFrame,
+        cell_sums=None,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        props: dict | None = None,
+    ) -> int:
+        """Re-encode ``vectors`` from scratch into a new OVERWRITE
+        version — the drift-policy remediation step (SCALING
+        §index-maintenance): when the newest batch's cell-occupancy
+        share passes the retrain threshold, train new cells (and/or a
+        new codebook) and rebuild, optionally swapping ``cell_sums``
+        in place for all future ingests/queries on this handle. One
+        encode-kernel scan + one cell-partitioned write (the
+        pq_index_build_cells dataflow); history before the rebuild
+        still time-travels until vacuum. Raises on an empty corpus —
+        an empty index is a deployment error, not a state."""
+        if cell_sums is not None:
+            self.cell_sums = [[int(x) for x in v] for v in cell_sums]
+        if vectors.limit(1).count() == 0:
+            raise ValueError("rebuild needs a non-empty vector corpus")
+        return self.table.commit(
+            self._encode(vectors, id_col=id_col, vec_col=vec_col),
+            mode="overwrite",
+            operation="pq-ivf-rebuild",
+            partition_by=["cell"],
+            props=props,
+        )
+
     # ------------------------------------------------------------- query
 
     def rank_cells(self, qvec) -> list[int]:

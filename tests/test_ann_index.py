@@ -321,3 +321,33 @@ def test_drift_raises_cell_occupancy_skew(spark, vectors, cell_sums):
     )
     drift_share = max_share(drifted)
     assert drift_share > 1.5 * base_share, (base_share, drift_share)
+
+
+def test_rebuild_swaps_cells_and_equals_fresh_build(
+    spark, vectors, cell_sums, tmp_path
+):
+    """The drift-policy remediation: rebuild with NEW cells overwrites
+    the snapshot (old versions still time-travel), equals a fresh
+    build under those cells, and subsequent ingest/query use them."""
+    state = PqIvfIndexState(spark, str(tmp_path / "ix"), cell_sums)
+    state.ingest(vectors.filter(F.col("vec_id") % 2 == 0))
+    v1 = state.table.head()
+
+    # "retrained" cells: a different-but-valid model (reverse order —
+    # cell ids permute, so rows provably re-encode)
+    new_sums = list(reversed([list(v) for v in cell_sums]))
+    v2 = state.rebuild(vectors, new_sums)
+    assert v2 == v1 + 1
+    assert state.table.history()[-1]["operation"] == "pq-ivf-rebuild"
+
+    fresh = PqIvfIndexState(spark, str(tmp_path / "fresh"), new_sums)
+    fresh.ingest(vectors)
+    assert rows_of(state.table.read()) == rows_of(fresh.table.read())
+    # the handle now encodes future batches under the new model
+    assert state.cell_sums == fresh.cell_sums
+    # pre-rebuild snapshot still time-travels
+    assert state.table.read(v1).count() == vectors.filter(
+        F.col("vec_id") % 2 == 0
+    ).count()
+    with pytest.raises(ValueError, match="non-empty"):
+        state.rebuild(vectors.filter(F.col("vec_id") < 0))
