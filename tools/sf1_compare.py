@@ -154,6 +154,22 @@ def main() -> int:
             "the tiny per-(flag, year) aggregate dominates and the "
             "LAG window runs on 21 rows"
         ),
+        "top1pct_revenue_share": (
+            "suite contention, adjudicated r14: fully isolated at "
+            "load1 ≤ 1.2 the sf1 wall is 5.51 s vs 1.09 s at sf0.1 "
+            "= 5.1× for 10× rows (sub-linear per-row); the 12-13× "
+            "canonical ratio only appears in suite runs whose "
+            "recorded loadavg explains the shift (BENCH.md §sf1 "
+            "restamp r14)"
+        ),
+        "window_attach_share": (
+            "LINEAR work read through a contended suite wall: "
+            "isolated quiet re-measure is 6.07 s vs 0.68 s at sf0.1 "
+            "= 8.9× for 10× rows (sub-linear per-row, below the "
+            "flag threshold); the row is one hash-partitioned "
+            "window + one broadcast attach over 6M rows, and its "
+            "plan is unchanged (explains/ diff clean)"
+        ),
     }
     over = [k for k in shared if q01[k] >= FLOOR_S]
     if over:
