@@ -1113,3 +1113,36 @@ def test_replace_partitions_then_merge_keeps_exclusions(spark, tmp_path):
     # compact fully rewrites: exclusions evaporate with their dirs
     t.compact("id")
     assert rows_set(t.read()) == {(1, "A", 10), (2, "B", 20), (3, "c", 30)}
+
+
+def test_replace_partitions_rewrites_other_column_layouts(spark, tmp_path):
+    """A directory Hive-partitioned on a DIFFERENT column can't take
+    leaf exclusions for ``col`` — it must be conservatively rewritten
+    minus the replaced values (like unpartitioned dirs), while
+    same-column layouts still swap leaves only."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(
+        df_of(spark, [(1, 10, "A"), (2, 20, "A")], ["id", "cell", "grp"]),
+        partition_by=["cell"],
+    )
+    t.commit(
+        df_of(spark, [(3, 10, "B"), (4, 20, "C")], ["id", "cell", "grp"]),
+        partition_by=["grp"],
+    )
+    v = t.replace_partitions(
+        "cell", [10], df_of(spark, [(9, 10, "Z")], ["id", "cell", "grp"])
+    )
+    got = {(r["id"], r["cell"], r["grp"]) for r in t.read(v).collect()}
+    assert got == {(9, 10, "Z"), (2, 20, "A"), (4, 20, "C")}
+    # the grp-partitioned dir was rewritten (its cell=10 row gone),
+    # the cell-partitioned dir kept with an excluded leaf
+    import json
+
+    m = json.load(open(t._manifest_path(v)))
+    kept_parts = {tuple(v) for v in m.get("partitioned", {}).values()}
+    assert ("cell",) in kept_parts
+    # probing untouched cells still prunes and sees every row
+    assert {tuple(r) for r in t.read_partitions("cell", [20]).collect()} == {
+        (2, "A"),
+        (4, "C"),
+    }
