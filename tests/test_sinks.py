@@ -282,6 +282,20 @@ def test_zorder_on_skewed_data_via_ntile(spark, tmp_path):
     # flake class test_plan_budgets documents; seen once in-suite at
     # r13 on the a=80k tail assertion, green isolated)
     spark.catalog.clearCache()
+    # ...and SAMPLING-free boundaries (r14: the r13 clearCache alone
+    # did not cure it — the a=80k assertion read 0.75 in-suite once
+    # more): RangePartitioner samples ~100 rows/partition by default,
+    # so the cut points — and thus which file straddles a Morton
+    # quadrant — wobble with upstream layout. Sampling ~the whole
+    # 60k-row input makes the cuts the exact __z quantiles,
+    # deterministic under any in-suite ordering.
+    prev_sample = spark.conf.get(
+        "spark.sql.execution.rangeExchange.sampleSizePerPartition", "100"
+    )
+    spark.conf.set(
+        "spark.sql.execution.rangeExchange.sampleSizePerPartition",
+        "20000",
+    )
 
     # heavily skewed: a ~ exp-ish tail, b ~ squared ramp
     df = spark.range(0, 60_000).select(
@@ -293,13 +307,19 @@ def test_zorder_on_skewed_data_via_ntile(spark, tmp_path):
     ranked = distributed_ntile(df, col="a", n=64, out_col="ra")
     ranked = distributed_ntile(ranked, col="b", n=64, out_col="rb")
     out = str(tmp_path / "zskew")
-    (
-        ranked.withColumn("__z", zorder_key(["ra", "rb"], bits=6))
-        .repartitionByRange(16, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z", "ra", "rb")
-        .write.parquet(out)
-    )
+    try:
+        (
+            ranked.withColumn("__z", zorder_key(["ra", "rb"], bits=6))
+            .repartitionByRange(16, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z", "ra", "rb")
+            .write.parquet(out)
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.rangeExchange.sampleSizePerPartition",
+            prev_sample,
+        )
 
     def overlap(col, value):
         files = [
