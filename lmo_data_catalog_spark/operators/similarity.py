@@ -22,6 +22,7 @@ from functools import reduce
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _fold_sum(products: Column) -> Column:
@@ -295,11 +296,17 @@ def quantize_expr(vec_col: str, scale: float) -> Column:
 
 
 #: above this k the Lloyd assignment runs as an Arrow GEMM kernel
-#: instead of a k-wide fold-expression array: the expression tree
-#: grows O(k*dim) and hits the Catalyst analysis/codegen cliff, while
-#: the arithmetic (exact-integer doubles, see kmeans_cells_exact) is
-#: provably order-free so the two paths are bit-identical.
-_KERNEL_MIN_K = 16
+#: instead of a k-wide fold-expression array. r8 measured the
+#: expression path faster for small k (the then-bottleneck was the
+#: per-round codegen of literal trees); r14 re-measured after moving
+#: the state into a broadcast 1-row relation: the fold expressions
+#: are interpreted HigherOrderFunctions (~2*k*dim interpreted ops per
+#: row), and the GEMM kernel wins 2x even at k=8 (3.8 s -> 1.8 s,
+#: ann_ivf_kmeans_topk at sf0.1) — guide §4.2, vectorized native code
+#: per batch. 0 = always kernel; the expression path stays available
+#: (and bit-identical, pinned in test_operators.py) for plans that
+#: must remain pure-JVM.
+_KERNEL_MIN_K = 0
 
 
 def kmeans_cells_exact(
@@ -347,8 +354,6 @@ def kmeans_cells_exact(
     1-based cell-id order) — the unnormalized centroid each row was
     assigned to, which consumers like prototype pruning score against.
     """
-    import math
-
     from .. import cache
 
     q = cache.track(
@@ -363,15 +368,7 @@ def kmeans_cells_exact(
     )
     state = [[int(x) for x in v] for v in seed]  # per-cell integer sums
 
-    def score_array() -> Column:
-        cols = []
-        for svec in state:
-            acc = 0.0
-            for s in svec:
-                fs = float(s)
-                acc += fs * fs  # left-deep, same order as _sql_dot(s, s)
-            cols.append(dot_literal("__q", svec) / F.lit(math.sqrt(acc)))
-        return F.array(*cols)
+    spark = df.sparkSession
 
     # Two bit-identical assignment paths. Every operand is an INTEGER
     # (quantized vector x integer centroid sums) and every
@@ -383,18 +380,67 @@ def kmeans_cells_exact(
     # quotients, and the same argmax (ties -> lowest cell in both
     # array_position and np.argmax). The expression path keeps small-k
     # plans whole-stage-codegen'd; above _KERNEL_MIN_K the k-wide
-    # fold-array expression hits the Catalyst compile cliff (and the
+    # fold-array expression hits the Catalyst analysis cliff (and the
     # r8 fold-vs-GEMM 7x gap), so assignment runs as one Arrow batch
     # kernel instead — pinned equal in test_operators.py.
+    #
+    # r14 optimization: the expression path used to inline the k x dim
+    # centroid sums as LITERALS (dot_literal per cell) — ~k*dim F.lit
+    # py4j calls per round AND a fresh codegen unit per round (the
+    # literal values change, so the generated source changes). The
+    # state now rides as a broadcast 1-row LocalRelation and the score
+    # folds reference it as data: plan/codegen are IDENTICAL across
+    # rounds (cache hits), construction is one createDataFrame call.
+    # Arithmetic is unchanged operation-for-operation: per element
+    # cast-to-double multiply, 0.0-seeded left-deep fold, divide by
+    # sqrt of the s·s fold (0.0 + x0 == x0, float(int) == cast-to-
+    # double for |v| < 2^53) — identical doubles, identical argmax.
+    def _score_cells(s: Column) -> Column:
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("__q"),
+                s,
+                lambda x, v: x.cast("double") * v.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        nrm = F.aggregate(
+            F.zip_with(
+                s, s, lambda a, b: a.cast("double") * b.cast("double")
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return dot / F.sqrt(nrm)
+
     def with_cell(frame: DataFrame, keep: list[str]) -> DataFrame:
         if k <= _KERNEL_MIN_K:
-            return frame.select(
-                *keep, score_array().alias("__scores")
-            ).select(
-                *keep,
-                F.expr("array_position(__scores, array_max(__scores))")
-                .cast("int")
-                .alias("__cell"),
+            state_row = spark.createDataFrame(
+                [([list(s) for s in state],)],
+                schema=T.StructType(
+                    [
+                        T.StructField(
+                            "__S",
+                            T.ArrayType(T.ArrayType(T.LongType())),
+                        )
+                    ]
+                ),
+            )
+            return (
+                frame.crossJoin(F.broadcast(state_row))
+                .select(
+                    *keep,
+                    F.transform(F.col("__S"), _score_cells).alias(
+                        "__scores"
+                    ),
+                )
+                .select(
+                    *keep,
+                    F.expr("array_position(__scores, array_max(__scores))")
+                    .cast("int")
+                    .alias("__cell"),
+                )
             )
         S = np.array(state, dtype=np.float64)
         norms = np.sqrt((S * S).sum(axis=1))
@@ -418,17 +464,17 @@ def kmeans_cells_exact(
             assign, schema=f"{out_schema}, __cell int"
         )
 
+    # Column objects are immutable — build the k x dim sum expressions
+    # once and reuse them every round (they cost ~2*dim py4j calls)
+    sum_exprs = [
+        F.sum(F.col("__q")[i]).alias(f"__s{i}") for i in range(dim)
+    ]
     for _ in range(iters):
         agg = (
             with_cell(q.select("__q"), ["__q"])
             .select("__cell", "__q")
             .groupBy("__cell")
-            .agg(
-                *[
-                    F.sum(F.col("__q")[i]).alias(f"__s{i}")
-                    for i in range(dim)
-                ]
-            )
+            .agg(*sum_exprs)
             .collect()
         )
         new = list(state)

@@ -3849,7 +3849,10 @@ _TPQ_TOPK_SQL = f"""
 
 
 def _tpq_scored(
-    spark: SparkSession, sf_dir: str, frame: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    frame: DataFrame | None = None,
+    q: list[float] | None = None,
 ) -> DataFrame:
     """(vec_id, embedding, __adc) under the committed trained
     codebook — the Spark mirror of the oracle's ``scored`` CTE, run
@@ -3872,12 +3875,17 @@ def _tpq_scored(
     cb, m, sub = _tpq_geom()
     cat = Catalog(spark, sf_dir)
     e = cat.embeddings
-    q = [
-        float(x)
-        for x in e.filter(F.col("vec_id") == 0)
-        .select("embedding")
-        .collect()[0][0]
-    ]
+    if q is None:
+        # callers that already hold the query vector pass it in (r14:
+        # saves one driver-blocking collect job per invocation)
+        q = [
+            float(x)
+            for x in e.filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .collect()[0][0]
+        ]
+    else:
+        q = [float(x) for x in q]
     import numpy as np
 
     C = np.array(cb, dtype=np.float64)  # (M, K, SUB), exact literals
@@ -4315,7 +4323,7 @@ def _ivfadc_trained_index_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     short = (
-        _tpq_scored(spark, sf_dir, frame=e_cell)
+        _tpq_scored(spark, sf_dir, frame=e_cell, q=qvec)
         .orderBy(F.col("__adc").asc(), F.col("vec_id").asc())
         .limit(_TPQ_RERANK)
     )

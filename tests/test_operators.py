@@ -505,6 +505,9 @@ def test_kmeans_kernel_path_matches_expression_path(spark, monkeypatch):
     ]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     kw = dict(id_col="vec_id", vec_col="embedding", dim=8, k=8, iters=2)
+    # force each path explicitly (r14: the default flipped to
+    # always-kernel, so the expression path needs the high threshold)
+    monkeypatch.setattr(sim, "_KERNEL_MIN_K", 16)
     expr_path = {
         (r["vec_id"], r["__cell"])
         for r in sim.kmeans_cells_exact(df, **kw).collect()
