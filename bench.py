@@ -38,7 +38,15 @@ def force(df) -> None:
 def _timed(builder, spark, sf_dir) -> float:
     t0 = time.time()
     force(builder(spark, sf_dir))
-    return time.time() - t0
+    dt = time.time() - t0
+    # Release tracked intermediates AFTER stopping the clock: each
+    # timed pass must compute from the parquet inputs, not from the
+    # previous pass's persisted intermediates (r14 measurement fix —
+    # cache.release_all used to be a no-op, see cache.py, so timed
+    # passes silently planned against the warm-up pass's leaked
+    # InMemoryRelations). Cleanup cost is not query cost.
+    cache.release_all()
+    return dt
 
 
 def main() -> None:
@@ -54,6 +62,7 @@ def main() -> None:
     for name, spec in REGISTRY.items():
         try:
             force(spec.builder(spark, sf_dir))  # warm-up
+            cache.release_all()  # timed passes start cold (see _timed)
             best = min(
                 _timed(spec.builder, spark, sf_dir) for _ in range(N_RUNS)
             )

@@ -21,3 +21,12 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+# Semantics-free driver-latency patches (TCP_NODELAY on the py4j
+# gateway, JVM-function reflection memo) — see pyboundary.py for the
+# measured motivation. Applied at import so every session created
+# afterwards benefits; sessions created BEFORE import are retrofitted
+# per-builder via pyboundary.fix_live_connections() in Catalog.
+from . import pyboundary as _pyboundary  # noqa: E402
+
+_pyboundary.apply()

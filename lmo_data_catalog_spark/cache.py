@@ -16,17 +16,26 @@ One-shot jobs can ignore it — executor caches die with the session.
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import DataFrame
 
-_TRACKED: list[weakref.ref] = []
+#: STRONG references. r14 measurement fix: these were weakrefs, and a
+#: builder's tracked frames are CPython-refcounted away the moment the
+#: builder returns — so release_all() found only dead refs and freed
+#: NOTHING (measured: released=0 on every bench query). Because
+#: Spark's CacheManager keys entries by logical plan, the leak was
+#: worse than memory growth: a later identical invocation of the same
+#: query silently planned against the leaked InMemoryRelation, i.e.
+#: the bench's timed passes reused the warm-up pass's persisted
+#: intermediates instead of recomputing them. Strong refs make
+#: release_all() actually release; bench.py now releases between
+#: passes so every timed pass computes from the parquet inputs.
+_TRACKED: list[DataFrame] = []
 
 
 def track(df: DataFrame) -> DataFrame:
     """Persist ``df`` and register it for :func:`release_all`."""
     df = df.persist()
-    _TRACKED.append(weakref.ref(df))
+    _TRACKED.append(df)
     return df
 
 
@@ -37,17 +46,17 @@ def register(df: DataFrame) -> DataFrame:
     an explicit non-default storage level) that must still be
     reclaimable between units of work (iterative operators' rank/
     label vectors, see operators/graph.py)."""
-    _TRACKED.append(weakref.ref(df))
+    _TRACKED.append(df)
     return df
 
 
 def release_all() -> int:
-    """Unpersist every tracked DataFrame still alive; returns count."""
+    """Unpersist every tracked DataFrame; returns count. Dropping the
+    strong refs afterwards also lets the JVM ContextCleaner reclaim
+    localCheckpoint RDD blocks (their storage is RDD-level, not
+    CacheManager-level, so unpersist alone does not free them)."""
     released = 0
-    for ref in _TRACKED:
-        df = ref()
-        if df is None:
-            continue
+    for df in _TRACKED:
         try:
             df.unpersist()
             released += 1

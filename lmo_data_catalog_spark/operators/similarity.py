@@ -465,11 +465,67 @@ def kmeans_cells_exact(
         )
 
     # Column objects are immutable — build the k x dim sum expressions
-    # once and reuse them every round (they cost ~2*dim py4j calls)
-    sum_exprs = [
-        F.sum(F.col("__q")[i]).alias(f"__s{i}") for i in range(dim)
-    ]
+    # once and reuse them every round (they cost ~2*dim py4j calls).
+    # Only the expression path uses them; the kernel path's training
+    # rounds never leave numpy (see _train_round_kernel below).
+    sum_exprs = (
+        [F.sum(F.col("__q")[i]).alias(f"__s{i}") for i in range(dim)]
+        if k <= _KERNEL_MIN_K
+        else []
+    )
+
+    def _train_round_kernel() -> list[list[int]]:
+        """One Lloyd round as a single narrow job: each partition
+        assigns its rows with the SAME float64 GEMM the kernel
+        assignment path uses, accumulates per-cell integer partial
+        sums in numpy, and emits only (cell, k-vector) rows — the
+        map-side partial aggregation of guide §2.3, with no exchange
+        and no k×dim-wide JVM aggregate. Integer sums are exact and
+        order-free, so merging partition partials on the driver gives
+        bit-identically the sums the SQL ``groupBy(__cell).agg(sum)``
+        produced (pinned against the expression path in
+        tests/test_operators.py)."""
+        S = np.array(state, dtype=np.float64)
+        norms = np.sqrt((S * S).sum(axis=1))
+
+        def partials(batches):
+            import pandas as pd
+
+            acc = np.zeros((k, dim), dtype=np.int64)
+            touched = np.zeros(k, dtype=bool)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Q = np.array(pdf["__q"].tolist(), dtype=np.float64)
+                cells = ((Q @ S.T) / norms).argmax(axis=1)
+                np.add.at(acc, cells, Q.astype(np.int64))
+                touched[cells] = True
+            idx = np.nonzero(touched)[0]
+            if len(idx):
+                yield pd.DataFrame(
+                    {
+                        "__cell": (idx + 1).astype("int32"),
+                        "__s": [acc[i].tolist() for i in idx],
+                    }
+                )
+
+        rows = q.select("__q").mapInPandas(
+            partials, "__cell int, __s array<long>"
+        ).collect()
+        new = [list(s) for s in state]
+        totals: dict[int, np.ndarray] = {}
+        for row in rows:
+            c = row["__cell"] - 1
+            arr = np.array(row["__s"], dtype=np.int64)
+            totals[c] = arr if c not in totals else totals[c] + arr
+        for c, arr in totals.items():
+            new[c] = [int(x) for x in arr]
+        return new
+
     for _ in range(iters):
+        if k > _KERNEL_MIN_K:
+            state = _train_round_kernel()
+            continue
         agg = (
             with_cell(q.select("__q"), ["__q"])
             .select("__cell", "__q")

@@ -857,3 +857,43 @@ def test_bigram_lm_nll_exact_python_replica(spark):
         assert n == len(pairs)
         assert nll == s / (len(pairs) * 1e6)
         assert nll > 0
+
+
+def test_poly_hash_kernel_matches_hof_fold(spark):
+    """poly_hash_channels_kernel (r14 Arrow kernel) must be
+    bit-identical to the interpreted poly_hash HOF fold — including
+    the empty-string edge (split('') yields [''], ascii('') is 0, so
+    the fold takes one zero step) and the non-ASCII fallback path."""
+    from pyspark.sql import functions as F
+
+    from lmo_data_catalog_spark.operators.dedup import (
+        _POLY_CHANNELS,
+        poly_hash,
+        poly_hash_channels_kernel,
+    )
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, ""),
+        (3, "a"),
+        (4, "héllo wörld"),          # non-ASCII → scalar fallback
+        (5, "x" * 300),
+        (6, "mixed 123 !@# tokens"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    (m1, p1), (m2, p2) = _POLY_CHANNELS
+    hof = sorted(
+        (r["id"], r["h1"], r["h2"])
+        for r in df.select(
+            "id",
+            poly_hash("s", m1, p1).alias("h1"),
+            poly_hash("s", m2, p2).alias("h2"),
+        ).collect()
+    )
+    ker = sorted(
+        (r["id"], r["h1"], r["h2"])
+        for r in poly_hash_channels_kernel(
+            df, str_col="s", keep=["id"]
+        ).collect()
+    )
+    assert hof == ker

@@ -146,6 +146,7 @@ def normalize(rows, columns):
 def main() -> int:
     import duckdb
 
+    from lmo_data_catalog_spark import cache
     from lmo_data_catalog_spark.catalog import TABLES
     from lmo_data_catalog_spark.registry import REGISTRY
     from lmo_data_catalog_spark.session import get_spark
@@ -171,6 +172,10 @@ def main() -> int:
         if only and name not in only:
             continue
         n_run += 1
+        # release the PREVIOUS query's tracked intermediates (strong
+        # refs since the r14 cache fix — without this a 219-query
+        # sweep accumulates every operator persist in executor memory)
+        cache.release_all()
         t0 = time.time()
         try:
             df = spec.builder(spark, sf_dir)
