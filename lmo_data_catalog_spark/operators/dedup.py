@@ -76,12 +76,15 @@ def minhash_signatures(
     # sh is a hashed (id, h) table; reduce to the 32-bit base space
     # once — the 64 MIN aggs then reuse one long column.
     hashed = sh.select(id_col, F.pmod(F.col("h"), F.lit(_HASH_SPACE)).alias("__h"))
-    base = F.col("__h")
     perms = minhash_permutations(n_hashes, seed)
+    # one PARSED expression per hash instead of ~8 Column-method py4j
+    # round trips each (r14 guide §4.1): `a`/`b` are < 2^30 so they
+    # parse as INT literals exactly like F.lit(a) constructed them,
+    # and the prime exceeds 2^31 so it parses as BIGINT like
+    # F.lit(_MERSENNE_P) — the Catalyst trees (and results) are
+    # identical, only driver-side construction latency changes.
     aggs = [
-        F.min(F.pmod(base * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(
-            f"mh_{i}"
-        )
+        F.expr(f"min(pmod(__h * {a} + {b}, {_MERSENNE_P}))").alias(f"mh_{i}")
         for i, (a, b) in enumerate(perms)
     ]
     return hashed.groupBy(id_col).agg(*aggs)
@@ -421,8 +424,15 @@ def winnow_dedup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh = hashed_shingles(df, id_col=id_col, text_col=text_col, n=n).toDF(
-        "id", "h"
+    # track: jaccard_on_pairs embeds sh in THREE branches (sizes agg +
+    # both join sides, each shuffled on a different key so no exchange
+    # reuse) — untracked, the tokenize/shingle/distinct pipeline
+    # executed three times per action (r14; the minhash/prefix-filter
+    # siblings already tracked theirs)
+    sh = cache.track(
+        hashed_shingles(df, id_col=id_col, text_col=text_col, n=n).toDF(
+            "id", "h"
+        )
     )
     return jaccard_on_pairs(cand, sh, id_col="id").filter(
         F.col("jaccard") >= threshold
@@ -537,7 +547,10 @@ def connected_components(
                     "own",
                 )
             )
-        rolled = rolled.localCheckpoint()
+        # lazy checkpoint: the convergence count below is the first
+        # action and materializes it — one job per round instead of
+        # two (r14; same idiom as the graph.py loops)
+        rolled = rolled.localCheckpoint(eager=False)
         changed = rolled.filter(F.col("label") != F.col("own")).count()
         labels = rolled.select("id", "label")
         if changed == 0:
@@ -573,20 +586,23 @@ def simhash_64(sh: DataFrame, *, id_col: str) -> DataFrame:
     combined). Takes a hashed (id, h) shingle table.
     """
     hashed = sh.select(id_col, "h")
-    h = F.col("h")
+    # parsed expression strings — identical Catalyst trees at ~1/10th
+    # the py4j construction cost (r14; see
+    # portable_simhash_candidate_pairs for the measurement)
     bit_votes = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1"
+            " THEN 1 ELSE -1 END)"
         ).alias(f"v_{i}")
         for i in range(64)
     ]
     votes = hashed.groupBy(id_col).agg(*bit_votes)
-    sig = None
-    for i in range(64):
-        bit = F.when(F.col(f"v_{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseXOR(term)
-    return votes.select(F.col(id_col), sig.alias("simhash"))
+    sig_sql = " ^ ".join(
+        f"shiftleft(CAST(CASE WHEN v_{i} > 0 THEN 1 ELSE 0 END"
+        f" AS BIGINT), {i})"
+        for i in range(64)
+    )
+    return votes.select(F.col(id_col), F.expr(sig_sql).alias("simhash"))
 
 
 # Two independent 30-bit polynomial-hash channels for the portable

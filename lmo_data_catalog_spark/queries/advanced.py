@@ -843,13 +843,25 @@ def association_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("supp_ab"))
         .filter(F.col("supp_ab") >= 2)
     )
+    # both rule directions in ONE pass over the pair aggregate: the
+    # previous union of two projections embedded the basket self-join
+    # subtree twice, and Catalyst does not dedupe shared union
+    # branches — the whole pair pipeline executed twice per action
+    # (r14; same multiset of rows, explode order is irrelevant to the
+    # ordered top-20)
     rules = pair.select(
-        F.col("pa").alias("ante"), F.col("pb").alias("cons"), "supp_ab"
-    ).unionByName(
-        pair.select(
-            F.col("pb").alias("ante"), F.col("pa").alias("cons"), "supp_ab"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("ante"), F.col("pb").alias("cons")
+                ),
+                F.struct(
+                    F.col("pb").alias("ante"), F.col("pa").alias("cons")
+                ),
+            )
+        ).alias("__r"),
+        "supp_ab",
+    ).select("__r.ante", "__r.cons", "supp_ab")
     ia = item.toDF("ante", "supp_a")
     ic = item.toDF("cons", "supp_c")
     return (
@@ -961,13 +973,21 @@ def association_rules_topk_salted(
         .agg(F.count(F.lit(1)).alias("supp_ab"))
         .filter(F.col("supp_ab") >= 2)
     )
+    # single-pass rule-direction fan-out — see association_rules_topk
+    # (the union formulation executed the salted self-join twice)
     rules = pair.select(
-        F.col("pa").alias("ante"), F.col("pb").alias("cons"), "supp_ab"
-    ).unionByName(
-        pair.select(
-            F.col("pb").alias("ante"), F.col("pa").alias("cons"), "supp_ab"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("ante"), F.col("pb").alias("cons")
+                ),
+                F.struct(
+                    F.col("pb").alias("ante"), F.col("pa").alias("cons")
+                ),
+            )
+        ).alias("__r"),
+        "supp_ab",
+    ).select("__r.ante", "__r.cons", "supp_ab")
     ia = item.toDF("ante", "supp_a")
     ic = item.toDF("cons", "supp_c")
     return (
