@@ -35,6 +35,13 @@ ALLOWED_ARROW = {
     "ann_ivfadc_trained_topk",  # encode kernel + kmeans assignment
     "ann_ivfadc_trained_recall",  # same (index arm)
     "pq_index_build_cells",  # the production encode kernel itself
+    # r14: the GEMM kmeans assignment is now the default at EVERY k
+    # (was k>16 only), so small-k kmeans consumers carry the kernel
+    "ann_ivf_kmeans_topk",  # kmeans assignment kernel (k=8)
+    "embedding_prototype_prune",  # kmeans assignment kernel (small k)
+    # r14: poly-hash channels run as one Arrow kernel (guide §4.2;
+    # bit-equality vs the HOF fold pinned in test_llm_ops.py)
+    "simhash_candidates",
 }
 
 #: queries whose plans legitimately contain BroadcastNestedLoopJoin —
