@@ -282,9 +282,43 @@ def prefix_filter_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return jaccard_on_pairs(cand, sh, id_col="id").filter(
-        F.col("jaccard") >= threshold
+    # SIZE FILTER (AllPairs, exact): J(A,B) ≥ τ forces
+    # |A∩B| ≥ τ·max(|A|,|B|) and |A∩B| ≤ min(|A|,|B|), so any
+    # qualifying pair satisfies min ≥ τ·max — pruning the rest before
+    # the common-count join removes only pairs that could never pass
+    # the final jaccard filter (r14: 118k → 43k candidates at sf0.1,
+    # and the verify join was 60% of the query). The 1e-9 guard keeps
+    # binary-float τ from overshooting at exact τ·max multiples —
+    # erring low only keeps extra candidates, never drops one. Sizes
+    # ride the groupBy key (constant per pair) so the jaccard
+    # arithmetic is the identical c/(n_a+n_b-c) on identical operands.
+    na = sizes.toDF("id_a", "n_a")
+    nb = sizes.toDF("id_b", "n_b")
+    sized = (
+        cand.join(na, on="id_a")
+        .join(nb, on="id_b")
+        .filter(
+            F.least("n_a", "n_b").cast("double")
+            >= F.lit(threshold)
+            * F.greatest("n_a", "n_b").cast("double")
+            - F.lit(1e-9)
+        )
     )
+    sh_a = sh.toDF("id_a", "h")
+    sh_b = sh.toDF("id_b", "h")
+    common = (
+        sized.join(sh_a, on="id_a")
+        .join(sh_b, on=["id_b", "h"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return common.select(
+        "id_a",
+        "id_b",
+        (F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))).alias(
+            "jaccard"
+        ),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def minhash_lsh_dedup_pairs(
