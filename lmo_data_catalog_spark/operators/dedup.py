@@ -133,28 +133,44 @@ def jaccard_on_pairs(
     pairs: DataFrame, sh: DataFrame, *, id_col: str
 ) -> DataFrame:
     """Exact Jaccard for given candidate (id_a, id_b) pairs against a
-    (id, shingle) table → (id_a, id_b, jaccard)."""
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    sh_a = sh.toDF("id_a", "h")
-    sh_b = sh.toDF("id_b", "h")
-    common = (
-        pairs.join(sh_a, on="id_a")
-        .join(sh_b, on=["id_b", "h"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+    (id, shingle) table (one row per DISTINCT per-doc shingle, the
+    hashed_shingles contract) → (id_a, id_b, jaccard).
+
+    Shape (r14, guide §2.3 "shuffle keys, not payloads"): each doc's
+    shingle set rides as ONE sorted-array row (groupBy(id) — map-side
+    partial aggregation, the same exchange the old sizes aggregate
+    paid), and both arrays attach to a candidate pair by two joins of
+    the SMALL pair set against that per-doc table; the intersection
+    count is a map-side ``array_intersect`` — the triangle_counts
+    edge-iterator idiom. The old shape instead joined the candidate
+    set against the full (id, shingle) table twice, shuffling
+    |pairs| × |doc shingles| intermediate rows on (id_b, h) plus the
+    per-pair count aggregate — three corpus-scale exchanges this
+    removes outright. Arithmetic is unchanged: c, n_a, n_b are the
+    identical integers (per-doc shingles are distinct by contract),
+    and c/(n_a + n_b − c) evaluates the same double either way. The
+    per-row memory bound is one doc's shingle array — the winnowing /
+    triangle adjacency envelope, fine wherever a document itself fits
+    in a task."""
+    arrs = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("h")).alias("__sh")
     )
-    na = sizes.toDF("id_a", "n_a")
-    nb = sizes.toDF("id_b", "n_b")
-    return (
-        common.join(na, on="id_a")
-        .join(nb, on="id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))).alias(
-                "jaccard"
-            ),
+    a = arrs.toDF("id_a", "__sh_a")
+    b = arrs.toDF("id_b", "__sh_b")
+    joined = (
+        pairs.join(a, on="id_a")
+        .join(b, on="id_b")
+        .withColumn(
+            "__c", F.size(F.array_intersect("__sh_a", "__sh_b"))
         )
+    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("__c")
+            / (F.size("__sh_a") + F.size("__sh_b") - F.col("__c"))
+        ).alias("jaccard"),
     )
 
 
@@ -458,15 +474,11 @@ def winnow_dedup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # track: jaccard_on_pairs embeds sh in THREE branches (sizes agg +
-    # both join sides, each shuffled on a different key so no exchange
-    # reuse) — untracked, the tokenize/shingle/distinct pipeline
-    # executed three times per action (r14; the minhash/prefix-filter
-    # siblings already tracked theirs)
-    sh = cache.track(
-        hashed_shingles(df, id_col=id_col, text_col=text_col, n=n).toDF(
-            "id", "h"
-        )
+    # no track needed since the r14 array rewrite: jaccard_on_pairs
+    # now embeds sh exactly once (the per-doc array aggregate), so the
+    # tokenize/shingle pipeline runs once per action unpersisted
+    sh = hashed_shingles(df, id_col=id_col, text_col=text_col, n=n).toDF(
+        "id", "h"
     )
     return jaccard_on_pairs(cand, sh, id_col="id").filter(
         F.col("jaccard") >= threshold

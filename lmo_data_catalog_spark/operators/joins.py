@@ -37,6 +37,58 @@ def natural_join(
     return left.join(r, on=keys, how=how), keys
 
 
+def basket_pairs(
+    df: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    out: tuple[str, str] = ("u", "v"),
+) -> DataFrame:
+    """All distinct within-basket item pairs ``(a, b)`` with ``a < b``,
+    one row per (basket, pair) — the basket self-join
+    ``distinct(basket,item) ⋈ itself ON basket WHERE a < b`` as ONE
+    keyed aggregate plus a map-side pair expansion (r14, guide §2.4).
+
+    The classic build pays three exchanges: the per-basket distinct
+    hash-partitions on (basket, item), then the self-join re-partitions
+    both sides on basket alone. This shape pays exactly one:
+    ``groupBy(basket).collect_set(item)`` (map-side partial sets dedupe
+    before the shuffle, and the exchange carries one set row per
+    basket, not one row per item), then a sorted array and an
+    expression-level i<j expansion emit each pair once in
+    (lesser, greater) orientation. The row multiset is identical to the
+    self-join's (proven exceptAll-empty both ways in
+    tests/test_operators.py): collect_set IS the within-basket
+    distinct, and sort_array pins the pair orientation and makes the
+    frame deterministic. explode_outer + null filter, not a bare
+    explode, for the InferFiltersFromGenerate double-evaluation reason
+    documented on operators/text.py::shingles.
+
+    Skew caveat: a mega-basket's C(k, 2) expansion still runs in the
+    one task owning its basket key — same as the unsalted self-join;
+    skewed basket workloads stay on :func:`salted_join` (the registry's
+    ``*_salted`` rows demonstrate that machinery on purpose).
+    """
+    u, v = out
+    arr = df.groupBy(basket_col).agg(
+        F.sort_array(F.collect_set(item_col)).alias("__items")
+    )
+    return (
+        arr.select(
+            basket_col,
+            F.explode_outer(
+                F.expr(
+                    "flatten(transform(__items, (x, i) -> "
+                    "transform(slice(__items, i + 2, size(__items)), "
+                    f"y -> named_struct('{u}', x, '{v}', y))))"
+                )
+            ).alias("__p"),
+        )
+        .where(F.col("__p").isNotNull())
+        .select(basket_col, f"__p.{u}", f"__p.{v}")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -175,6 +175,22 @@ def gopher_quality(
     flag. See queries/advanced.py::gopher_quality_flags for the
     oracle-checked registry wrapper and the tokenize-once /
     explode_outer plan rationale."""
+    # r14 map-only rewrite (guide §2.4): the old shape exploded the
+    # bigrams, counted them per (doc, bigram) through an exchange,
+    # re-aggregated per doc through the same exchange's residue, and
+    # joined the stats back onto a SECOND evaluation of the tokenize
+    # projection (base and bigrams were separate branches over `pre`;
+    # Catalyst does not dedupe shared subtrees). A document's bigram
+    # multiset fits in one array, so the max multiplicity is the
+    # longest equal-run of the SORTED per-doc bigram array — one
+    # in-row fold, no explode, no exchange, no join: the quality gate
+    # is now literally the embarrassingly-parallel single scan the
+    # docstring advertises. maxc/total are the identical integers the
+    # grouped counts produced (multiplicity in the array == count per
+    # bigram; size == sum of counts), so the oracle arithmetic is
+    # unchanged, including the <2-token NULL→0.0 coalesce path
+    # (empty array → 0/0 → NULL → 0.0, as the old left join's absent
+    # stats row did).
     pre = df.select(
         F.col(id_col),
         tokens(text_col).alias("__toks"),
@@ -182,36 +198,55 @@ def gopher_quality(
             F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", "")
         ).alias("__n_ch"),
     )
-    base = pre.select(
+    withbg = pre.select(
         id_col,
-        F.size("__toks").alias("n_tokens"),
-        (F.col("__n_ch") / F.greatest(F.size("__toks"), F.lit(1))).alias("mwl"),
-    )
-    bigrams = pre.select(
-        id_col,
-        F.explode_outer(
-            F.when(
-                F.size("__toks") >= 2,
+        F.size("__toks").alias("__nt"),
+        "__n_ch",
+        F.when(
+            F.size("__toks") >= 2,
+            F.sort_array(
                 F.expr(
                     "transform(sequence(0, size(__toks) - 2),"
                     " i -> xxhash64(concat_ws(' ', slice(__toks, i + 1, 2))))"
-                ),
-            )
-        ).alias("bg"),
-    ).where(F.col("bg").isNotNull())
-    per = bigrams.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("c"))
-    stats = per.groupBy(id_col).agg(
-        F.max("c").alias("maxc"), F.sum("c").alias("total")
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("__bg"),
     )
-    frac = F.coalesce(F.col("maxc") / F.col("total"), F.lit(0.0))
-    return base.join(stats, on=id_col, how="left").select(
+    # longest equal-run over the sorted array == max bigram count
+    max_run = F.expr(
+        "aggregate(__bg,"
+        " named_struct('p', CAST(NULL AS BIGINT),"
+        "              'r', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT)),"
+        " (acc, x) -> named_struct('p', x,"
+        "   'r', IF(acc.p IS NOT NULL AND x = acc.p,"
+        "           acc.r + 1, CAST(1 AS BIGINT)),"
+        "   'b', greatest(acc.b,"
+        "                 IF(acc.p IS NOT NULL AND x = acc.p,"
+        "                    acc.r + 1, CAST(1 AS BIGINT)))),"
+        " acc -> acc.b)"
+    )
+    scored = withbg.select(
         id_col,
-        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "__nt",
+        (F.col("__n_ch") / F.greatest(F.col("__nt"), F.lit(1))).alias(
+            "mwl"
+        ),
+        max_run.alias("__maxc"),
+        # sum of per-bigram counts == the bigram count itself; cast to
+        # bigint to keep the old SUM(c) operand type in the division
+        F.size("__bg").cast("bigint").alias("__total"),
+    )
+    frac = F.coalesce(F.col("__maxc") / F.col("__total"), F.lit(0.0))
+    return scored.select(
+        id_col,
+        F.col("__nt").cast("int").alias("n_tokens"),
         F.round("mwl", 6).alias("mean_word_len"),
         F.round(frac, 6).alias("max_bigram_frac"),
         (
-            (F.col("n_tokens") >= 5)
-            & (F.col("n_tokens") <= 10000)
+            (F.col("__nt") >= 5)
+            & (F.col("__nt") <= 10000)
             & (F.col("mwl") >= 2)
             & (F.col("mwl") <= 12)
             & (frac <= 0.2)

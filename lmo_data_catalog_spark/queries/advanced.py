@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
-from ..operators.joins import salted_join
+from ..operators.joins import basket_pairs, salted_join
 from ..registry import query
 
 # ---------------------------------------------------------------- quality
@@ -63,9 +63,14 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of the document covered by its most frequent bigram
     (repetition signal), combined into a pass flag.
 
-    One scan + one bigram-explode aggregation; everything map-side
-    combinable, no UDFs — at 100 TB this is the canonical
-    embarrassingly-parallel quality sweep before dedup.
+    ONE map-only scan — no explode, no exchange, no join (r14; the
+    old shape paid a (doc_id, bigram) exchange, a second per-doc
+    aggregate, AND a join back onto a second evaluation of the
+    tokenize projection). A document's bigram multiset fits in one
+    array, so the repetition signal is computed in-row: max bigram
+    count == longest equal-run of the sorted per-doc bigram-hash
+    array. At 100 TB this is the canonical embarrassingly-parallel
+    quality sweep before dedup, now literally so.
 
     Tokenize-once discipline: ``__toks`` is projected a single time
     and every downstream expression (size, char count, bigram
@@ -73,13 +78,13 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     referenced more than once, Catalyst's CollapseProject will not
     re-inline the regex split into the lambda — the round-2 version
     embedded ``split(...)`` inside the transform and re-evaluated it
-    per bigram index, O(len²) per document. Bigrams are additionally
-    xxhash64'd before the (doc_id, bigram) shuffle so the exchange
-    carries 8-byte longs, not strings (only the counts survive to the
-    output, so hashing is semantics-free modulo ~2⁻⁶⁴ collisions).
-    The plan lives in operators/text.py::gopher_quality (with the
-    explode_outer / InferFiltersFromGenerate rationale) so the scale
-    probe can run it on replicated corpora."""
+    per bigram index, O(len²) per document. Bigrams are xxhash64'd
+    before sorting so the array holds 8-byte longs, not strings
+    (only counts survive to the output, so hashing is semantics-free
+    modulo ~2⁻⁶⁴ collisions). The plan lives in
+    operators/text.py::gopher_quality (with the equal-run fold and
+    the exact maxc/total equivalence argument) so the scale probe can
+    run it on replicated corpora."""
     from ..operators.text import gopher_quality
 
     return gopher_quality(
@@ -105,25 +110,26 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cooccurrence_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: top part pairs bought in the same
-    order. Per-order distinct first bounds the self-join fan-out to
-    C(items_per_order, 2) ≈ 21 pairs/order; the self-join shuffles
-    once on orderkey (both sides co-partitioned), the pair count is
-    map-side combinable, and the top-100 is a TakeOrdered (no global
-    sort materialization). TPC-H orders are skew-free (≤7 items), so
-    this plan stays unsalted; for skewed mega-order baskets use
+    order, with per-order C(items_per_order, 2) ≈ 21 pairs/order
+    fan-out. The pair generation is operators/joins.py::basket_pairs —
+    one collect_set aggregate on orderkey plus a map-side array
+    expansion (ONE exchange; the r14 rewrite of the
+    distinct → self-join shape, which paid three — proven
+    row-multiset-identical in tests). The pair count is map-side
+    combinable and the top-100 is a TakeOrdered (no global sort
+    materialization). TPC-H orders are skew-free (≤7 items), so this
+    plan stays unsalted; for skewed mega-order baskets use
     ``cooccurrence_part_pairs_salted`` below — same oracle, hot-key
     pair generation spread across salt buckets."""
-    li = (
-        Catalog(spark, sf_dir)
-        .lineitem.select("l_orderkey", "l_partkey")
-        .distinct()
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    pairs = basket_pairs(
+        li,
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        out=("part_a", "part_b"),
     )
-    a = li.toDF("l_orderkey", "part_a")
-    b = li.toDF("l_orderkey", "part_b")
     return (
-        a.join(b, on="l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
+        pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(100)

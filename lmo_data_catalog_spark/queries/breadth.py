@@ -1438,12 +1438,19 @@ def pareto_part_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     monetary value is DECIMAL so partial-sum order cannot move a
     class boundary: cum*100 <= total*80 is exact integer-scaled
     decimal arithmetic in both engines."""
+    from .. import cache
     from ..operators.windows import global_running_sum
 
     cat = Catalog(spark, sf_dir)
-    rev = cat.lineitem.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias(
-            "revenue"
+    # track: the revenue aggregate feeds FOUR actions (running-sum's
+    # quantile job + bucket-count collect, the final plan, and the
+    # total agg) — untracked, the lineitem groupBy re-executed per
+    # action (r14)
+    rev = cache.track(
+        cat.lineitem.groupBy("l_partkey").agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias(
+                "revenue"
+            )
         )
     )
     c = global_running_sum(

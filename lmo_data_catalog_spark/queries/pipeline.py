@@ -2466,21 +2466,23 @@ def lsh_incremental_neardup_pairs(
             is_batch, on="id"
         )
     )
+    # ONE probe join (r14): batch rows against the WHOLE banded table
+    # (batch ∪ state), canonicalized + distinct. The candidate set is
+    # identical to the old batch×batch + batch×state join pair —
+    # batch×all = batch×batch ∪ batch×state, and least/greatest +
+    # distinct collapses both orientations of a batch-batch meeting to
+    # the one row the id_a < id_b filter used to keep — at half the
+    # probe-join work (state-state pairs still never meet: id_a always
+    # comes from the batch side).
     batch = banded.filter(F.col("b")).drop("b")
-    state = banded.filter(~F.col("b")).drop("b")
     a = batch.toDF("id_a", "band_idx", "band_hash")
     cand = (
-        a.join(batch.toDF("id_b", "band_idx", "band_hash"),
+        a.join(banded.toDF("id_b", "band_idx", "band_hash", "__b"),
                on=["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .unionByName(
-            a.join(state.toDF("id_b", "band_idx", "band_hash"),
-                   on=["band_idx", "band_hash"])
-            .select(
-                F.least("id_a", "id_b").alias("id_a"),
-                F.greatest("id_a", "id_b").alias("id_b"),
-            )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
         )
         .distinct()
     )
@@ -2676,8 +2678,13 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order, so rank == row_number and the result is bit-identical
     to the oracle's global window)."""
     cat = Catalog(spark, sf_dir)
-    spend = cat.orders.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 4).alias("total")
+    # track: the spend aggregate feeds the ranker's quantile job, its
+    # bucket-count collect, AND the final plan — untracked, the orders
+    # groupBy re-executed per action (r14)
+    spend = cache.track(
+        cat.orders.groupBy("o_custkey").agg(
+            F.round(F.sum("o_totalprice"), 4).alias("total")
+        )
     )
     ranked = global_row_number(
         spend,

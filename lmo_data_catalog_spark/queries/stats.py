@@ -735,20 +735,26 @@ def pagerank_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1.0 − 0.85) in BOTH engines so the doubles agree bit-for-bit.
     """
     from ..operators.graph import pagerank
+    from ..operators.joins import basket_pairs
 
-    li = (
-        Catalog(spark, sf_dir)
-        .lineitem.select("l_orderkey", "l_partkey")
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    # one-exchange pair generation (basket_pairs, r14), distinct on the
+    # u<v half only, then both directions in one explode pass — the
+    # directed edge SET is identical to the old
+    # distinct → self-join → src≠dst → distinct chain (oracle-pinned).
+    und = (
+        basket_pairs(li, basket_col="l_orderkey", item_col="l_partkey")
+        .select("u", "v")
         .distinct()
     )
-    a = li.toDF("l_orderkey", "src")
-    b = li.toDF("l_orderkey", "dst")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
+    edges = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+            )
+        ).alias("__e")
+    ).select("__e.src", "__e.dst")
     ranks = pagerank(edges, n_iter=3, damping=0.85)
     return ranks.select(
         F.col("node").alias("p_partkey"),
@@ -965,20 +971,19 @@ def triangle_clustering_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     double with identical op order in both engines; ROUND(6) absorbs
     nothing — it is exact — but keeps the column contract uniform."""
     from ..operators.graph import triangle_counts
+    from ..operators.joins import basket_pairs
 
     li = (
         Catalog(spark, sf_dir)
         .lineitem.filter(F.col("l_quantity") >= 25)
         .select("l_orderkey", "l_partkey")
-        .distinct()
     )
-    a = li.toDF("l_orderkey", "u")
-    b = li.toDF("l_orderkey", "v")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
-    )
+    # one-exchange pair generation (basket_pairs, r14) — identical row
+    # multiset to the old distinct → self-join → u<v chain;
+    # triangle_counts canonicalizes + dedups cross-order repeats.
+    edges = basket_pairs(
+        li, basket_col="l_orderkey", item_col="l_partkey"
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
     out = triangle_counts(edges)
     return (
         out.select(
@@ -1065,18 +1070,17 @@ def kcore_parts_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds at these scales). Output is exact integers (node id,
     within-core degree): no float surface at all."""
     from ..operators.graph import kcore
+    from ..operators.joins import basket_pairs
 
     li = (
         Catalog(spark, sf_dir)
         .lineitem.filter(F.col("l_quantity") >= 25)
         .select("l_orderkey", "l_partkey")
-        .distinct()
     )
-    a = li.toDF("l_orderkey", "u")
-    b = li.toDF("l_orderkey", "v")
+    # one-exchange pair generation (basket_pairs, r14) + cross-order
+    # dedup — the same u<v edge set the old distinct → self-join built.
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
+        basket_pairs(li, basket_col="l_orderkey", item_col="l_partkey")
         .select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .distinct()
     )
@@ -1104,18 +1108,19 @@ def kcore_parts_graph_hubsafe(
     the window peel's one per three — both registered so the
     differential pins BOTH formulations against the same oracle."""
     from ..operators.graph import kcore
+    from ..operators.joins import basket_pairs
 
     li = (
         Catalog(spark, sf_dir)
         .lineitem.filter(F.col("l_quantity") >= 25)
         .select("l_orderkey", "l_partkey")
-        .distinct()
     )
-    a = li.toDF("l_orderkey", "u")
-    b = li.toDF("l_orderkey", "v")
+    # same basket_pairs edge build as kcore_parts_graph (r14): the
+    # hub-safe property under test is the PEEL's shape, not the edge
+    # build's, and basket_pairs' one exchange is keyed on orderkey —
+    # never on node — so the no-node-keyed-edge-exchange claim holds.
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
+        basket_pairs(li, basket_col="l_orderkey", item_col="l_partkey")
         .select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .distinct()
     )
@@ -1573,8 +1578,12 @@ def top1pct_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import global_row_number
 
     orders = Catalog(spark, sf_dir).orders
-    spend = orders.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    # track: feeds the ranker's quantile + bucket-count actions, the
+    # final plan, and the totals agg — four executions untracked (r14)
+    spend = cache.track(
+        orders.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+        )
     )
     ranked = global_row_number(
         spend,
@@ -2556,7 +2565,10 @@ def zipf_alpha_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import global_row_number
 
     cat = Catalog(spark, sf_dir)
-    wf = (
+    # track: the tokenize + explode + count aggregate feeds the
+    # ranker's quantile job, its bucket-count collect, and the final
+    # plan — three full corpus tokenizations untracked (r14)
+    wf = cache.track(
         cat.documents.select(
             F.explode_outer(T.tokens("text")).alias("term")
         )

@@ -664,3 +664,47 @@ def test_skyline_2d_fuzz_vs_bruteforce(spark, seed, n, grid):
         )
     )
     assert got == want
+
+
+def test_basket_pairs_matches_self_join(spark):
+    """basket_pairs == distinct → self-join → a<b, row-multiset-exact
+    (the r14 one-exchange rewrite of basket pair generation), covering
+    duplicate input rows, singleton baskets, and unsorted items."""
+    from lmo_data_catalog_spark.operators.joins import basket_pairs
+
+    rows = [
+        (1, 10), (1, 20), (1, 30), (1, 10),  # duplicate item in basket
+        (2, 7),                              # singleton basket
+        (3, 5), (3, 5),                      # singleton after dedup
+        (4, 2), (4, 1),                      # unsorted input
+    ]
+    df = spark.createDataFrame(rows, ["b", "x"])
+    got = basket_pairs(df, basket_col="b", item_col="x")
+    li = df.distinct()
+    want = (
+        li.toDF("b", "u")
+        .join(li.toDF("b", "v"), "b")
+        .filter(F.col("u") < F.col("v"))
+        .select("b", "u", "v")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() == want.count() == 4  # C(3,2)=3 + C(2,2)=1
+    named = basket_pairs(df, basket_col="b", item_col="x", out=("l", "r"))
+    assert named.columns == ["b", "l", "r"]
+
+
+def test_basket_pairs_single_exchange(spark):
+    """The optimization claim itself: basket_pairs plans exactly ONE
+    Exchange (the groupBy(basket) aggregate) — the self-join shape it
+    replaces paid three."""
+    from lmo_data_catalog_spark.operators.joins import basket_pairs
+
+    df = spark.createDataFrame([(1, 10), (1, 20)], ["b", "x"])
+    plan = (
+        basket_pairs(df, basket_col="b", item_col="x")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
