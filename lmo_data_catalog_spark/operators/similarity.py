@@ -72,6 +72,76 @@ def cosine_pair(col_a: str, col_b: str, dim: int) -> Column:
     )
 
 
+def cosine_to_centroids_kernel(
+    frame: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    *,
+    vec_col: str,
+    keep: list[str],
+    out_id: str = "cent_id",
+    out_cos: str = "__cos",
+) -> DataFrame:
+    """cos(row_vec, cᵢ) for every row × every centroid, as ONE Arrow
+    batch kernel emitting k rows per input row — replaces the
+    ``crossJoin(broadcast(cents))`` + :func:`cosine_pair` shape whose
+    three interpreted HOF folds per pair (dot + both norms, 3·dim
+    lambda steps each) dominated the static-cell IVFADC assign stage
+    (r14, guide §4.2; ~40 M fold steps at sf0.1).
+
+    Bit-identical to the expression path by construction: every
+    accumulator advances acc = acc + xⱼ·cⱼ one dimension per numpy
+    step (vectorized across ROWS, sequential across dims — the
+    poly_hash_channels_kernel discipline), which is exactly the
+    0.0-seeded left-deep ``F.aggregate`` fold in IEEE double; float32
+    inputs widen exactly; np.sqrt is the same correctly-rounded IEEE
+    sqrt as the JVM's; and the final divide uses the identical
+    operand order dot / (√na · √nb). Pinned equal to
+    :func:`cosine_pair` in tests/test_operators.py.
+
+    ``cents`` is the COLLECTED centroid table (id, vector) — bounded
+    by k by contract (8 here), the same bounded-collect class as the
+    kmeans state."""
+    import pandas as pd  # noqa: F401  (pdf ops below)
+
+    dim = len(cents[0][1])
+    C = np.array([c for _, c in cents], dtype=np.float64)
+    ids = [int(i) for i, _ in cents]
+    cn = np.zeros(len(ids))
+    for j in range(dim):
+        cn += C[:, j] * C[:, j]
+    cn = np.sqrt(cn)
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            X = (
+                np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                if n
+                else np.zeros((0, dim))
+            )
+            na = np.zeros(n)
+            for j in range(dim):
+                na += X[:, j] * X[:, j]
+            sna = np.sqrt(na)
+            base = pdf[keep]
+            for ci, cid in enumerate(ids):
+                dot = np.zeros(n)
+                c = C[ci]
+                for j in range(dim):
+                    dot += X[:, j] * c[j]
+                out = base.copy()
+                out[out_id] = np.full(n, cid, dtype=np.int64)
+                out[out_cos] = dot / (sna * cn[ci])
+                yield out
+
+    keep_schema = ", ".join(
+        f"`{c}` {frame.schema[c].dataType.simpleString()}" for c in keep
+    )
+    return frame.select(*keep, vec_col).mapInPandas(
+        gen, schema=f"{keep_schema}, {out_id} bigint, {out_cos} double"
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     *,

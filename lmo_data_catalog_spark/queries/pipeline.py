@@ -4084,25 +4084,29 @@ def _ivfadc_cell_ctes() -> str:
 def _ivfadc_index_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, __cos): IVFADC's re-ranked top-10 — probed-cell
     subset → PQ/ADC codes → top-50 shortlist → exact re-rank."""
+    from ..operators.similarity import cosine_to_centroids_kernel
+
     cat = Catalog(spark, sf_dir)
     e = cat.embeddings
-    cents = F.broadcast(
-        e.filter(F.col("vec_id").between(1, 8)).select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
-        )
+    # bounded collect (8 centroid rows — the kmeans-state class); the
+    # r14 kernel replaces the crossJoin(broadcast cents) + HOF-fold
+    # cosine_pair assign (3 interpreted folds × 8 cells × corpus, the
+    # stage that dominated this pair) with one Arrow batch kernel,
+    # bit-equal by the left-deep-per-dimension numpy discipline
+    # (pinned against cosine_pair in tests/test_operators.py)
+    cent_rows = sorted(
+        e.filter(F.col("vec_id").between(1, 8))
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
     )
+    cents = [(int(r["vec_id"]), list(r["embedding"])) for r in cent_rows]
     w = Window.partitionBy("vec_id").orderBy(
         F.col("__cos").desc(), F.col("cent_id").asc()
     )
-    assign = (
-        e.crossJoin(cents)
-        .select(
-            "vec_id",
-            "cent_id",
-            cosine_pair("embedding", "cvec", DIM).alias("__cos"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-    )
+    assign = cosine_to_centroids_kernel(
+        e, cents, vec_col="embedding", keep=["vec_id"]
+    ).withColumn("rn", F.row_number().over(w))
     assign = cache.track(assign)
     a1 = assign.filter(F.col("rn") == 1).select("vec_id", "cent_id")
     qc = F.broadcast(

@@ -708,3 +708,44 @@ def test_basket_pairs_single_exchange(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_cosine_kernel_matches_fold_expression(spark):
+    """cosine_to_centroids_kernel == crossJoin + cosine_pair fold,
+    BIT-exact (repr-equal doubles) on float32 vectors — the r14
+    static-IVFADC assign kernel's equivalence pin."""
+    import random
+
+    from lmo_data_catalog_spark.operators.similarity import (
+        cosine_pair,
+        cosine_to_centroids_kernel,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(dim)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+    cents_df = spark.createDataFrame(
+        [(j, [rng.uniform(-1.0, 1.0) for _ in range(dim)]) for j in (1, 2, 3)],
+        "cent_id bigint, cvec array<float>",
+    )
+    exp = (
+        df.crossJoin(F.broadcast(cents_df))
+        .select(
+            "vec_id",
+            "cent_id",
+            cosine_pair("embedding", "cvec", dim).alias("c"),
+        )
+    )
+    cents = [(r["cent_id"], list(r["cvec"])) for r in cents_df.collect()]
+    got = cosine_to_centroids_kernel(
+        df, cents, vec_col="embedding", keep=["vec_id"], out_cos="c"
+    )
+    want = {(r["vec_id"], r["cent_id"]): repr(r["c"]) for r in exp.collect()}
+    have = {(r["vec_id"], r["cent_id"]): repr(r["c"]) for r in got.collect()}
+    assert want == have and len(have) == 120
