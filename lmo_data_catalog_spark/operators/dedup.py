@@ -269,13 +269,28 @@ def prefix_filter_jaccard_pairs(
     prefixes toward df≈1 collapses the candidate blow-up the way a
     frequency-ordered inverted index does. One extra df aggregation
     + one per-doc window (bounded by doc shingle count) buys it.
+
+    Candidates then pass two EXACT pre-verify prunes (both only ever
+    drop pairs that cannot reach τ): the AllPairs size filter
+    (min(|A|,|B|) ≥ τ·max) and the PPJoin positional filter —
+    1 + min(|A| − r_A, |B| − r_B) ≥ τ/(1+τ)·(|A|+|B|), where
+    (r_A, r_B) are the ranks of the earliest shared prefix token —
+    before the exact intersection verifies the survivors via per-doc
+    sorted shingle arrays (map-side ``array_intersect``).
     """
     sh = cache.track(
         hashed_shingles(df, id_col=id_col, text_col=text_col, n=n).toDF(
             "id", "h"
         )
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    # one per-doc aggregate serves sizes AND the verify arrays (r14:
+    # was a separate count aggregate + a twice-joined (id, h) verify) —
+    # per-doc shingles are distinct by the hashed_shingles contract,
+    # so size(__sh) is the same integer the count aggregate produced
+    arrs = cache.track(
+        sh.groupBy("id").agg(F.sort_array(F.collect_set("h")).alias("__sh"))
+    )
+    sizes = arrs.select("id", F.size("__sh").alias("n"))
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
         sh.join(dfreq, on="h")
@@ -287,46 +302,72 @@ def prefix_filter_jaccard_pairs(
         )
         .join(sizes, on="id")
     )
+    # prefix rows carry (rank, size) so the candidate aggregate below
+    # yields the positional/size-filter operands for free — no
+    # post-hoc size joins (r14 second pass paid two)
     prefix = ranked.filter(
         F.col("r")
         <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
-    ).select("id", "h")
+    ).select("id", "h", "r", "n")
+    # candidate pairs: one h-keyed self-join + one pair-keyed
+    # aggregate (replaces .distinct() — same exchange). min(r) on each
+    # side is attained at the EARLIEST shared prefix token in the
+    # global (df, h) order (ranks are order-consistent across docs),
+    # which is what the positional filter needs.
+    pa = prefix.toDF("id_a", "h", "r_a", "n_a")
+    pb = prefix.toDF("id_b", "h", "r_b", "n_b")
     cand = (
-        prefix.toDF("id_a", "h")
-        .join(prefix.toDF("id_b", "h"), on="h")
+        pa.join(pb, on="h")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.min("r_a").alias("ra"), F.min("r_b").alias("rb"))
     )
     # SIZE FILTER (AllPairs, exact): J(A,B) ≥ τ forces
     # |A∩B| ≥ τ·max(|A|,|B|) and |A∩B| ≤ min(|A|,|B|), so any
-    # qualifying pair satisfies min ≥ τ·max — pruning the rest before
-    # the common-count join removes only pairs that could never pass
-    # the final jaccard filter (r14: 118k → 43k candidates at sf0.1,
-    # and the verify join was 60% of the query). The 1e-9 guard keeps
-    # binary-float τ from overshooting at exact τ·max multiples —
-    # erring low only keeps extra candidates, never drops one. Sizes
-    # ride the groupBy key (constant per pair) so the jaccard
-    # arithmetic is the identical c/(n_a+n_b-c) on identical operands.
-    na = sizes.toDF("id_a", "n_a")
-    nb = sizes.toDF("id_b", "n_b")
-    sized = (
-        cand.join(na, on="id_a")
-        .join(nb, on="id_b")
-        .filter(
+    # qualifying pair satisfies min ≥ τ·max (r14: 118k → 43k
+    # candidates at sf0.1).
+    # POSITIONAL FILTER (PPJoin, Xiao et al. WWW'08, exact): let t be
+    # the earliest shared prefix token, at ranks (ra, rb). No shared
+    # token precedes t in the global order (it would be in BOTH
+    # prefixes — prefixes are the lowest-ranked tokens — and would
+    # have matched earlier), so the overlap is at most
+    # 1 + min(n_a − ra, n_b − rb) (t itself plus everything after t
+    # on the smaller remaining side). J ≥ τ needs overlap ≥
+    # τ/(1+τ)·(n_a+n_b); candidates whose upper bound falls short can
+    # never pass the final jaccard filter. Both 1e-9 guards keep
+    # binary-float τ from overshooting at exact multiples — erring
+    # low only keeps extra candidates, never drops one.
+    sized = cand.filter(
+        (
             F.least("n_a", "n_b").cast("double")
             >= F.lit(threshold)
             * F.greatest("n_a", "n_b").cast("double")
             - F.lit(1e-9)
         )
+        & (
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("n_a") - F.col("ra"), F.col("n_b") - F.col("rb")
+                )
+            ).cast("double")
+            >= F.lit(threshold / (1.0 + threshold))
+            * (F.col("n_a") + F.col("n_b")).cast("double")
+            - F.lit(1e-9)
+        )
     )
-    sh_a = sh.toDF("id_a", "h")
-    sh_b = sh.toDF("id_b", "h")
+    # verify: each doc's shingle set rides as ONE sorted-array row and
+    # attaches to the SMALL candidate set by two pair-keyed joins; the
+    # intersection counts map-side (the jaccard_on_pairs idiom) —
+    # replaces the (id_b, h)-keyed join of |pairs| × |doc shingles|
+    # rows + per-pair count aggregate. c is the identical integer, so
+    # c/(n_a + n_b − c) is the identical double.
+    a = arrs.toDF("id_a", "__sh_a")
+    b = arrs.toDF("id_b", "__sh_b")
     common = (
-        sized.join(sh_a, on="id_a")
-        .join(sh_b, on=["id_b", "h"])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+        sized.join(a, on="id_a")
+        .join(b, on="id_b")
+        .withColumn("c", F.size(F.array_intersect("__sh_a", "__sh_b")))
     )
     return common.select(
         "id_a",

@@ -18,7 +18,11 @@ from ..catalog import Catalog
 from ..functions import epoch_us
 from ..operators import text as T
 from ..operators.dedup import connected_components, minhash_lsh_dedup_pairs
-from ..operators.similarity import cosine_pair, norm_sq
+from ..operators.similarity import (
+    cosine_pair,
+    cosine_to_centroids_kernel,
+    norm_sq,
+)
 from ..operators.windows import global_row_number, global_running_sum
 from ..registry import query
 from .llm import _SHINGLES_SQL, DIM, _sql_cosine, _sql_dot
@@ -55,27 +59,32 @@ _IVF_SQL = f"""
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: assign every vector to its nearest of
     8 deterministic centroids (vec_id 1-8), then search only the
-    query's cell. The scale path: the assignment is a broadcast join +
+    query's cell. The scale path: the assignment is one Arrow batch
+    kernel (r14; was a broadcast crossJoin + interpreted HOF folds) +
     one window, the cell is ~1/8 of the data (a partition key at
     100 TB), and the final top-k is TakeOrderedAndProject."""
     cat = Catalog(spark, sf_dir)
     e = cat.embeddings
-    cents = F.broadcast(
-        e.filter(F.col("vec_id").between(1, 8)).select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
-        )
+    # bounded collect (8 centroid rows — the kmeans-state class); the
+    # Arrow kernel replaces the crossJoin(broadcast cents) +
+    # cosine_pair assign whose three interpreted HOF folds per pair
+    # dominated this stage (r14, guide §4.2) — bit-equal to the fold
+    # expression, pinned in tests/test_operators.py
+    cent_rows = sorted(
+        e.filter(F.col("vec_id").between(1, 8))
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
     )
+    cents = [(int(r["vec_id"]), list(r["embedding"])) for r in cent_rows]
     w = Window.partitionBy("vec_id").orderBy(
         F.col("__cos").desc(), F.col("cent_id").asc()
     )
     # assign feeds both the query-cell lookup and the cell filter —
-    # persist so the crossJoin+window lineage runs once
+    # persist so the kernel+window lineage runs once
     assign = (
-        e.crossJoin(cents)
-        .select(
-            "vec_id",
-            "cent_id",
-            cosine_pair("embedding", "cvec", DIM).alias("__cos"),
+        cosine_to_centroids_kernel(
+            e, cents, vec_col="embedding", keep=["vec_id"]
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -151,8 +160,8 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the exact-rescore set, so nprobe trades scan fraction for
     recall linearly.
 
-    Scale shape: identical to ann_ivf_topk — broadcast 8-row
-    centroid table, one crossJoin+window assignment (at 100 TB the
+    Scale shape: identical to ann_ivf_topk — 8-row centroid state,
+    one Arrow-kernel+window assignment (at 100 TB the
     assignment is precomputed at ingest and the cells are partition
     keys; the probe is then nprobe partition reads), the probed
     union filters via a broadcast 4-row cell list, and the
@@ -160,23 +169,22 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final cosine both break on vec_id, both engines."""
     cat = Catalog(spark, sf_dir)
     e = cat.embeddings
-    cents = F.broadcast(
-        e.filter(F.col("vec_id").between(1, 8)).select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
-        )
+    # bounded 8-row collect + Arrow assignment kernel, as ann_ivf_topk
+    # (bit-equal to the crossJoin + cosine_pair fold, pinned in
+    # tests/test_operators.py)
+    cent_rows = sorted(
+        e.filter(F.col("vec_id").between(1, 8))
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
     )
+    cents = [(int(r["vec_id"]), list(r["embedding"])) for r in cent_rows]
     w = Window.partitionBy("vec_id").orderBy(
         F.col("__cos").desc(), F.col("cent_id").asc()
     )
-    assign = (
-        e.crossJoin(cents)
-        .select(
-            "vec_id",
-            "cent_id",
-            cosine_pair("embedding", "cvec", DIM).alias("__cos"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-    )
+    assign = cosine_to_centroids_kernel(
+        e, cents, vec_col="embedding", keep=["vec_id"]
+    ).withColumn("rn", F.row_number().over(w))
     assign = cache.track(assign)
     a1 = assign.filter(F.col("rn") == 1).select("vec_id", "cent_id")
     qc = F.broadcast(

@@ -741,6 +741,52 @@ def test_prefix_filter_exact_tau_multiple_boundary(spark):
     assert {(1, 2), (3, 4), (5, 6)} <= got
 
 
+def test_prefix_filter_positional_filter_exact_random(spark):
+    """r14 PPJoin positional filter: randomized differential at two
+    thresholds on a corpus engineered so the positional bound actually
+    fires (many docs share one rare token but differ elsewhere —
+    pairs the size filter alone cannot prune). Output must equal the
+    exact similarity join: the positional bound is an overlap UPPER
+    bound, so a qualifying pair can never be dropped; this pins that
+    the implementation's rank bookkeeping (min rank per side attained
+    at the earliest shared prefix token) preserves exactness."""
+    import random
+
+    from lmo_data_catalog_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    rng = random.Random(14)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        k = rng.randint(5, 12)
+        words = [rng.choice(vocab) for _ in range(k)]
+        # a shared rare anchor phrase in one third of docs: same-size
+        # docs sharing a low-df prefix token with small true overlap
+        if i % 3 == 0:
+            words[:3] = ["anchor", f"a{i}", f"b{i}"]
+        rows.append((i, " ".join(words)))
+    # exact near-dup pairs so the output is non-trivially non-empty
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[3][1] + " extra"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for tau in (0.5, 0.8):
+        exact = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in exact_jaccard_pairs(
+                docs, id_col="doc_id", text_col="text", threshold=tau
+            ).collect()
+        }
+        got = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in prefix_filter_jaccard_pairs(
+                docs, id_col="doc_id", text_col="text", threshold=tau
+            ).collect()
+        }
+        assert got == exact, f"tau={tau}"
+
+
 def test_pq_adc_matches_numpy_reimplementation(spark):
     """ann_pq_adc_topk vs an independent numpy PQ/ADC: same codebook
     convention (vec_id 1..4 subvectors, query vec_id 0, M=8 SUB=8),

@@ -42,6 +42,11 @@ ALLOWED_ARROW = {
     # r14: poly-hash channels run as one Arrow kernel (guide §4.2;
     # bit-equality vs the HOF fold pinned in test_llm_ops.py)
     "simhash_candidates",
+    # r14: static-centroid assignment via cosine_to_centroids_kernel
+    # (same kernel as the IVFADC pair; bit-equality pinned in
+    # test_operators.py)
+    "ann_ivf_topk",
+    "ann_ivf_multiprobe_topk",
 }
 
 #: queries whose plans legitimately contain BroadcastNestedLoopJoin —
@@ -58,8 +63,8 @@ ALLOWED_BNLJ = {
     "hard_negative_mining_topk",  # broadcast 5-row query-vector set
     "rrf_fusion_topk",  # broadcast query vector + two 100-row arm frames
     "weighted_systematic_sample",  # 1-row grand-total-weight attach
-    "ann_ivf_topk",  # broadcast centroid table
-    "ann_ivf_multiprobe_topk",  # broadcast centroid table + query vector
+    "ann_ivf_topk",  # broadcast query vector (1-row re-rank attach)
+    "ann_ivf_multiprobe_topk",  # broadcast query vector
     "ann_ivfadc_topk",  # broadcast centroids + 1-row query re-rank
     "ann_ivfadc_recall",  # broadcast centroids + query vector (both arms)
     "ann_ivfadc_trained_topk",  # broadcast 1-row query re-rank
