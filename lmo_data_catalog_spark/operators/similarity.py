@@ -666,31 +666,49 @@ def neardup_pairs_gemm(
 
     def _block_candidates(side) -> DataFrame | None:
         """Stage-1 sweep of the full probe side vs one gathered build
-        block (pandas DataFrame) — the single-broadcast kernel."""
+        block (pandas DataFrame) — the single-broadcast kernel.
+
+        r14: rows are L2-normalized BEFORE the GEMM, so the product IS
+        the cosine — the old ``(A @ Bᵀ) / np.outer(na, nb)`` built two
+        extra |A|×|B| float64 temporaries (the outer-norm matrix and
+        the divided copy) per batch, and the id / same-col masks two
+        more |A|×|B| booleans; at 10k×20k that was ~5.4 GB of
+        first-touch allocation per batch vs ~1.8 GB now (one score
+        matrix + one boolean), and the elementwise passes over 200M
+        elements dominated the sweep on bandwidth-limited hosts. The
+        id/cell tests now run on the (tiny) 1-D nonzero survivors.
+        Candidate-set semantics are unchanged: stage 1 was always the
+        eps-banded approximate generator (the exact stage-2 re-score
+        decides membership), pre-normalizing moves each score by
+        ~1e-15 relative — six orders inside the 1e-9 band — and the
+        keep conditions are the same predicates applied after, not
+        during, the score threshold."""
         if len(side) == 0:
             return None
         ids_b = side[id_col].to_numpy()
         B = np.stack(side[vec_col].to_numpy()).astype(np.float64)
         nb = np.sqrt((B * B).sum(axis=1))
+        Bn = B / nb[:, None]
         blk_b = side[same_col].to_numpy() if same_col else None
-        bc = spark.sparkContext.broadcast((ids_b, B, nb, blk_b))
+        bc = spark.sparkContext.broadcast((ids_b, Bn, blk_b))
 
         def gen(batches):
             import pandas as pd
 
-            ids_b_, B_, nb_, blk_b_ = bc.value
+            ids_b_, Bn_, blk_b_ = bc.value
             for pdf in batches:
                 if not len(pdf):
                     continue
                 A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
                 ida = pdf[id_col].to_numpy()
                 na = np.sqrt((A * A).sum(axis=1))
-                S = (A @ B_.T) / np.outer(na, nb_)
-                mask = (S >= cut) & (ida[:, None] < ids_b_[None, :])
+                S = (A / na[:, None]) @ Bn_.T
+                ia, ib = np.nonzero(S >= cut)
+                keep = ida[ia] < ids_b_[ib]
                 if blk_b_ is not None:
                     blk_a = pdf[same_col].to_numpy()
-                    mask &= blk_a[:, None] == blk_b_[None, :]
-                ia, ib = np.nonzero(mask)
+                    keep &= blk_a[ia] == blk_b_[ib]
+                ia, ib = ia[keep], ib[keep]
                 yield pd.DataFrame({"id_a": ida[ia], "id_b": ids_b_[ib]})
 
         cols = [id_col, vec_col] + ([same_col] if same_col else [])
