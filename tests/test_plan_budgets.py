@@ -28,7 +28,11 @@ BUDGETS = {
     "mode_order_priority_by_status": 3,
     "window_running_total": 2,
     "promo_revenue_share": 2,
-    "top1pct_revenue_share": 6,
+    # 6 → 8 (r15): c3907bf added cache.track to the spend aggregate so
+    # the 3-action global ranker executes it once, not 4×; the persisted
+    # subtree prints its inner exchanges inside InMemoryTableScan,
+    # inflating the TEXTUAL count by 2 while real shuffle work went down
+    "top1pct_revenue_share": 8,
     "lang_entropy_by_source": 6,
     "corr_regression_price_quantity": 2,
     "max_concurrent_intervals": 3,
@@ -41,7 +45,7 @@ BUDGETS = {
     "quality_classifier_score": 2,
     "bigram_lm_doc_nll": 9,
     "lang_confusion_matrix": 3,
-    "zipf_alpha_word_freq": 3,
+    "zipf_alpha_word_freq": 4,  # 3 → 4 (r15): same cache.track pattern
     "skyline_parts_price_size": 4,
     "frequent_itemsets_depth3": 6,
     # round-12 additions (measured at add time)
@@ -57,6 +61,10 @@ BUDGETS = {
     "pq_index_query_topk": 2,  # BOTH broadcasts (shortlist + 1-row qv);
     # the probe side is exchange-free: leaf-path scan → ADC project →
     # TakeOrderedAndProject (explains/pq_index_query_topk.txt)
+    # round-15 additions: the other two queries that gained cache.track
+    # ranker inputs in c3907bf (measured at add time, cache-cleared)
+    "pareto_part_classes": 7,
+    "customer_spend_quartiles": 3,
 }
 
 
