@@ -4524,12 +4524,6 @@ def pq_index_build_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: per-process memo of the serving index: {sf_dir: (root, cell_sums)}
-#: — both deterministic build artifacts (frozen cells + committed
-#: codebook + union-of-batches-invariant ingest), so reuse is exact.
-_PQ_SERVE_MEMO: dict[str, tuple] = {}
-
-
 @query(
     "pq_index_query_topk",
     oracle=f"""
@@ -4565,14 +4559,12 @@ def pq_index_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is independent of training — the Lloyd rounds and the PQ
     encode are paid at build time (pq_index_build_cells hashes that
     artifact); the query touches nprobe/k of the index as 16-byte
-    codes plus a 50-row exact re-rank (measured 2.04 s persisted vs
-    3.95 s rebuild at sf0.1, r13). The builder memoizes the built
-    index per (process, sf_dir) — training and ingest are the
-    deployment's BUILD step (the artifact pq_index_build_cells
-    hashes), paid once; repeat calls (bench timed passes after the
-    warm-up) measure what the row claims: serving from the frozen
-    persisted artifact. Both build products are deterministic, so
-    the memo cannot change any result."""
+    codes plus a 50-row exact re-rank. The builder rebuilds the index
+    on EVERY call: an earlier per-process memo keyed on sf_dir let
+    bench timed passes serve from an artifact the warm-up pass wrote,
+    which is exactly the cross-pass-reuse class the r14 honesty fix
+    eliminated (r14 verdict item 3) — so each invocation now pays the
+    full train + two-batch ingest cost, like every other trained row."""
     import tempfile
 
     from ..operators.ann_index import PqIvfIndexState
@@ -4580,25 +4572,20 @@ def pq_index_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = Catalog(spark, sf_dir)
     e = cat.embeddings
-    cached = _PQ_SERVE_MEMO.get(sf_dir)
-    if cached is None:
-        _, state = kmeans_cells_exact(
-            e,
-            id_col="vec_id",
-            vec_col="embedding",
-            dim=DIM,
-            k=8,
-            iters=3,
-            return_state=True,
-        )
-        ix = PqIvfIndexState(
-            spark, tempfile.mkdtemp(prefix="pq-ivf-serve-"), state
-        )
-        ix.ingest(e.filter(F.col("vec_id") % 2 == 0))
-        ix.ingest(e.filter(F.col("vec_id") % 2 == 1))
-        _PQ_SERVE_MEMO[sf_dir] = (ix.table.root, state)
-    else:
-        ix = PqIvfIndexState(spark, cached[0], cached[1])
+    _, state = kmeans_cells_exact(
+        e,
+        id_col="vec_id",
+        vec_col="embedding",
+        dim=DIM,
+        k=8,
+        iters=3,
+        return_state=True,
+    )
+    ix = PqIvfIndexState(
+        spark, tempfile.mkdtemp(prefix="pq-ivf-serve-"), state
+    )
+    ix.ingest(e.filter(F.col("vec_id") % 2 == 0))
+    ix.ingest(e.filter(F.col("vec_id") % 2 == 1))
     qvec = (
         e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     )
