@@ -95,8 +95,15 @@ def main() -> None:
         "errors": sorted(n for n, t in timings.items() if t < 0),
         "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
     }
+    # canonical artifact + a per-core-count copy: the driver's scaling
+    # run (lower $SPARK_GRAFT_CPUS) otherwise clobbers the canonical
+    # 32-core map in the working tree (r14 verdict item 8)
+    payload = json.dumps(full, indent=1, sort_keys=True)
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
-        json.dump(full, f, indent=1, sort_keys=True)
+        f.write(payload)
+    tag = cpus if str(cpus).isdigit() else "all"
+    with open(os.path.join(REPO, f"BENCH_FULL_c{tag}.json"), "w") as f:
+        f.write(payload)
 
     # stdout line: total + slowest queries that fit the budget
     base = {

@@ -8,15 +8,21 @@ Scale notes (100 TB design point):
 - Arrow enabled so any pandas-UDF escape hatch is vectorized.
 - Session timezone pinned UTC so timestamp semantics match the DuckDB
   oracle and are reproducible across clusters.
-- Driver heap sized explicitly, and deliberately SMALL (2g default,
-  ``SPARK_GRAFT_DRIVER_MEM`` to override): in local mode the driver
-  JVM hosts every executor thread, and measured suite wall-clock is
-  2g 51 s / 4g 59 s / 12g 111 s for the same 91 queries — G1's young
-  gen scales with the heap, so a big heap turns into multi-second
-  evacuation pauses that land on random queries in a many-small-
-  queries regime. Memory-hungry one-offs (corpus replication probes)
-  set the env var up; on a real cluster use executor memory settings
-  instead (this knob only matters for local mode).
+- Driver heap scales with the executor-thread count (192 MB/core,
+  2g floor, ``SPARK_GRAFT_DRIVER_MEM`` to override): in local mode
+  the driver JVM hosts every executor thread, so per-task execution
+  memory is heap-fraction / cores — a fixed heap starves wide
+  local[N]. The old fixed-2g default was measured best under the
+  pre-r14 cache-leak protocol (2g 51 s / 4g 59 s / 12g 111 s, 91
+  cache-read-heavy queries, where extra heap only bought GC pauses);
+  under the honest recompute protocol at local[32] a 17-query slow
+  subset measures 2g 47.2/53.9 s vs 6g 43.4/42.0 s vs 12g 52.7 s —
+  spill relief beats GC cost up to ~6g, then G1 young-gen pauses win
+  again (r15; ParallelGC at 6g was a wash at 43.6 s). 192 MB/core
+  lands 8 cores at the 2g floor (the driver's low-core scaling run
+  keeps its old config) and 32 cores at 6g. On a real cluster use
+  executor memory settings instead (this knob only matters for
+  local mode, where it IS the executor memory).
 """
 
 from __future__ import annotations
@@ -33,6 +39,10 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    n_threads = int(cpus) if str(cpus).isdigit() else (os.cpu_count() or 8)
+    driver_mem = os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEM", f"{max(2048, 192 * n_threads)}m"
+    )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -42,10 +52,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config(
-            "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "2g"),
-        )
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
