@@ -17,7 +17,7 @@ just the final sink job.  A query whose wall time is dominated by
 per-job fixed overhead shows up as jobs >> 1 with small task counts.
 
 Usage: python tools/job_profile.py [--runs N] [query ...]
-Writes /root/repo/plans/r14/job_profile.json and prints a table.
+Writes /root/repo/plans/r15/job_profile.json and prints a table.
 """
 
 from __future__ import annotations
@@ -87,8 +87,8 @@ def main() -> int:
         finally:
             cache.release_all()
 
-    os.makedirs("/root/repo/plans/r14", exist_ok=True)
-    path = "/root/repo/plans/r14/job_profile.json"
+    os.makedirs("/root/repo/plans/r15", exist_ok=True)
+    path = "/root/repo/plans/r15/job_profile.json"
     prev = {}
     if os.path.exists(path):
         with open(path) as f:
