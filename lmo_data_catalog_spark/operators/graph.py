@@ -341,18 +341,43 @@ def triangle_counts(
             "b",
         )
     )
-    tris = probes.select(
-        "a",
-        "b",
-        F.explode(F.array_intersect("nbrs", "nbrs_b")).alias("c"),
+    # One pass per probe edge: with cnt = |N⁺(a) ∩ N⁺(b)| triangles
+    # closed through (a, b), node a appears in cnt of them, node b in
+    # cnt, and each c ∈ intersection in exactly 1 — emit those as
+    # weighted (node, w) contributions from ONE explode and sum. The
+    # r14 shape unioned three projections of the tris frame instead,
+    # and Catalyst does not dedupe shared subtrees: the whole
+    # join+intersect+explode subtree (and the unpersisted adj
+    # aggregate under it) executed 3× (adj 6×). Integer weights sum
+    # to the identical per-node counts (bigint both ways); edges
+    # closing no triangle are filtered exactly as the old inner
+    # explode dropped them.
+    w = F.size("__int").cast("bigint")
+    contrib = (
+        probes.select(
+            "a", "b", F.array_intersect("nbrs", "nbrs_b").alias("__int")
+        )
+        .filter(F.size("__int") > 0)
+        .select(
+            F.explode(
+                F.concat(
+                    F.array(
+                        F.struct(F.col("a").alias("node"), w.alias("w")),
+                        F.struct(F.col("b").alias("node"), w.alias("w")),
+                    ),
+                    F.transform(
+                        "__int",
+                        lambda c: F.struct(
+                            c.alias("node"),
+                            F.lit(1).cast("bigint").alias("w"),
+                        ),
+                    ),
+                )
+            ).alias("__s")
+        )
+        .select("__s.node", "__s.w")
     )
-    per_node = (
-        tris.select(F.col("a").alias("node"))
-        .unionAll(tris.select(F.col("b").alias("node")))
-        .unionAll(tris.select(F.col("c").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
+    per_node = contrib.groupBy("node").agg(F.sum("w").alias("n_triangles"))
     return per_node.join(deg, "node").select("node", "n_triangles", "deg")
 
 

@@ -1,5 +1,5 @@
 """Dump .explain("formatted") for named registry queries into
-plans/r14/<query>_<suffix>.txt (r14 optimization-round evidence).
+plans/r15/<query>_<suffix>.txt (r15 optimization-round evidence).
 
 Usage: python tools/dump_plan.py <suffix> <query> [query ...]
 """
@@ -15,7 +15,7 @@ from lmo_data_catalog_spark import cache  # noqa: E402
 from lmo_data_catalog_spark.registry import REGISTRY  # noqa: E402
 from lmo_data_catalog_spark.session import get_spark  # noqa: E402
 
-OUT = "/root/repo/plans/r14"
+OUT = "/root/repo/plans/r15"
 
 
 def main() -> int:
