@@ -33,6 +33,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Damped PageRank over a directed edge list, ``n_iter`` rounds.
 
@@ -51,7 +52,21 @@ def pagerank(
     identically to the oracle CTE chain: divide per edge, sum,
     coalesce, scale, add — so cross-engine drift is limited to
     summation-order ulps, absorbed by the caller's final ROUND.
+
+    ``broadcast_ranks=True`` (guide §3.1) is for DIMENSION-BOUNDED
+    graphs — node count capped by a dimension table (the registry's
+    part graphs: 20 k nodes vs 2.4 M edges at sf0.1). The per-round
+    rank vector, the degree table, and each round's contribution
+    aggregate are all O(nodes) rows, so broadcasting them keeps the
+    edge list in its scan/persisted partitioning for EVERY round —
+    no O(edges) exchange anywhere (the default plan re-shuffled the
+    persisted edge table once per round for the rank sort-merge
+    join). Results are unchanged (same joins, same arithmetic; the
+    caller's ROUND absorbs partial-sum merge-order ulps exactly as
+    before). Leave False for web-scale graphs whose rank vector
+    exceeds the broadcast cap.
     """
+    b = F.broadcast if broadcast_ranks else (lambda df: df)
     # Persist the RAW edge list first: ed/nodes both contain the edge
     # subtree more than once (join sides, degree agg), and Catalyst
     # does not dedupe shared subtrees — without this the possibly
@@ -61,12 +76,12 @@ def pagerank(
     deg = edges.groupBy(src).agg(F.count("*").alias("__deg"))
     # Edge list annotated with the source's out-degree. Every round's
     # plan references it (as does the node universe).
-    ed = cache.track(edges.join(deg, src))
+    ed = cache.track(edges.join(b(deg), src))
     nodes = cache.track(deg.select(F.col(src).alias("node")))
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for _ in range(n_iter):
         contrib = (
-            ed.join(ranks, ed[src] == ranks["node"])
+            ed.join(b(ranks), ed[src] == ranks["node"])
             .select(
                 F.col(dst).alias("node"),
                 (F.col("rank") / F.col("__deg")).alias("__c"),
@@ -74,7 +89,7 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__s"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
+        ranks = nodes.join(b(contrib), "node", "left").select(
             "node",
             (
                 F.lit(1.0 - damping)
@@ -85,7 +100,7 @@ def pagerank(
     return ranks
 
 
-def _pr_graph(edges: DataFrame, src: str, dst: str):
+def _pr_graph(edges: DataFrame, src: str, dst: str, b=lambda df: df):
     """Shared prep for the dangling-aware variants: persisted
     (annotated edges, node universe, 1-row node count, dangling node
     set). The node universe is src ∪ dst — sinks included. The raw
@@ -95,7 +110,7 @@ def _pr_graph(edges: DataFrame, src: str, dst: str):
     part→supplier registry graph)."""
     edges = cache.track(edges)
     deg = edges.groupBy(src).agg(F.count("*").alias("__deg"))
-    ed = cache.track(edges.join(deg, src))
+    ed = cache.track(edges.join(b(deg), src))
     nodes = cache.track(
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -115,7 +130,8 @@ def _pr_graph(edges: DataFrame, src: str, dst: str):
 
 
 def _pr_round(
-    ed, nodes, nn, dangling, ranks: DataFrame, damping: float, src, dst
+    ed, nodes, nn, dangling, ranks: DataFrame, damping: float, src, dst,
+    b=lambda df: df,
 ) -> DataFrame:
     """One dangling-aware power iteration:
     rₖ₊₁(v) = (1−d) + d·(Σ_{u→v} rₖ(u)/deg(u) + Dₖ/N),
@@ -123,7 +139,7 @@ def _pr_round(
     coalesce(contrib, 0) + (dangling_mass / N), then scale, then add
     the teleport term computed as (1.0 − damping) in both engines."""
     contrib = (
-        ed.join(ranks, ed[src] == ranks["node"])
+        ed.join(b(ranks), ed[src] == ranks["node"])
         .select(
             F.col(dst).alias("node"),
             (F.col("rank") / F.col("__deg")).alias("__c"),
@@ -132,11 +148,11 @@ def _pr_round(
         .agg(F.sum("__c").alias("__s"))
     )
     dmass = (
-        ranks.join(dangling, "node", "semi")
+        ranks.join(b(dangling), "node", "semi")
         .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
     )
     return (
-        nodes.join(contrib, "node", "left")
+        nodes.join(b(contrib), "node", "left")
         .crossJoin(F.broadcast(dmass))
         .crossJoin(F.broadcast(nn))
         .select(
@@ -161,8 +177,13 @@ def pagerank_full(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 1,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Dangling-aware PageRank over an arbitrary directed edge list.
+    ``broadcast_ranks`` as on :func:`pagerank`: for dimension-bounded
+    node sets, broadcast the O(nodes) frames (deg, rank vector,
+    contribution aggregate, dangling set) so no round exchanges the
+    O(edges) table.
 
     Unlike :func:`pagerank`, the node universe is src ∪ dst and SINK
     nodes (no out-edges) are first-class: each round their rank mass
@@ -188,10 +209,13 @@ def pagerank_full(
     :func:`pagerank`), plus a semi join against the (persisted)
     dangling set and one 1-row aggregate — O(edges) with no new
     shuffle axis."""
-    ed, nodes, nn, dangling = _pr_graph(edges, src, dst)
+    b = F.broadcast if broadcast_ranks else (lambda df: df)
+    ed, nodes, nn, dangling = _pr_graph(edges, src, dst, b)
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for i in range(1, n_iter + 1):
-        ranks = _pr_round(ed, nodes, nn, dangling, ranks, damping, src, dst)
+        ranks = _pr_round(
+            ed, nodes, nn, dangling, ranks, damping, src, dst, b
+        )
         if i % checkpoint_every == 0 and i < n_iter:
             # register, not bare persist: the checkpointed vector (and
             # the persisted parent backing it) must be reclaimable by

@@ -755,7 +755,11 @@ def pagerank_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("__e")
     ).select("__e.src", "__e.dst")
-    ranks = pagerank(edges, n_iter=3, damping=0.85)
+    # broadcast_ranks: the node set is dimension-bounded (part keys —
+    # 20 k at sf0.1, never more than the part table), so the rank
+    # vector/degree/contribution frames broadcast and the 2.4 M-row
+    # edge table is never exchanged in any round (guide §3.1).
+    ranks = pagerank(edges, n_iter=3, damping=0.85, broadcast_ranks=True)
     return ranks.select(
         F.col("node").alias("p_partkey"),
         F.round("rank", 6).alias("pagerank"),
@@ -1215,7 +1219,10 @@ def pagerank_dangling_part_supplier(
         )
         .distinct()
     )
-    ranks = pagerank_full(edges, n_iter=3, damping=0.85)
+    # broadcast_ranks: nodes = parts ∪ suppliers, dimension-bounded
+    # (21 k at sf0.1) — O(nodes) frames broadcast, the edge table is
+    # never exchanged per round (guide §3.1).
+    ranks = pagerank_full(edges, n_iter=3, damping=0.85, broadcast_ranks=True)
     return ranks.select(
         "node", F.round("rank", 6).alias("pagerank")
     ).orderBy("node")
