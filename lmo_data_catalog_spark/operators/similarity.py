@@ -103,6 +103,12 @@ def cosine_to_centroids_kernel(
     kmeans state."""
     import pandas as pd  # noqa: F401  (pdf ops below)
 
+    if not cents:
+        raise ValueError(
+            "cosine_to_centroids_kernel: empty centroid list — the "
+            "centroid table produced no rows (filtered out, or the "
+            "source table is missing/empty)"
+        )
     dim = len(cents[0][1])
     C = np.array([c for _, c in cents], dtype=np.float64)
     ids = [int(i) for i, _ in cents]
@@ -688,7 +694,10 @@ def neardup_pairs_gemm(
         ids_b = side[id_col].to_numpy()
         B = np.stack(side[vec_col].to_numpy()).astype(np.float64)
         nb = np.sqrt((B * B).sum(axis=1))
-        Bn = B / nb[:, None]
+        # a zero-norm build row divides 0/0 here; keep the driver log
+        # clean (NaN rows never pass cut, so output is unchanged)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Bn = B / nb[:, None]
         blk_b = side[same_col].to_numpy() if same_col else None
         bc = spark.sparkContext.broadcast((ids_b, Bn, blk_b))
 

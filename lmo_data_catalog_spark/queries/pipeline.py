@@ -55,6 +55,20 @@ _IVF_SQL = f"""
 """
 
 
+def _collect_centroids(e: DataFrame) -> list[tuple[int, list[float]]]:
+    """The 8-row deterministic centroid table (vec_id 1-8) as the
+    kernel's collected form — a bounded collect (kmeans-state class).
+    Construction is eager (one tiny Spark job at plan-build time);
+    shared by ann_ivf_topk and ann_ivf_multiprobe_topk."""
+    cent_rows = sorted(
+        e.filter(F.col("vec_id").between(1, 8))
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    return [(int(r["vec_id"]), list(r["embedding"])) for r in cent_rows]
+
+
 @query("ann_ivf_topk", oracle=_IVF_SQL, tags=("similarity", "ann", "ivf"))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: assign every vector to its nearest of
@@ -65,18 +79,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB), and the final top-k is TakeOrderedAndProject."""
     cat = Catalog(spark, sf_dir)
     e = cat.embeddings
-    # bounded collect (8 centroid rows — the kmeans-state class); the
-    # Arrow kernel replaces the crossJoin(broadcast cents) +
+    # the Arrow kernel replaces the crossJoin(broadcast cents) +
     # cosine_pair assign whose three interpreted HOF folds per pair
     # dominated this stage (r14, guide §4.2) — bit-equal to the fold
     # expression, pinned in tests/test_operators.py
-    cent_rows = sorted(
-        e.filter(F.col("vec_id").between(1, 8))
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r["vec_id"],
-    )
-    cents = [(int(r["vec_id"]), list(r["embedding"])) for r in cent_rows]
+    cents = _collect_centroids(e)
     w = Window.partitionBy("vec_id").orderBy(
         F.col("__cos").desc(), F.col("cent_id").asc()
     )
@@ -172,13 +179,7 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded 8-row collect + Arrow assignment kernel, as ann_ivf_topk
     # (bit-equal to the crossJoin + cosine_pair fold, pinned in
     # tests/test_operators.py)
-    cent_rows = sorted(
-        e.filter(F.col("vec_id").between(1, 8))
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r["vec_id"],
-    )
-    cents = [(int(r["vec_id"]), list(r["embedding"])) for r in cent_rows]
+    cents = _collect_centroids(e)
     w = Window.partitionBy("vec_id").orderBy(
         F.col("__cos").desc(), F.col("cent_id").asc()
     )
