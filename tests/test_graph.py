@@ -89,6 +89,42 @@ def test_pagerank_keeps_source_only_nodes(spark):
     assert got["a"] > got["b"] > got["c"]
 
 
+def test_pagerank_broadcast_ranks_matches_default(spark):
+    """r15: broadcast_ranks=True swaps the per-round join strategy
+    (O(nodes) frames broadcast, edge table never exchanged) but must
+    produce the same ranks as the default plan and the reference."""
+    pairs = [(1, 2), (2, 3), (3, 4), (1, 3), (2, 4)]
+    edges = sym(pairs)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    base = {r["node"]: r["rank"] for r in pagerank(df, n_iter=3).collect()}
+    bcast = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, n_iter=3, broadcast_ranks=True).collect()
+    }
+    want = py_pagerank(edges, n_iter=3)
+    assert set(base) == set(bcast) == set(want)
+    for n in want:
+        assert bcast[n] == pytest.approx(base[n], rel=1e-12)
+        assert bcast[n] == pytest.approx(want[n], rel=1e-12)
+    # dangling-aware variant, sink + source shape
+    dedges = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "a")]
+    ddf = spark.createDataFrame(dedges, ["src", "dst"])
+    dbase = {
+        r["node"]: r["rank"] for r in pagerank_full(ddf, n_iter=3).collect()
+    }
+    dbcast = {
+        r["node"]: r["rank"]
+        for r in pagerank_full(
+            ddf, n_iter=3, broadcast_ranks=True
+        ).collect()
+    }
+    dwant = py_pagerank_full(dedges, n_iter=3)
+    assert set(dbase) == set(dbcast) == set(dwant)
+    for n in dwant:
+        assert dbcast[n] == pytest.approx(dbase[n], rel=1e-12)
+        assert dbcast[n] == pytest.approx(dwant[n], rel=1e-12)
+
+
 def test_pagerank_regular_graph_is_stationary(spark):
     # Every node of a k-regular graph keeps rank exactly 1.0.
     edges = sym([(1, 2), (2, 3), (1, 3)])
