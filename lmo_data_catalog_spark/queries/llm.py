@@ -710,8 +710,11 @@ def _bpe_token_frames(spark: SparkSession, sf_dir: str):
     cat = Catalog(spark, sf_dir)
     # mirror of the oracle's chr(31) guard (see _bpe_ctes): words
     # containing the reserved separator are excluded in BOTH engines
+    # explode_outer: an inner explode lets InferFiltersFromGenerate
+    # re-tokenize each document inside the pushed scan filter; the
+    # existing w-predicates already drop the outer variant's null rows
     toks = cat.documents.select(
-        "doc_id", "lang", F.explode(T.tokens("text")).alias("w")
+        "doc_id", "lang", F.explode_outer(T.tokens("text")).alias("w")
     ).where((F.col("w") != "") & (~F.col("w").contains(BPE_SEP)))
     wlen = toks.select("w").distinct().mapInPandas(
         kernel, schema="w string, n_bpe long"
@@ -820,8 +823,9 @@ def _bpe_bl_builder(
             )
 
     cat = Catalog(spark, sf_dir)
+    # explode_outer + existing w-predicates: see the word-BPE variant
     toks = cat.documents.select(
-        "doc_id", F.explode(T.tokens("text")).alias("w")
+        "doc_id", F.explode_outer(T.tokens("text")).alias("w")
     ).where(
         (F.col("w") != "")
         & (~F.col("w").contains(BPE_SEP))

@@ -994,11 +994,17 @@ def _substring_kept_tokens(docs: DataFrame, L: int):
     by a non-first duplicated L-token run — the exact semantics
     dup_substring_removal's docstring derives."""
     base = docs.select("doc_id", T.tokens("text").alias("__toks"))
+    # posexplode_outer + null-filter: an inner posexplode lets
+    # InferFiltersFromGenerate push `size(split(...)) > 0 AND
+    # isnotnull(split(...))` into the scan filter, re-tokenizing every
+    # document 1-2 extra times below the Generate (same idiom as the
+    # gram side; tokens() never yields an empty array, so the row set
+    # is identical)
     tok = base.select(
         "doc_id",
         F.size("__toks").alias("n_toks"),
-        F.posexplode("__toks").alias("pos0", "tk"),
-    ).select(
+        F.posexplode_outer("__toks").alias("pos0", "tk"),
+    ).where(F.col("pos0").isNotNull()).select(
         "doc_id", "n_toks", (F.col("pos0") + 1).alias("pos"), "tk"
     )
     grams = base.select(
@@ -1457,22 +1463,33 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, no per-row Python; at 100 TB this is a map-only stage."""
     cat = Catalog(spark, sf_dir)
     n = F.size(T.tokens("text"))
-    starts = F.sequence(F.lit(0), n - 1, F.lit(CHUNK_STEP))
-    return (
-        # explode_outer + post-filter: avoids the inferred
-        # `size(sequence(...)) > 0` scan filter re-evaluating the
-        # tokenize+sequence chain twice per document.
-        cat.documents.select(
-            "doc_id", n.alias("n"), F.explode_outer(starts).alias("s")
+    # n is let-bound once per document via the 1-element transform
+    # wrapper and rides the generator output as a struct field: the
+    # old shape selected n ALONGSIDE the explode and CollapseProject
+    # inlined the whole tokenize+size chain into the post-Generate
+    # projection — re-tokenizing the document once per emitted chunk
+    # (normalize_embeddings had the same bug, r15). explode_outer +
+    # post-filter: avoids the inferred `size(...) > 0` scan filter
+    # re-evaluating the chain a second time per document.
+    spans = F.flatten(
+        F.transform(
+            F.array(n),
+            lambda nn: F.transform(
+                F.sequence(F.lit(0), nn - 1, F.lit(CHUNK_STEP)),
+                lambda s: F.struct(s.alias("s"), nn.alias("n")),
+            ),
         )
-        .where(F.col("s").isNotNull())
+    )
+    return (
+        cat.documents.select("doc_id", F.explode_outer(spans).alias("sp"))
+        .where(F.col("sp").isNotNull())
         .select(
             "doc_id",
-            (F.col("s") / CHUNK_STEP).cast("int").alias("chunk_idx"),
-            F.col("s").cast("int").alias("start_tok"),
-            F.least(F.col("s") + CHUNK_SIZE, F.col("n")).cast("int").alias(
-                "end_tok"
-            ),
+            (F.col("sp.s") / CHUNK_STEP).cast("int").alias("chunk_idx"),
+            F.col("sp.s").cast("int").alias("start_tok"),
+            F.least(F.col("sp.s") + CHUNK_SIZE, F.col("sp.n"))
+            .cast("int")
+            .alias("end_tok"),
         )
     )
 
@@ -1526,25 +1543,40 @@ def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalize embeddings (unit vectors for cosine-as-dot
     retrieval), emitted element-wise. The norm is the left-deep fold
-    (bit-identical cross-engine); one map-only stage."""
+    (bit-identical cross-engine); one map-only stage.
+
+    The unit array is built per INPUT row inside the generator
+    expression, with the norm let-bound via a 1-element transform
+    wrapper: the previous shape computed ``__n`` in the same select as
+    the posexplode, and CollapseProject inlined the whole
+    sqrt(aggregate(...)) fold into the post-Generate projection —
+    re-evaluating the 64-step fold once per EXPLODED element (64× per
+    vector; measured 0.89 s → 0.12 s for the map stage, r15).
+    posexplode_outer + null-filter keeps the inferred
+    size(...)>0 scan filter from re-evaluating the array expression a
+    second time (the chunk_documents lesson). Arithmetic per element
+    is unchanged: round(cast(x as double) / norm, 6) + 0.0."""
     cat = Catalog(spark, sf_dir)
+    unit_arr = F.flatten(
+        F.transform(
+            F.array(F.sqrt(norm_sq("embedding", DIM))),
+            # __nrm is bound ONCE per row here; the inner transform
+            # reuses it per element
+            lambda nrm: F.transform(
+                "embedding",
+                # + 0.0 collapses IEEE signed zero: rounding a tiny
+                # negative yields -0.0 in DuckDB but 0.0 in Spark, and
+                # the driver's value hash tells them apart (seen at sf1)
+                lambda x: F.round(x.cast("double") / nrm, 6) + F.lit(0.0),
+            ),
+        )
+    )
     return (
         cat.embeddings.select(
-            "vec_id",
-            F.sqrt(norm_sq("embedding", DIM)).alias("__n"),
-            F.posexplode("embedding").alias("i", "__x"),
+            "vec_id", F.posexplode_outer(unit_arr).alias("i", "unit")
         )
-        .select(
-            "vec_id",
-            F.col("i").cast("int").alias("i"),
-            # + 0.0 collapses IEEE signed zero: rounding a tiny
-            # negative yields -0.0 in DuckDB but 0.0 in Spark, and the
-            # driver's value hash tells them apart (seen at sf1)
-            (
-                F.round(F.col("__x").cast("double") / F.col("__n"), 6)
-                + F.lit(0.0)
-            ).alias("unit"),
-        )
+        .where(F.col("i").isNotNull())
+        .select("vec_id", F.col("i").cast("int").alias("i"), "unit")
     )
 
 
@@ -1568,22 +1600,30 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization (per-vector absmax scale) — the
     storage/ANN compression step; 4× smaller vectors with exact
     integer reconstruction rules. Map-only; the scale is an array max
-    (order-independent, exact)."""
+    (order-independent, exact). The absmax is let-bound once per row
+    via the 1-element transform wrapper (see normalize_embeddings:
+    the old post-explode projection re-evaluated it per element)."""
     cat = Catalog(spark, sf_dir)
     mx = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x))).cast(
         "double"
     )
+    q_arr = F.flatten(
+        F.transform(
+            F.array(mx),
+            lambda m: F.transform(
+                "embedding",
+                lambda x: F.round(F.lit(127.0) * x.cast("double") / m).cast(
+                    "int"
+                ),
+            ),
+        )
+    )
     return (
         cat.embeddings.select(
-            "vec_id", mx.alias("__mx"), F.posexplode("embedding").alias("i", "__x")
+            "vec_id", F.posexplode_outer(q_arr).alias("i", "q")
         )
-        .select(
-            "vec_id",
-            F.col("i").cast("int").alias("i"),
-            F.round(F.lit(127.0) * F.col("__x").cast("double") / F.col("__mx"))
-            .cast("int")
-            .alias("q"),
-        )
+        .where(F.col("i").isNotNull())
+        .select("vec_id", F.col("i").cast("int").alias("i"), "q")
     )
 
 
@@ -2911,9 +2951,12 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding boundary, the repo-wide accepted tolerance for every
     ROUND(_, 6) output column."""
     cat = Catalog(spark, sf_dir)
+    # explode_outer + null-filter: the inner explode re-tokenized each
+    # document inside the inferred scan filter (tokens() never yields
+    # an empty array, so the row set is identical)
     toks = cat.documents.select(
-        "doc_id", "lang", F.explode(T.tokens("text")).alias("w")
-    )
+        "doc_id", "lang", F.explode_outer(T.tokens("text")).alias("w")
+    ).where(F.col("w").isNotNull())
     src = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cs"))
     tgt = (
         toks.filter(F.col("lang") == "en")

@@ -1474,9 +1474,12 @@ def token_entropy_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import tokens
 
     docs = Catalog(spark, sf_dir).documents
+    # explode_outer + null-filter: keeps the inferred scan filter from
+    # re-tokenizing each document (row set identical — tokens() never
+    # yields an empty array)
     words = docs.select(
-        "doc_id", F.explode(tokens("text")).alias("w")
-    )
+        "doc_id", F.explode_outer(tokens("text")).alias("w")
+    ).where(F.col("w").isNotNull())
     counts = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
     cd = F.col("c").cast("double")
     sums = counts.groupBy("doc_id").agg(
